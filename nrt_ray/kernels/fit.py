@@ -1,0 +1,200 @@
+"""History-period fit methods over ``(time, n_series)`` matrices.
+
+Functional parity targets: ``/root/reference/nrt/fit_methods.py`` (OLS
+``:58-71``, RIRLS ``:74-164``, CCDC-stable ``:166-251``, ROC-stable
+``:254-323``).  Implementations are new NumPy code: OLS and RIRLS are
+vectorized across series via batched normal equations (the reference loops
+per column under numba ``prange``); the variable-length stable fits keep a
+per-series loop because their suffix logic is inherently scalar, and rely on
+Ray-task parallelism across batches instead of threads.
+
+Residual sign conventions match the reference fits exactly, including their
+inconsistency: OLS and the stable fits return ``X·β − y`` while RIRLS
+returns ``y − X·β`` (the *monitoring* residual is always ``y − ŷ``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nrt_ray.kernels.stats import (bisquare, mad, masked_normal_equations,
+                                   nanlstsq)
+from nrt_ray.kernels.efp import history_roc
+
+MIN_SPAN_DAYS = 183  # half a year — minimum history span for stable fits
+
+
+def ols(X: np.ndarray, y: np.ndarray):
+    """NaN-aware OLS fit for all series at once.
+
+    Returns:
+        beta ``(k, m)``, residuals ``(n, m)`` (``X·β − y``; NaN where y is NaN).
+    """
+    beta = nanlstsq(X, y)
+    residuals = X @ beta - y
+    return beta, residuals
+
+
+def rirls(X: np.ndarray, y: np.ndarray, tune: float = 4.685,
+          scale_constant: float = 0.6745, update_scale: bool = True,
+          maxiter: int = 50, tol: float = 1e-8):
+    """Robust iteratively-reweighted least squares (Tukey bisquare, MAD scale).
+
+    Vectorized across series: each iteration solves the batched weighted
+    normal equations for every still-active series.  Per-series behaviours of
+    the reference are preserved:
+
+    * a series whose initial MAD scale is below float32-eps keeps its plain
+      OLS solution (no reweighting);
+    * convergence is the reference's *signed* criterion
+      ``not any((β_new − β_old) > tol)`` (not the absolute difference);
+    * iteration count starts at 1 and stops strictly below ``maxiter``.
+
+    Returns:
+        beta ``(k, m)``, residuals ``(n, m)`` (NaN rows preserved).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, m = y.shape
+    eps = float(np.finfo(np.float32).eps)
+
+    valid = np.isfinite(y)
+
+    def _solve(weights):
+        # lstsq on the √w-scaled system, batched across series via stacked
+        # SVD pseudo-inverse (minimum-norm on near-singular systems, like
+        # the reference's np.linalg.lstsq — normal equations would square
+        # the condition number and diverge on near-singular series).
+        w = valid.astype(np.float64)
+        if weights is not None:
+            w = w * weights
+        sw = np.sqrt(w).T  # (m, n)
+        Xw = X[None, :, :] * sw[:, :, None]       # (m, n, k)
+        yw = np.where(valid, y, 0.0).T * sw       # (m, n)
+        beta_m = np.linalg.pinv(Xw) @ yw[..., None]  # (m, k, 1)
+        beta_ = beta_m[..., 0].T                  # (k, m)
+        resid_ = np.where(valid, y - X @ beta_, np.nan)
+        return beta_, resid_
+
+    beta, resid = _solve(None)
+    scale = mad(resid, c=scale_constant, axis=0)  # (m,)
+    active = scale >= eps  # series still being reweighted
+    scale = np.where(active, scale, 1.0)  # avoid 0-division for frozen ones
+
+    iteration = 1
+    while np.any(active) and iteration < maxiter:
+        last_beta = beta.copy()
+        weights = bisquare(resid / scale, c=tune)
+        weights = np.where(np.isfinite(weights), weights, 0.0)
+        new_beta, new_resid = _solve(weights)
+        beta = np.where(active, new_beta, beta)
+        resid = np.where(active[None, :], new_resid, resid)
+        if update_scale:
+            new_scale = mad(resid, c=scale_constant, axis=0)
+            new_scale = np.maximum(eps, np.where(np.isfinite(new_scale),
+                                                 new_scale, eps))
+            scale = np.where(active, new_scale, scale)
+        iteration += 1
+        # signed convergence criterion, per series
+        diverged = np.any((beta - last_beta) > tol, axis=0)
+        active = active & diverged
+    return beta, resid
+
+
+def ccdc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
+                    threshold: float = 3.0):
+    """Stability-seeking OLS fit (CCDC-style shrink-from-the-left).
+
+    Per series: fit OLS on the suffix of valid observations, check the three
+    stability conditions (|slope|/RMSE, |first resid|/RMSE, |last resid|/RMSE
+    all < threshold), and drop the two oldest valid observations per round
+    until stable, until fewer than ``1.5·k`` observations remain, or until
+    the remaining span is under half a year.
+
+    Args:
+        X: ``(n, k)`` design matrix (column 1 must be the trend).
+        y: ``(n, m)`` observations, NaN = missing.
+        dates: ``(n,)`` observation dates in days since epoch (int).
+        threshold: stability sensitivity.
+
+    Returns:
+        beta ``(k, m)``, residuals ``(n, m)`` (suffix-aligned, NaN elsewhere),
+        is_stable ``(m,)`` bool, fit_start ``(m,)`` days-since-epoch.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dates = np.asarray(dates)
+    n, m = y.shape
+    k = X.shape[1]
+    min_obs = int(k * 1.5)
+    beta = np.zeros((k, m), dtype=np.float64)
+    residuals = np.full_like(y, np.nan)
+    stable = np.zeros(m, dtype=bool)
+    fit_start = np.zeros(m, dtype=np.int64)
+
+    for idx in range(m):
+        col = y[:, idx]
+        ok = np.isfinite(col)
+        Xv, yv, dv = X[ok], col[ok], dates[ok]
+        is_stable = False
+        beta_s = None
+        jdx = len(yv)
+        for jdx in range(len(yv), min_obs - 1, -2):
+            Xs, ys = Xv[-jdx:], yv[-jdx:]
+            beta_s = np.linalg.solve(Xs.T @ Xs, Xs.T @ ys)
+            resid_s = Xs @ beta_s - ys
+            rmse = np.sqrt(np.mean(resid_s ** 2))
+            is_stable = (np.fabs(beta_s[1]) / rmse < threshold
+                         and np.fabs(resid_s[0]) / rmse < threshold
+                         and np.fabs(resid_s[-1]) / rmse < threshold)
+            if is_stable:
+                break
+            if dv[-1] - dv[-jdx] < MIN_SPAN_DAYS:
+                break
+        beta[:, idx] = beta_s
+        residuals[-jdx:, idx] = resid_s
+        stable[idx] = is_stable
+        fit_start[idx] = dv[-jdx]
+    return beta, residuals, stable, fit_start
+
+
+def roc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
+                   alpha: float = 0.05, crit: float = 0.9478982340418134):
+    """Stable fit via Reverse-Ordered-CUSUM stable-history detection.
+
+    Per series: find the stable-history start with :func:`history_roc`,
+    require at least ``k+1`` observations and half a year of span in the
+    stable window, then OLS-fit the stable suffix.  Unstable series keep
+    NaN coefficients (and hence NaN residuals).
+
+    Returns:
+        beta ``(k, m)``, residuals ``(n, m)``, is_stable ``(m,)``,
+        fit_start ``(m,)`` days-since-epoch.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    dates = np.asarray(dates)
+    n, m = y.shape
+    k = X.shape[1]
+    is_stable = np.ones(m, dtype=bool)
+    fit_start = np.zeros(m, dtype=np.int64)
+    beta = np.full((k, m), np.nan, dtype=np.float64)
+
+    for idx in range(m):
+        col = y[:, idx]
+        ok = np.isfinite(col)
+        yv, Xv = col[ok], X[ok]
+        stable_idx = history_roc(Xv, yv, alpha=alpha, crit=crit)
+        if len(yv) - stable_idx < k + 1:
+            is_stable[idx] = False
+            continue
+        dv = dates[ok]
+        if dv[-1] - dv[stable_idx] < MIN_SPAN_DAYS:
+            is_stable[idx] = False
+            continue
+        Xs, ys = Xv[stable_idx:], yv[stable_idx:]
+        beta[:, idx] = np.linalg.solve(Xs.T @ Xs, Xs.T @ ys)
+        fit_start[idx] = dv[stable_idx]
+
+    residuals = X @ beta - y
+    return beta, residuals, is_stable, fit_start

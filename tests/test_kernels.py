@@ -1,0 +1,180 @@
+"""Ported conformance tests for the pure-NumPy kernels vs the vendored
+golden corpus (R strucchange/bfast + statsmodels outputs).
+
+Mirrors the reference unit-test suite (tolerances included): recursive
+residuals, Rec-CUSUM efp process, ROC stable-history indices, critical
+values, RIRLS betas, CCDC stability, ncdf/percentiles, outlier screens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import math
+
+from nrt_ray.kernels import efp, fit, outliers, regressors, stats
+
+
+# ---------------------------------------------------------------- regressors
+
+def test_design_matrix_matches_golden_X(X_y_dates_romania):
+    """The golden X.csv is build_regressors(dates, trend=False, h=2)."""
+    X, _, dates = X_y_dates_romania
+    ours = regressors.design_matrix(dates, trend=False, harmonic_order=2)
+    np.testing.assert_allclose(ours, X, atol=1e-6)
+
+
+def test_design_matrix_shape_and_intercept():
+    dates = np.arange("2019-01-01", "2020-01-01", 7, dtype="datetime64[D]")
+    X = regressors.design_matrix(dates, trend=True, harmonic_order=3)
+    assert X.shape == (len(dates), 1 + 1 + 6)
+    assert np.all(X[:, 0] == 1.0)
+    # trend column is days since epoch
+    assert X[0, 1] == (np.datetime64("2019-01-01") - np.datetime64("1970-01-01")).astype(int)
+
+
+def test_decimal_years():
+    dy = regressors.decimal_years(np.array(["2019-01-01", "2019-12-31"],
+                                           dtype="datetime64[D]"))
+    np.testing.assert_allclose(dy, [2019.0, 2020.0])
+
+
+# --------------------------------------------------------------------- stats
+
+@pytest.mark.parametrize("x", [-1, 1, 0.3])
+def test_ncdf_vs_scipy(x):
+    np.testing.assert_allclose(stats.ncdf(x), 0.5 * (1.0 + math.erf(x / math.sqrt(2.0))), rtol=1e-6)
+
+
+def test_nan_percentile_axis0():
+    rng = np.random.default_rng(7)
+    arr = rng.random((50, 8))
+    arr[rng.random((50, 8)) < 0.1] = np.nan
+    ours = stats.nan_percentile_axis0(arr, np.array([75, 25]))
+    ref = np.nanpercentile(arr, [75, 25], axis=0)
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_nanlstsq_simple(X_y_intercept_slope):
+    X, y, intercept, slope = X_y_intercept_slope
+    # NaN-out the planted outliers → exact recovery
+    y = y.copy()
+    y[9, 0] = np.nan
+    y[0, 1] = np.nan
+    beta = stats.nanlstsq(X, y)
+    np.testing.assert_allclose(beta, [[intercept] * 2, [slope] * 2],
+                               rtol=1e-10)
+
+
+# ----------------------------------------------------------------------- efp
+
+def test_recursive_residuals_vs_strucchange(X_y_dates_romania,
+                                            golden_recresid):
+    X, y, _ = X_y_dates_romania
+    k = X.shape[1]
+    for idx in range(y.shape[1]):
+        col = y[:, idx]
+        ok = np.isfinite(col)
+        rr = efp.recursive_residuals(X[ok], col[ok], k + 1)
+        golden_col = golden_recresid[:, idx]
+        golden_valid = golden_col[np.isfinite(golden_col)]
+        ours_valid = rr[np.isfinite(rr)]
+        # First slot differs by design: with span=k+1 the first value is the
+        # in-sample residual of the initial fit (the reference engine does
+        # the same and its efp discards it); R recresid is out-of-sample
+        # from the start.  From the second value on both sequences are
+        # prediction errors from fits on all prior observations.
+        np.testing.assert_allclose(ours_valid[1:], golden_valid[1:],
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_efp_process_vs_strucchange(X_y_dates_romania, golden_efp):
+    X, y, _ = X_y_dates_romania
+    ok = np.isfinite(y[:, 0])
+    process = efp.rec_cusum_process(X[ok][::-1], y[ok, 0][::-1])
+    k = X.shape[1]
+    np.testing.assert_allclose(process[k + 2:], golden_efp[k + 2:], rtol=1e-2)
+
+
+def test_history_roc_vs_bfast(X_y_dates_romania, golden_roc_history):
+    X, y, _ = X_y_dates_romania
+    got = np.zeros(y.shape[1])
+    for idx in range(y.shape[1]):
+        ok = np.isfinite(y[:, idx])
+        got[idx] = efp.history_roc(X[ok], y[ok, idx])
+    # golden values are 1-indexed (R)
+    np.testing.assert_allclose(got, golden_roc_history - 1)
+
+
+@pytest.mark.parametrize("alpha,expected", [(0.01, 3.368214),
+                                            (0.05, 2.795483),
+                                            (0.1, 2.500278)])
+def test_ols_cusum_crit(alpha, expected):
+    assert efp.ols_cusum_crit(alpha) == pytest.approx(expected)
+
+
+def test_rec_cusum_crit_005():
+    assert efp.rec_cusum_crit(0.05) == pytest.approx(efp.REC_CUSUM_CRIT_005)
+
+
+@pytest.mark.parametrize("kwargs", [{"alpha": 0.05, "h": 0.24},
+                                    {"alpha": 0.06},
+                                    {"alpha": 0.05, "period": 11}])
+def test_mosum_crit_validation(kwargs):
+    with pytest.raises(ValueError):
+        efp.mosum_crit(**kwargs)
+
+
+def test_mosum_crit_pinned_value():
+    # golden boundary row (pre-asymptotic regime) = crit·√2
+    assert efp.mosum_crit(0.05, h=0.25) * np.sqrt(2.0) == \
+        pytest.approx(1.89762642047451)
+
+
+# ----------------------------------------------------------------------- fit
+
+def test_ols_recovers_parameters(X_y_intercept_slope):
+    X, y, intercept, slope = X_y_intercept_slope
+    y = y.copy()
+    y[9, 0] = np.nan
+    y[0, 1] = np.nan
+    beta, resid = fit.ols(X, y)
+    np.testing.assert_allclose(beta[0], intercept, rtol=1e-8)
+    np.testing.assert_allclose(beta[1], slope, rtol=1e-8)
+    assert np.isnan(resid[9, 0]) and np.isnan(resid[0, 1])
+
+
+def test_rirls_vs_statsmodels(X_y_RLM, golden_RLM):
+    X, y = X_y_RLM
+    beta, resid = fit.rirls(X, y, tune=4.685, scale_constant=0.6745,
+                            update_scale=True, maxiter=50, tol=1e-8)
+    np.testing.assert_allclose(beta, golden_RLM, rtol=1e-2)
+
+
+def test_ccdc_stable_fit(stability_ccdc):
+    X, y, dates, expected = stability_ccdc
+    beta, resid, stable, start = fit.ccdc_stable_fit(X, y, dates, threshold=3)
+    np.testing.assert_array_equal(stable, expected)
+
+
+def test_roc_stable_fit_smoke(X_y_dates_romania):
+    X, y, dates = X_y_dates_romania
+    days = dates.astype("datetime64[D]").astype(int)
+    beta, resid, stable, start = fit.roc_stable_fit(X, y, days)
+    assert beta.shape == (X.shape[1], y.shape[1])
+    assert stable.dtype == bool
+
+
+# ------------------------------------------------------------------ outliers
+
+def test_shewhart_removes_planted_outliers(X_y_clear):
+    X, y, clear = X_y_clear
+    screened = outliers.shewhart(X, y.astype(np.float64), L=2)
+    np.testing.assert_array_equal(~clear, np.isnan(screened))
+
+
+def test_ccdc_rirls_removes_planted_outliers(X_y_clear):
+    X, y, clear = X_y_clear
+    screened = outliers.ccdc_rirls(X=X.astype(np.float64), y=y, green=y,
+                                   swir=y)
+    np.testing.assert_array_equal(~clear, np.isnan(screened))
