@@ -1,0 +1,127 @@
+"""Series assembly: flat crawl rows → one list-row per url.
+
+This is the engine's single wide step.  Rows are hash-partitioned on
+``url`` into a fixed number of buckets (the partition count is pinned in the
+checkpoint manifest so state and new observations stay co-partitioned
+across runs), shuffled with one ``groupby(bucket)``, and assembled inside
+each bucket fully vectorized:
+
+    sort by (url, warc_ts)  →  exact dedup (url, warc_ts) first-wins
+    →  list offsets per url →  series rows
+       (url, ts: list<timestamp[us]>, value: list<float64>,
+        days: list<int32>, dyear: list<float64>)
+
+The reference has no shuffle at all (dense rasters are already
+pixel-aligned); sortedness-in-time — which its fit asserts
+(``/root/reference/nrt/monitor/__init__.py:170-171``) — is re-established
+here per url after the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def bucket_of(urls, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per url (stable across processes and runs —
+    pandas' SipHash with the fixed default key), as int32."""
+    arr = np.asarray(urls, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def add_bucket_column(batch: pa.Table, num_buckets: int) -> pa.Table:
+    urls = batch.column("url").to_pandas().to_numpy(dtype=object)
+    return batch.append_column("pid",
+                               pa.array(bucket_of(urls, num_buckets),
+                                        pa.int32()))
+
+
+def assemble_series(batch: pa.Table) -> pa.Table:
+    """Assemble all rows of one bucket into per-url series rows.
+
+    Expects columns ``url, warc_ts, value, days, dyear`` (any subset of the
+    numeric ones is carried through).  Fully vectorized: one stable lexsort,
+    a run-boundary dedup, then zero-copy list construction from offsets.
+    """
+    if batch.num_rows == 0:
+        return _empty_series_table()
+    url = batch.column("url").to_pandas().to_numpy(dtype=object)
+    ts = batch.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # stable sort by (url, ts, original order) → first-wins dedup
+    codes, uniques = pd.factorize(pd.Series(url), sort=True)
+    order = np.lexsort((np.arange(len(url)), ts, codes))
+    codes_s, ts_s = codes[order], ts[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (codes_s[1:] != codes_s[:-1]) | (ts_s[1:] != ts_s[:-1])
+    keep = order[first]
+    codes_k, ts_k = codes_s[first], ts_s[first]
+
+    # list offsets: one run per url code (codes_k is sorted)
+    run_starts = np.flatnonzero(np.r_[True, codes_k[1:] != codes_k[:-1]])
+    offsets = np.r_[run_starts, len(codes_k)].astype(np.int32)
+    url_values = uniques[codes_k[run_starts]]
+
+    cols: dict[str, pa.Array] = {
+        "url": pa.array(url_values, pa.string()),
+        "n": pa.array(np.diff(offsets).astype(np.int32)),
+        "ts": pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(ts_k, pa.int64()).cast(
+                pa.timestamp("us"))),
+    }
+    for name, typ in (("value", pa.float64()), ("days", pa.int32()),
+                      ("dyear", pa.float64())):
+        if name in batch.column_names:
+            flat = batch.column(name).to_numpy(zero_copy_only=False)[keep]
+            cols[name] = pa.ListArray.from_arrays(pa.array(offsets),
+                                                  pa.array(flat, typ))
+    return pa.table(cols)
+
+
+def _empty_series_table() -> pa.Table:
+    return pa.table({
+        "url": pa.array([], pa.string()),
+        "n": pa.array([], pa.int32()),
+        "ts": pa.array([], pa.list_(pa.timestamp("us"))),
+        "value": pa.array([], pa.list_(pa.float64())),
+        "days": pa.array([], pa.list_(pa.int32())),
+        "dyear": pa.array([], pa.list_(pa.float64())),
+    })
+
+
+def padded_matrices(series: pa.Table):
+    """Series rows → dense NaN-padded ``(T, K)`` float64 matrices.
+
+    Returns a dict with ``value`` (T,K), ``days`` (T,K int64, 0-padded),
+    ``dyear`` (T,K, NaN-padded), ``length`` (K,), ``url`` (K,) — the
+    time-major layout every kernel in :mod:`nrt_ray.kernels` operates on.
+    """
+    n = series.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    K = len(n)
+    T = int(n.max()) if K else 0
+    row_idx = np.concatenate([np.arange(c) for c in n]) if K else \
+        np.array([], dtype=np.int64)
+    col_idx = np.repeat(np.arange(K), n)
+
+    def pad(flat, fill, dtype):
+        out = np.full((T, K), fill, dtype=dtype)
+        out[row_idx, col_idx] = flat
+        return out
+
+    def flat_of(name):
+        return np.asarray(series.column(name).combine_chunks().flatten()
+                          .to_numpy(zero_copy_only=False))
+
+    out = {
+        "url": series.column("url").to_pandas().to_numpy(dtype=object),
+        "length": n,
+        "value": pad(flat_of("value").astype(np.float64), np.nan, np.float64),
+        "days": pad(flat_of("days").astype(np.int64), 0, np.int64),
+        "dyear": pad(flat_of("dyear").astype(np.float64), np.nan, np.float64),
+        "ts": pad(series.column("ts").combine_chunks().flatten()
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False),
+                  0, np.int64),
+    }
+    return out

@@ -1,0 +1,215 @@
+"""Compressed time-series segments (Gorilla-family codecs, vectorized).
+
+Closed rollup ranges are stored as binary segment blobs in Arrow ``binary``
+columns: timestamps with **delta-of-delta** coding, values with **XOR**
+coding (Facebook Gorilla, Pelkonen et al. 2015).  Unlike the classic
+per-point bit-stream, both codecs here work on fixed blocks of 128 points
+with a per-block bit-width header — the same information-theoretic idea
+(delta-of-delta ≈ 0 for regular cadence; XOR of similar floats has long
+runs of leading/trailing zero bits) but encode AND decode are pure
+vectorized NumPy (bit matrices + ``packbits``), which is what makes the
+codec usable inside high-throughput ``map_batches`` stages.
+
+Format (little-endian):
+    dod segment:  u32 n | i64 first | i64 first_delta |
+                  blocks of ≤128 zigzag(dod) values:
+                  u8 width | ceil(cnt·width/8) bytes
+    xor segment:  u32 n | u64 first |
+                  blocks of ≤128 xor values:
+                  u8 shift | u8 width | ceil(cnt·width/8) bytes
+
+Round-trip is exact (bit-for-bit) for any int64/float64 input including
+NaN payloads; exhaustively tested in tests/test_compress.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64)
+    return ((x << 1) ^ (x >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)).astype(np.int64)
+            ^ -(u & np.uint64(1)).astype(np.int64))
+
+
+def _bit_width(x: np.ndarray) -> int:
+    """Max bits needed for the values in x (0..64). Never underestimates:
+    float log2 rounds across power-of-two boundaries only upward."""
+    m = int(x.max()) if len(x) else 0
+    return m.bit_length()
+
+
+def _pack(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into a little-endian bitstream of ``width`` bits
+    each (vectorized via an (n, width) bit matrix + packbits)."""
+    if width == 0:
+        return b""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((values[:, None] >> shifts[None, :]) & np.uint64(1)) \
+        .astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack(buf: memoryview, count: int, width: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    nbytes = (count * width + 7) // 8
+    bits = np.unpackbits(np.frombuffer(buf[:nbytes], dtype=np.uint8),
+                         bitorder="little")[:count * width]
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.reshape(count, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+
+
+def encode_dod(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode an int64 array (e.g. epoch-µs timestamps)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    head = np.empty(1, dtype=np.uint32)
+    head[0] = n
+    parts = [head.tobytes()]
+    if n == 0:
+        return parts[0]
+    parts.append(ts[:1].tobytes())
+    if n == 1:
+        return b"".join(parts)
+    deltas = np.diff(ts)
+    parts.append(deltas[:1].tobytes())
+    dod = _zigzag(np.diff(deltas))  # n-2 values
+    for i in range(0, len(dod), BLOCK):
+        blk = dod[i:i + BLOCK]
+        width = _bit_width(blk)
+        parts.append(bytes([width]))
+        parts.append(_pack(blk, width))
+    return b"".join(parts)
+
+
+def decode_dod(buf: bytes) -> np.ndarray:
+    mv = memoryview(buf)
+    n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    first = int(np.frombuffer(mv[4:12], dtype=np.int64)[0])
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    first_delta = int(np.frombuffer(mv[12:20], dtype=np.int64)[0])
+    pos = 20
+    out = np.empty(max(n - 2, 0), dtype=np.uint64)
+    done = 0
+    while done < n - 2:
+        cnt = min(BLOCK, n - 2 - done)
+        width = mv[pos]
+        pos += 1
+        out[done:done + cnt] = _unpack(mv[pos:], cnt, width)
+        pos += (cnt * width + 7) // 8
+        done += cnt
+    dod = _unzigzag(out)
+    deltas = np.concatenate([np.array([first_delta], dtype=np.int64),
+                             first_delta + np.cumsum(dod, dtype=np.int64)])
+    return first + np.concatenate([np.array([0], dtype=np.int64),
+                                   np.cumsum(deltas, dtype=np.int64)])
+
+
+def encode_xor(values: np.ndarray) -> bytes:
+    """XOR-encode a float64 array (Gorilla value stream, block-wise)."""
+    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    n = len(v)
+    head = np.empty(1, dtype=np.uint32)
+    head[0] = n
+    parts = [head.tobytes()]
+    if n == 0:
+        return parts[0]
+    parts.append(v[:1].tobytes())
+    xors = v[1:] ^ v[:-1]
+    for i in range(0, len(xors), BLOCK):
+        blk = xors[i:i + BLOCK]
+        nz = blk[blk != 0]
+        if len(nz) == 0:
+            shift, width = 0, 0
+        else:
+            # common trailing-zero count via lowest set bit of the OR;
+            # width from the highest set bit (bit_length is exact on ints)
+            ored = int(np.bitwise_or.reduce(nz))
+            shift = (ored & -ored).bit_length() - 1
+            width = ored.bit_length() - shift
+        parts.append(bytes([shift, width]))
+        parts.append(_pack(blk >> np.uint64(shift), width))
+    return b"".join(parts)
+
+
+def decode_xor(buf: bytes) -> np.ndarray:
+    mv = memoryview(buf)
+    n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    if n == 0:
+        return np.array([], dtype=np.float64)
+    first = np.frombuffer(mv[4:12], dtype=np.uint64)[0]
+    pos = 12
+    xors = np.empty(n - 1, dtype=np.uint64)
+    done = 0
+    while done < n - 1:
+        cnt = min(BLOCK, n - 1 - done)
+        shift, width = mv[pos], mv[pos + 1]
+        pos += 2
+        xors[done:done + cnt] = _unpack(mv[pos:], cnt, width) \
+            << np.uint64(shift)
+        pos += (cnt * width + 7) // 8
+        done += cnt
+    stream = np.concatenate([[first], xors])
+    return np.bitwise_xor.accumulate(stream).view(np.float64)
+
+
+def segments_from_rollups(tier_tables: dict, max_points: int = 4096):
+    """Build the compressed segment table from rolled-up tier tables.
+
+    One segment per (url, tier) chunk of at most ``max_points`` rollup
+    points: timestamps dod-coded, means xor-coded.
+
+    Returns:
+        pyarrow.Table (url, tier, seg_start, seg_end, n_points,
+        codec, payload_ts, payload_value)
+    """
+    import pyarrow as pa
+    rows = {k: [] for k in ("url", "tier", "seg_start", "seg_end",
+                            "n_points", "codec", "payload_ts",
+                            "payload_value")}
+    for tier_name, table in tier_tables.items():
+        if table.num_rows == 0:
+            continue
+        urls = table.column("url").to_pandas().to_numpy(dtype=object)
+        ts = table.column("bucket_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mean = table.column("mean").to_numpy(zero_copy_only=False)
+        # contiguous runs per url (rollup output is url-grouped)
+        starts = np.flatnonzero(np.r_[True, urls[1:] != urls[:-1]])
+        ends = np.r_[starts[1:], len(urls)]
+        for s, e in zip(starts, ends):
+            for c in range(s, e, max_points):
+                d = min(c + max_points, e)
+                rows["url"].append(urls[s])
+                rows["tier"].append(tier_name)
+                rows["seg_start"].append(int(ts[c]))
+                rows["seg_end"].append(int(ts[d - 1]))
+                rows["n_points"].append(d - c)
+                rows["codec"].append("dod+xor")
+                rows["payload_ts"].append(encode_dod(ts[c:d]))
+                rows["payload_value"].append(encode_xor(mean[c:d]))
+    return pa.table({
+        "url": pa.array(rows["url"], pa.string()),
+        "tier": pa.array(rows["tier"], pa.string()),
+        "seg_start": pa.array(rows["seg_start"], pa.int64()).cast(
+            pa.timestamp("us")),
+        "seg_end": pa.array(rows["seg_end"], pa.int64()).cast(
+            pa.timestamp("us")),
+        "n_points": pa.array(rows["n_points"], pa.int32()),
+        "codec": pa.array(rows["codec"], pa.string()),
+        "payload_ts": pa.array(rows["payload_ts"], pa.binary()),
+        "payload_value": pa.array(rows["payload_value"], pa.binary()),
+    })

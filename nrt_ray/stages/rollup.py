@@ -1,0 +1,210 @@
+"""Tiered continuous aggregates (rollup + downsample + retention + gap-fill).
+
+New surface relative to the reference (which has no rollup operators — the
+north rule pins these semantics; the bit-for-bit oracle is the pure-NumPy
+implementation in ``tests/test_rollup.py``):
+
+* A *tier* is a fixed bucket width (default 1h / 1d / 1w).  Buckets are
+  epoch-aligned: ``bucket_ts = floor(ts_us / width_us) · width_us`` — the
+  same arithmetic is SQL-expressible for the DuckDB oracle.
+* Per ``(url, bucket)``: ``count, mean, min, max, last`` over the *finite*
+  observed values (NaN signal = masked observation, like the reference's
+  cloud-masked NaNs).
+* *Gap-fill*: empty buckets strictly between two observed buckets of the
+  same url get ``count = 0, gapfilled = true`` and a linearly interpolated
+  ``mean`` (on the bucket index axis); ``min/max/last`` are null.
+* *Retention*: per tier, buckets whose end falls more than ``retention``
+  before the url's (or dataset's) high-water mark are dropped after being
+  rolled into coarser tiers.
+
+Everything is vectorized over the whole series batch at once (no per-url
+Python loop): buckets are computed on the flattened list values and reduced
+with ``np.add.reduceat``-style segment reductions over run boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+US = 1_000_000
+TIER_WIDTH_US = {"1h": 3600 * US, "1d": 86400 * US, "1w": 7 * 86400 * US}
+
+
+def rollup_flat(series_idx: np.ndarray, ts_us: np.ndarray,
+                value: np.ndarray, width_us: int):
+    """Segment-reduce flattened per-series observations into tier buckets.
+
+    Args:
+        series_idx: ``(N,)`` int — which series each flat element belongs
+            to; elements of one series are contiguous and time-sorted.
+        ts_us: ``(N,)`` int64 epoch-microsecond timestamps.
+        value: ``(N,)`` float64 signal (NaN = masked).
+
+    Returns:
+        dict of 1-D arrays: ``series_idx, bucket_ts, count, mean, min, max,
+        last`` — one row per non-empty (series, bucket).
+    """
+    finite = np.isfinite(value)
+    sidx, ts_us, value = series_idx[finite], ts_us[finite], value[finite]
+    if len(ts_us) == 0:
+        return {k: np.array([], dtype=d) for k, d in
+                (("series_idx", np.int64), ("bucket_ts", np.int64),
+                 ("count", np.int32), ("mean", np.float64),
+                 ("min", np.float64), ("max", np.float64),
+                 ("last", np.float64))}
+    bucket = (ts_us // width_us) * width_us
+    # run boundaries: new series or new bucket (both monotone within series)
+    starts = np.flatnonzero(np.r_[True, (sidx[1:] != sidx[:-1])
+                                  | (bucket[1:] != bucket[:-1])])
+    ends = np.r_[starts[1:], len(bucket)]
+    count = (ends - starts).astype(np.int32)
+    sums = np.add.reduceat(value, starts)
+    return {
+        "series_idx": sidx[starts].astype(np.int64),
+        "bucket_ts": bucket[starts],
+        "count": count,
+        "mean": sums / count,
+        "min": np.minimum.reduceat(value, starts),
+        "max": np.maximum.reduceat(value, starts),
+        "last": value[ends - 1],
+    }
+
+
+def gapfill_linear(rolled: dict, width_us: int, max_gap: int | None = None):
+    """Insert linearly interpolated rows for empty buckets between observed
+    buckets of the same series.
+
+    Args:
+        rolled: output of :func:`rollup_flat` (rows sorted by
+            (series_idx, bucket_ts), which rollup_flat guarantees).
+        max_gap: optional cap — gaps with more than this many missing
+            buckets are left unfilled (sparsity guard for fine tiers).
+
+    Returns:
+        same dict layout plus a ``gapfilled`` bool column, rows re-sorted by
+        (series_idx, bucket_ts); filled rows have count=0 and NaN
+        min/max/last.
+    """
+    sidx, bts = rolled["series_idx"], rolled["bucket_ts"]
+    n = len(sidx)
+    if n == 0:
+        out = {k: v.copy() for k, v in rolled.items()}
+        out["gapfilled"] = np.array([], dtype=bool)
+        return out
+    same = sidx[1:] == sidx[:-1]
+    nmiss = np.where(same, (bts[1:] - bts[:-1]) // width_us - 1, 0)
+    if max_gap is not None:
+        nmiss = np.where(nmiss > max_gap, 0, nmiss)
+    total = int(nmiss.sum())
+    if total == 0:
+        out = {k: v.copy() for k, v in rolled.items()}
+        out["gapfilled"] = np.zeros(n, dtype=bool)
+        return out
+
+    gap_src = np.repeat(np.arange(n - 1), nmiss)  # left neighbour index
+    # position of each filled bucket inside its gap: 1..nmiss
+    step = np.arange(total) - np.repeat(np.cumsum(nmiss) - nmiss, nmiss) + 1
+    fill_ts = bts[gap_src] + step * width_us
+    frac = step / (nmiss[gap_src] + 1)
+    fill_mean = (rolled["mean"][gap_src] * (1 - frac)
+                 + rolled["mean"][gap_src + 1] * frac)
+
+    def cat(a, b):
+        return np.concatenate([a, b])
+
+    out = {
+        "series_idx": cat(sidx, sidx[gap_src]),
+        "bucket_ts": cat(bts, fill_ts),
+        "count": cat(rolled["count"], np.zeros(total, np.int32)),
+        "mean": cat(rolled["mean"], fill_mean),
+        "min": cat(rolled["min"], np.full(total, np.nan)),
+        "max": cat(rolled["max"], np.full(total, np.nan)),
+        "last": cat(rolled["last"], np.full(total, np.nan)),
+        "gapfilled": cat(np.zeros(n, bool), np.ones(total, bool)),
+    }
+    order = np.lexsort((out["bucket_ts"], out["series_idx"]))
+    return {k: v[order] for k, v in out.items()}
+
+
+def apply_retention(rolled: dict, width_us: int, retention_us: int | None,
+                    high_water_us: int):
+    """Drop buckets entirely older than ``high_water − retention``."""
+    if retention_us is None:
+        return rolled
+    cutoff = high_water_us - retention_us
+    keep = rolled["bucket_ts"] + width_us > cutoff
+    return {k: v[keep] for k, v in rolled.items()}
+
+
+class TierSpec:
+    """One rollup tier: name, bucket width, gap-fill + retention policy."""
+
+    def __init__(self, name: str, width_us: int | None = None,
+                 gapfill: bool = True, max_gap: int | None = None,
+                 retention_us: int | None = None):
+        self.name = name
+        self.width_us = width_us or TIER_WIDTH_US[name]
+        self.gapfill = gapfill
+        self.max_gap = max_gap
+        self.retention_us = retention_us
+
+    def __repr__(self):
+        return (f"TierSpec({self.name}, width={self.width_us}, "
+                f"gapfill={self.gapfill}, max_gap={self.max_gap}, "
+                f"retention={self.retention_us})")
+
+
+DEFAULT_TIERS = (
+    # fine tier: short retention + bounded gap-fill (sparsity guard)
+    TierSpec("1h", retention_us=90 * 86400 * US, max_gap=24 * 7),
+    TierSpec("1d"),
+    TierSpec("1w"),
+)
+
+
+def rollup_series_table(series: pa.Table, tiers=DEFAULT_TIERS,
+                        high_water_us: int | None = None) -> dict[str, pa.Table]:
+    """Roll one assembled series table into every tier.
+
+    Args:
+        series: table with ``url, n, ts(list), value(list)`` (output of
+            :func:`nrt_ray.stages.assemble.assemble_series`).
+        high_water_us: ingest high-water mark for retention; defaults to the
+            max observed timestamp in this table.
+
+    Returns:
+        ``{tier_name: pa.Table(url, bucket_ts, count, mean, min, max, last,
+        gapfilled)}``
+    """
+    n = series.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    urls = series.column("url")
+    sidx = np.repeat(np.arange(len(n)), n)
+    ts_us = np.asarray(series.column("ts").combine_chunks().flatten()
+                       .cast(pa.int64()).to_numpy(zero_copy_only=False))
+    value = np.asarray(series.column("value").combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False), dtype=np.float64)
+    if high_water_us is None:
+        high_water_us = int(ts_us.max()) if len(ts_us) else 0
+
+    out = {}
+    for tier in tiers:
+        rolled = rollup_flat(sidx, ts_us, value, tier.width_us)
+        if tier.gapfill:
+            rolled = gapfill_linear(rolled, tier.width_us, tier.max_gap)
+        else:
+            rolled["gapfilled"] = np.zeros(len(rolled["bucket_ts"]), bool)
+        rolled = apply_retention(rolled, tier.width_us, tier.retention_us,
+                                 high_water_us)
+        out[tier.name] = pa.table({
+            "url": urls.take(pa.array(rolled.pop("series_idx"))),
+            "bucket_ts": pa.array(rolled["bucket_ts"],
+                                  pa.int64()).cast(pa.timestamp("us")),
+            "count": pa.array(rolled["count"], pa.int32()),
+            "mean": pa.array(rolled["mean"], pa.float64()),
+            "min": pa.array(rolled["min"], pa.float64(), from_pandas=True),
+            "max": pa.array(rolled["max"], pa.float64(), from_pandas=True),
+            "last": pa.array(rolled["last"], pa.float64(), from_pandas=True),
+            "gapfilled": pa.array(rolled["gapfilled"], pa.bool_()),
+        })
+    return out

@@ -1,0 +1,103 @@
+"""Exact round-trip tests for the dod / xor segment codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nrt_ray.stages import compress
+
+US = 1_000_000
+
+
+@pytest.mark.parametrize("ts", [
+    [],
+    [0],
+    [5, 5],
+    [0, US, 2 * US, 3 * US],                       # perfectly regular
+    [0, US, 2 * US + 7, 3 * US - 123, 10 ** 15],   # jittery + big jump
+    list(range(0, 1000 * US, US)),                  # > BLOCK values
+    [-10 ** 12, 0, 10 ** 12],
+])
+def test_dod_roundtrip(ts):
+    arr = np.array(ts, dtype=np.int64)
+    out = compress.decode_dod(compress.encode_dod(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("vals", [
+    [],
+    [0.0],
+    [1.5, 1.5, 1.5],
+    [0.1, 0.2, 0.3, np.nan, -0.5, 1e300, -1e-300, 0.0],
+    list(np.linspace(0, 1, 777)),
+])
+def test_xor_roundtrip(vals):
+    arr = np.array(vals, dtype=np.float64)
+    out = compress.decode_xor(compress.encode_xor(arr))
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-2 ** 40, max_value=2 ** 40),
+                max_size=300))
+def test_dod_roundtrip_property(ts):
+    arr = np.array(ts, dtype=np.int64)
+    out = compress.decode_dod(compress.encode_dod(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          width=64), max_size=300))
+def test_xor_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.float64)
+    out = compress.decode_xor(compress.encode_xor(arr))
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+def test_compression_ratio_regular_series():
+    """Regular cadence + smooth values must compress well below raw size."""
+    n = 4096
+    ts = np.arange(n, dtype=np.int64) * 3600 * US
+    vals = 0.5 + 0.1 * np.sin(np.arange(n) / 50)
+    enc_ts = compress.encode_dod(ts)
+    enc_v = compress.encode_xor(vals)
+    assert len(enc_ts) < n * 8 * 0.05        # dod of regular ts ≈ nothing
+    assert len(enc_v) < n * 8 * 0.9          # xor beats raw floats
+
+
+def test_segments_from_rollups_roundtrip():
+    urls = ["a"] * 40 + ["b"] * 10
+    ts = np.concatenate([np.arange(40), np.arange(10)]) * 3600 * US
+    mean = np.concatenate([np.linspace(0, 1, 40), np.linspace(5, 6, 10)])
+    tier = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "bucket_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "count": pa.array([1] * 50, pa.int32()),
+        "mean": pa.array(mean, pa.float64()),
+        "min": pa.array(mean, pa.float64()),
+        "max": pa.array(mean, pa.float64()),
+        "last": pa.array(mean, pa.float64()),
+        "gapfilled": pa.array([False] * 50, pa.bool_()),
+    })
+    seg = compress.segments_from_rollups({"1h": tier}, max_points=16)
+    assert seg.column("url").to_pylist().count("a") == 3  # 40 pts / 16
+    total = 0
+    for row in seg.to_pylist():
+        dec_ts = compress.decode_dod(row["payload_ts"])
+        dec_v = compress.decode_xor(row["payload_value"])
+        assert len(dec_ts) == row["n_points"] == len(dec_v)
+        assert int(dec_ts[0]) == int(row["seg_start"].timestamp() * US)
+        assert int(dec_ts[-1]) == int(row["seg_end"].timestamp() * US)
+        total += row["n_points"]
+    total_expected = 50
+    assert total == total_expected
+    # decoded values equal the tier means, exactly
+    a_rows = [r for r in seg.to_pylist() if r["url"] == "a"]
+    dec = np.concatenate([compress.decode_xor(r["payload_value"])
+                          for r in a_rows])
+    np.testing.assert_array_equal(dec, mean[:40])
