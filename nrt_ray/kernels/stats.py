@@ -102,6 +102,10 @@ def nan_percentile_axis0(arr: np.ndarray, percentiles) -> np.ndarray:
     """``np.nanpercentile(arr, percentiles, axis=0)`` (reference exposes a
     jitted clone at ``nrt/stats.py:130-154``; plain NumPy is already
     vectorized here)."""
+    arr = np.asarray(arr)
+    if arr.shape[0] == 0:
+        # np.nanpercentile collapses the axis on empty input
+        return np.full((len(percentiles),) + arr.shape[1:], np.nan)
     with np.errstate(all="ignore"):
         import warnings
         with warnings.catch_warnings():

@@ -1,0 +1,242 @@
+"""End-to-end Ray Data pipeline: ingest → fit/monitor → rollup → segments.
+
+One streaming DAG over ``ray.data.Dataset``:
+
+    read_parquet(columns pruned)            # html/binary never leaves the read
+      → map_batches(ExtractSignal)          # wide text cols dropped here
+      → map_batches(add bucket column)      # hash(url) % P, P pinned in manifest
+      → [resume filter: drop committed partitions]
+      → groupby(pid).map_groups(PartitionProcessor)   # THE wide step
+      → lineage rows (tiny) collected on the driver
+
+``PartitionProcessor`` does everything for its partition in one task —
+series assembly, fused fit/monitor, tier rollups, segment compression,
+atomic Parquet writes, manifest commit — so a partition is either fully
+committed or will be recomputed on resume.  Nothing ever materializes the
+full dataset on the driver; only per-partition lineage rows come back.
+
+Skew note: hash partitioning over *urls* spreads hot domains automatically
+(each url is its own key); per-url hot series (daily vs weekly crawls) only
+skew a partition by the ratio of cadences, which ``num_partitions ≈ 4 ×
+cores`` absorbs.  If a single url exceeded partition capacity the salting
+path documented in SURVEY §4 applies (time-sliced sub-series per salt,
+merged by contiguous time ranges); at current cadences this stays far from
+the threshold, so it is not wired into the default pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from nrt_ray.sources.extract import ExtractSignal, timestamp_features
+from nrt_ray.stages import compress, rollup
+from nrt_ray.stages.assemble import add_bucket_column, assemble_series
+from nrt_ray.stages.fit_monitor import SeriesFitMonitor
+from nrt_ray.state import manifest
+
+
+class PartitionProcessor:
+    """Per-partition fused processor (runs inside ``map_groups``)."""
+
+    def __init__(self, out_dir: str, run_id: str, num_partitions: int,
+                 strategy: str, monitor_start: str, tiers,
+                 high_water_us: int | None,
+                 fit_method: str | None = None,
+                 screen_outliers: str | None = "default",
+                 monitor_params: dict | None = None,
+                 fit_params: dict | None = None,
+                 segment_max_points: int = 4096,
+                 write_outputs: bool = True):
+        self.out_dir = out_dir
+        self.run_id = run_id
+        self.num_partitions = num_partitions
+        self.tiers = tiers
+        self.high_water_us = high_water_us
+        self.segment_max_points = segment_max_points
+        self.write_outputs = write_outputs
+        self.stage = SeriesFitMonitor(
+            strategy=strategy, monitor_start=monitor_start,
+            fit_method=fit_method, screen_outliers=screen_outliers,
+            monitor_params=monitor_params, fit_params=fit_params)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = int(group.column("pid")[0].as_py())
+        series = assemble_series(group)
+        state = self.stage(series)
+        tier_tables = rollup.rollup_series_table(
+            series, tiers=self.tiers, high_water_us=self.high_water_us)
+        segments = compress.segments_from_rollups(
+            tier_tables, max_points=self.segment_max_points)
+        alerts = state.filter(pc.equal(state.column("status"), 3)) \
+            .select([c for c in ("url", "strategy", "detection_date",
+                                 "process", "boundary")
+                     if c in state.column_names])
+
+        row_counts = {"input": group.num_rows, "series": series.num_rows,
+                      "state": state.num_rows, "alerts": alerts.num_rows,
+                      "segments": segments.num_rows}
+        points = 0
+        if self.write_outputs:
+            manifest.write_partition_table(self.out_dir, "state", pid, state)
+            manifest.write_partition_table(self.out_dir, "alerts", pid,
+                                           alerts)
+            manifest.write_partition_table(self.out_dir, "segments", pid,
+                                           segments)
+        for name, tbl in tier_tables.items():
+            row_counts[f"rollup_{name}"] = tbl.num_rows
+            points += tbl.num_rows
+            if self.write_outputs:
+                manifest.write_partition_table(self.out_dir,
+                                               f"rollup_{name}", pid, tbl)
+        checksum = manifest.state_checksum(state)
+        if self.write_outputs:
+            manifest.commit_partition(self.out_dir, self.run_id, pid, {
+                "num_partitions": self.num_partitions,
+                "row_counts": row_counts,
+                "state_checksum": checksum,
+                "strategy": self.stage.strategy,
+                "high_water_us": self.high_water_us,
+            })
+        return pa.table({
+            "pid": pa.array([pid], pa.int32()),
+            "input_rows": pa.array([group.num_rows], pa.int64()),
+            "series": pa.array([series.num_rows], pa.int64()),
+            "rollup_points": pa.array([points], pa.int64()),
+            "alerts": pa.array([alerts.num_rows], pa.int64()),
+            "state_checksum": pa.array([checksum], pa.string()),
+            "seconds": pa.array([time.perf_counter() - t0], pa.float64()),
+        })
+
+
+def ingest_webtext(input_path, verify_extract: bool = False,
+                   override_num_blocks: int | None = None):
+    """Read a webtext Parquet table and extract the flat signal rows."""
+    columns = ["url", "warc_ts", "text"] + (
+        ["html"] if verify_extract else [])
+    ds = ray.data.read_parquet(input_path, columns=columns,
+                               override_num_blocks=override_num_blocks)
+    return ds.map_batches(ExtractSignal(verify=verify_extract),
+                          batch_format="pyarrow")
+
+
+def global_high_water_us(input_path) -> int:
+    """Dataset high-water mark from the timestamp column only (column-pruned
+    scan; drives retention + bucket closing deterministically)."""
+    ds = ray.data.read_parquet(input_path, columns=["warc_ts"])
+    hw = ds.max("warc_ts")
+    return int(pa.scalar(hw, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+
+def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
+                 monitor_start: str = "2021-01-01",
+                 num_partitions: int = 64,
+                 tiers=rollup.DEFAULT_TIERS,
+                 resume: bool = True,
+                 verify_extract: bool = False,
+                 fit_method: str | None = None,
+                 screen_outliers: str | None = "default",
+                 monitor_params: dict | None = None,
+                 fit_params: dict | None = None,
+                 high_water_us: int | None = None,
+                 run_id: str | None = None,
+                 flat_dataset=None) -> dict:
+    """Run the flagship pipeline; returns a summary dict (tiny).
+
+    Args:
+        input_path: path(s) to webtext Parquet (ignored when
+            ``flat_dataset`` is given).
+        flat_dataset: optional pre-extracted flat Dataset with columns
+            ``url, warc_ts, value, days, dyear`` (e.g. the events adapter).
+        resume: skip partitions already committed in ``out_dir``'s manifest.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest.check_partitioning(out_dir, num_partitions)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    needs_hw = any(t.retention_us is not None for t in tiers)
+    if high_water_us is None and needs_hw and flat_dataset is None:
+        high_water_us = global_high_water_us(input_path)
+
+    ds = flat_dataset if flat_dataset is not None else \
+        ingest_webtext(input_path, verify_extract)
+    if high_water_us is None and needs_hw:
+        hw = ds.max("warc_ts")
+        high_water_us = int(pa.scalar(hw, pa.timestamp("us"))
+                            .cast(pa.int64()).as_py())
+
+    ds = ds.map_batches(lambda t: add_bucket_column(t, num_partitions),
+                        batch_format="pyarrow")
+    committed = manifest.committed_partitions(out_dir) if resume else set()
+    skipped = sorted(committed)
+    if committed:
+        committed_arr = pa.array(sorted(committed), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("pid"),
+                                                  value_set=committed_arr))),
+            batch_format="pyarrow")
+
+    processor = PartitionProcessor(
+        out_dir=out_dir, run_id=run_id, num_partitions=num_partitions,
+        strategy=strategy, monitor_start=monitor_start, tiers=tiers,
+        high_water_us=high_water_us, fit_method=fit_method,
+        screen_outliers=screen_outliers, monitor_params=monitor_params,
+        fit_params=fit_params)
+    def process_partition(group: pa.Table) -> pa.Table:
+        return processor(group)
+
+    lineage = ds.groupby("pid").map_groups(process_partition,
+                                           batch_format="pyarrow")
+    rows = lineage.take_all()  # one tiny row per partition
+
+    summary = {
+        "run_id": run_id,
+        "partitions_processed": len(rows),
+        "partitions_skipped": len(skipped),
+        "input_rows": int(sum(r["input_rows"] for r in rows)),
+        "series": int(sum(r["series"] for r in rows)),
+        "rollup_points": int(sum(r["rollup_points"] for r in rows)),
+        "alerts": int(sum(r["alerts"] for r in rows)),
+        "high_water_us": high_water_us,
+        "num_partitions": num_partitions,
+    }
+    return summary
+
+
+def events_to_flat(batch: pa.Table) -> pa.Table:
+    """Adapter: the driver ``events`` table → canonical flat signal rows
+    (user_id plays the url/key role, ``value`` is the monitored signal)."""
+    ts = batch.column("ts")
+    days, dyear = timestamp_features(ts)
+    return pa.table({
+        "url": pc.cast(batch.column("user_id"), pa.string()),
+        "warc_ts": ts,
+        "value": pc.cast(batch.column("value"), pa.float64()),
+        "days": pa.array(days, pa.int32()),
+        "dyear": pa.array(dyear, pa.float64()),
+    })
+
+
+def read_output_table(out_dir: str, table: str):
+    """Read a pipeline output table back as one pyarrow Table (test/report
+    helper; partitions are concatenated in pid order)."""
+    import pyarrow.parquet as pq
+    base = os.path.join(out_dir, table)
+    parts = []
+    if os.path.isdir(base):
+        for d in sorted(os.listdir(base),
+                        key=lambda s: int(s.split("=")[1])):
+            f = os.path.join(base, d, "part.parquet")
+            if os.path.exists(f):
+                parts.append(pq.read_table(f))
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
