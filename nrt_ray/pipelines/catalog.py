@@ -1,0 +1,204 @@
+"""Driver-facing query catalog: name → (ray callable, DuckDB oracle SQL).
+
+Every entry in QUERIES runs the Ray-Data implementation; ORACLE_SQL holds
+the equivalent DuckDB SQL over the same parquet tables (omitted for
+non-SQL-expressible operators — sequential monitors, LSH candidates,
+compression — which get the driver's weaker rows-only check and are
+instead verified by dedicated pytest oracles).
+
+Column names and float rounding (ROUND half-away-from-zero) match between
+both sides by construction — the driver hashes values order-insensitively
+after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from nrt_ray.pipelines import relational as rel
+from nrt_ray.pipelines import similarity as sim
+from nrt_ray.pipelines import textops as tx
+from nrt_ray.pipelines import timeseries as tsq
+
+
+def queries() -> dict:
+    q = {
+        # ---- relational core -------------------------------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "filter_project_events": rel.filter_project_events,
+        "topk_orders": rel.topk_orders,
+        "join_orders_customers": rel.join_orders_customers,
+        "customers_per_region": rel.customers_per_region,
+        "lang_distribution": rel.lang_distribution,
+        "events_head_by_time": rel.events_head_by_time,
+        "user_value_stats": rel.user_value_stats,
+        # ---- time-series / rollup engine -------------------------------
+        "rollup_1h_events": partial(tsq.rollup_events, tier_name="1h"),
+        "rollup_1d_events": partial(tsq.rollup_events, tier_name="1d"),
+        "rollup_1w_events": partial(tsq.rollup_events, tier_name="1w"),
+        "rollup_1d_gapfill_events": partial(tsq.rollup_events,
+                                            tier_name="1d", gapfill=True),
+        "fit_ols_trend_events": tsq.fit_ols_trend,
+        "monitor_cusum_events": partial(tsq.monitor_events,
+                                        strategy="CUSUM"),
+        "monitor_ewma_events": partial(tsq.monitor_events, strategy="EWMA"),
+        "monitor_iqr_events": partial(tsq.monitor_events, strategy="IQR"),
+        "segments_1d_events": tsq.segments_events,
+        # ---- text analysis / dedup -------------------------------------
+        "doc_token_counts": tx.token_counts,
+        "doc_fingerprints": tx.fingerprints,
+        "dedup_exact_docs": tx.dedup_exact,
+        "doc_quality_scores": tx.quality_scores,
+        "doc_lang_id": tx.lang_id,
+        "minhash_near_dup_candidates": tx.minhash_candidates,
+        "near_dup_jaccard_verified": tx.jaccard_verify,
+        "doc_simhashes": tx.simhashes,
+        # ---- similarity search -----------------------------------------
+        "embedding_topk_cosine": sim.topk_cosine,
+        "embedding_norms": sim.embedding_norms,
+        "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
+        "embedding_near_dup_pairs": sim.near_dup_pairs_cosine,
+    }
+    return q
+
+
+_BUCKET = ("make_timestamp(CAST(floor(epoch(ts)/{w}) AS BIGINT)"
+           "*{w}*1000000)")
+
+
+def _rollup_sql(width_s: int) -> str:
+    b = _BUCKET.format(w=width_s)
+    return f"""
+        SELECT user_id,
+               {b} AS bucket_ts,
+               CAST(count(*) AS INTEGER) AS n_obs,
+               round(sum(value), 4) AS v_sum,
+               round(min(value), 4) AS v_min,
+               round(max(value), 4) AS v_max,
+               round(arg_max(value, ts), 4) AS v_last
+        FROM events
+        GROUP BY user_id, bucket_ts
+    """
+
+
+def oracle_sql() -> dict:
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project_events": """
+            SELECT event_id, user_id, round(value * 1.1, 4) AS value_eur
+            FROM events WHERE event_type = 'click' AND value > 50.0
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC
+            LIMIT 10
+        """,
+        "join_orders_customers": """
+            SELECT c.c_mktsegment,
+                   round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "customers_per_region": """
+            SELECT r.r_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "events_head_by_time": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts, event_id LIMIT 100
+        """,
+        "user_value_stats": """
+            SELECT user_id,
+                   round(sum(value), 4) AS value_sum,
+                   round(min(value), 4) AS value_min,
+                   round(max(value), 4) AS value_max,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "rollup_1h_events": _rollup_sql(3600),
+        "rollup_1d_events": _rollup_sql(86400),
+        "rollup_1w_events": _rollup_sql(7 * 86400),
+        "fit_ols_trend_events": """
+            SELECT user_id,
+                   round(regr_intercept(value,
+                         floor(epoch(ts)/86400)), 5) AS intercept,
+                   round(regr_slope(value,
+                         floor(epoch(ts)/86400)), 8) AS slope
+            FROM events GROUP BY user_id
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_quality_scores": r"""
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6)
+                       AS upper_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6)
+                       AS digit_ratio,
+                   round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6)
+                       AS punct_ratio,
+                   round(CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_replace(trim(text), '\s+', '',
+                                                    'g'))::DOUBLE
+                              / len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                         END, 6) AS mean_token_len
+            FROM documents
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE))), 5) AS l2_norm
+            FROM embeddings
+        """,
+        "embedding_topk_cosine": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(embedding, x -> x::DOUBLE),
+                       list_transform((SELECT qe FROM q),
+                                      x -> x::DOUBLE)), 5) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id DESC LIMIT 10
+        """,
+        # monitor_* / segments / minhash / simhash / lsh / gapfill /
+        # lang_id / jaccard: sequential state, LSH randomness or custom
+        # codecs — not SQL-expressible; rows-only driver check + pytest
+        # oracles in tests/.
+    }

@@ -50,9 +50,9 @@ def rollup_flat(series_idx: np.ndarray, ts_us: np.ndarray,
     if len(ts_us) == 0:
         return {k: np.array([], dtype=d) for k, d in
                 (("series_idx", np.int64), ("bucket_ts", np.int64),
-                 ("count", np.int32), ("mean", np.float64),
-                 ("min", np.float64), ("max", np.float64),
-                 ("last", np.float64))}
+                 ("count", np.int32), ("sum", np.float64),
+                 ("mean", np.float64), ("min", np.float64),
+                 ("max", np.float64), ("last", np.float64))}
     bucket = (ts_us // width_us) * width_us
     # run boundaries: new series or new bucket (both monotone within series)
     starts = np.flatnonzero(np.r_[True, (sidx[1:] != sidx[:-1])
@@ -64,6 +64,7 @@ def rollup_flat(series_idx: np.ndarray, ts_us: np.ndarray,
         "series_idx": sidx[starts].astype(np.int64),
         "bucket_ts": bucket[starts],
         "count": count,
+        "sum": sums,
         "mean": sums / count,
         "min": np.minimum.reduceat(value, starts),
         "max": np.maximum.reduceat(value, starts),
@@ -117,6 +118,7 @@ def gapfill_linear(rolled: dict, width_us: int, max_gap: int | None = None):
         "series_idx": cat(sidx, sidx[gap_src]),
         "bucket_ts": cat(bts, fill_ts),
         "count": cat(rolled["count"], np.zeros(total, np.int32)),
+        "sum": cat(rolled["sum"], np.full(total, np.nan)),
         "mean": cat(rolled["mean"], fill_mean),
         "min": cat(rolled["min"], np.full(total, np.nan)),
         "max": cat(rolled["max"], np.full(total, np.nan)),
@@ -201,6 +203,7 @@ def rollup_series_table(series: pa.Table, tiers=DEFAULT_TIERS,
             "bucket_ts": pa.array(rolled["bucket_ts"],
                                   pa.int64()).cast(pa.timestamp("us")),
             "count": pa.array(rolled["count"], pa.int32()),
+            "sum": pa.array(rolled["sum"], pa.float64(), from_pandas=True),
             "mean": pa.array(rolled["mean"], pa.float64()),
             "min": pa.array(rolled["min"], pa.float64(), from_pandas=True),
             "max": pa.array(rolled["max"], pa.float64(), from_pandas=True),
