@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship webtext pipeline (ingest → extract → shuffle →
+fit/monitor → 1h/1d/1w rollup tiers with gap-fill → compressed segments +
+manifest) over a deterministic synthetic crawl table, reporting wall time
+and rolled-up points/sec.  Plus a set of representative catalog queries
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "rollup_points": ..., "points_per_sec": ..., "input_rows": ...}
+
+``--scaling``: runs the same benchmark twice in fresh processes
+(num_cpus=8 and num_cpus=32) on identical input and reports both
+throughputs plus the scaling efficiency (sandbox proxy for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# webtext scale for the headline pipeline (deterministic, cached on disk)
+BENCH_URLS = int(os.environ.get("NRT_BENCH_URLS", "6000"))
+WEBTEXT_CACHE = f"/tmp/nrt_ray_bench_webtext_{BENCH_URLS}"
+
+
+def ensure_webtext() -> str:
+    marker = os.path.join(WEBTEXT_CACHE, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(WEBTEXT_CACHE, ignore_errors=True)
+        from nrt_ray.sources.synthetic import generate_webtext
+        info = generate_webtext(WEBTEXT_CACHE, n_urls=BENCH_URLS, seed=42)
+        with open(marker, "w") as f:
+            json.dump(info, f)
+    return os.path.join(WEBTEXT_CACHE, "webtext.parquet")
+
+
+def headline(num_cpus: int) -> dict:
+    from nrt_ray.pipelines import monitor_pipeline as mp
+
+    path = ensure_webtext()
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    out_dir = tempfile.mkdtemp(prefix="nrt_bench_")
+    t0 = time.perf_counter()
+    summary = mp.run_pipeline(
+        path, out_dir, strategy="EWMA", monitor_start="2021-01-01",
+        monitor_params={"trend": False}, num_partitions=4 * num_cpus,
+        resume=False)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"seconds": dt, "rollup_points": summary["rollup_points"],
+            "input_rows": summary["input_rows"],
+            "series": summary["series"]}
+
+
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "rollup_1d_events",
+    "rollup_1h_events",
+    "fit_ols_trend_events",
+    "monitor_cusum_events",
+    "dedup_exact_docs",
+    "minhash_near_dup_candidates",
+    "embedding_topk_cosine",
+)
+
+
+def run_queries(sf_dir: str) -> dict:
+    from nrt_ray.pipelines import catalog
+    q = catalog.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = q[name](sf_dir)
+        # consume lazily-built datasets so timing covers execution
+        if hasattr(res, "to_pandas") and not hasattr(res, "num_rows"):
+            res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import logging
+    import warnings
+    warnings.filterwarnings("ignore")
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    head = headline(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    result = {
+        "metric": "webtext ingest→1h/1d/1w rollup pipeline wall time",
+        "value": round(head["seconds"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "input_rows": head["input_rows"],
+        "series": head["series"],
+        "rollup_points": head["rollup_points"],
+        "points_per_sec": round(head["rollup_points"] / head["seconds"]),
+        "rows_per_sec": round(head["input_rows"] / head["seconds"]),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "points_per_sec_8": lo["points_per_sec"],
+        "points_per_sec_32": hi["points_per_sec"],
+        "rows_per_sec_8": lo["rows_per_sec"],
+        "rows_per_sec_32": hi["rows_per_sec"],
+        "rollup_points": hi["rollup_points"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

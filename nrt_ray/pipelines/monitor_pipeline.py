@@ -129,11 +129,37 @@ def ingest_webtext(input_path, verify_extract: bool = False,
 
 
 def global_high_water_us(input_path) -> int:
-    """Dataset high-water mark from the timestamp column only (column-pruned
-    scan; drives retention + bucket closing deterministically)."""
-    ds = ray.data.read_parquet(input_path, columns=["warc_ts"])
-    hw = ds.max("warc_ts")
-    return int(pa.scalar(hw, pa.timestamp("us")).cast(pa.int64()).as_py())
+    """Dataset high-water mark (drives retention + bucket closing
+    deterministically).  Prefers Parquet row-group statistics (no data
+    scan); falls back to a column-pruned max() scan."""
+    import glob
+    import pyarrow.parquet as pq
+    paths = []
+    for p in ([input_path] if isinstance(input_path, str) else input_path):
+        paths.extend(sorted(glob.glob(p)) if "*" in p else
+                     ([os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet")] if os.path.isdir(p)
+                      else [p]))
+    try:
+        hw = None
+        for f in paths:
+            md = pq.read_metadata(f)
+            ci = md.schema.to_arrow_schema().get_field_index("warc_ts")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ci).statistics
+                if stats is None or not stats.has_min_max:
+                    raise ValueError("missing stats")
+                mx = stats.max
+                hw = mx if hw is None else max(hw, mx)
+        if hw is None:
+            raise ValueError("no row groups")
+        return int(pa.scalar(hw, pa.timestamp("us")).cast(pa.int64())
+                   .as_py())
+    except Exception:
+        ds = ray.data.read_parquet(input_path, columns=["warc_ts"])
+        hw = ds.max("warc_ts")
+        return int(pa.scalar(hw, pa.timestamp("us")).cast(pa.int64())
+                   .as_py())
 
 
 def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from nrt_ray.util import full as nrfull
+
 
 def bucket_of(urls, num_buckets: int) -> np.ndarray:
     """Deterministic hash bucket per url (stable across processes and runs —
@@ -91,6 +93,15 @@ def _empty_series_table() -> pa.Table:
     })
 
 
+def ragged_row_index(lengths: np.ndarray) -> np.ndarray:
+    """Vectorized per-segment position index: [0..l0-1, 0..l1-1, ...]."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    starts = np.cumsum(lengths) - lengths
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
 def padded_matrices(series: pa.Table):
     """Series rows → dense NaN-padded ``(T, K)`` float64 matrices.
 
@@ -101,12 +112,11 @@ def padded_matrices(series: pa.Table):
     n = series.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
     K = len(n)
     T = int(n.max()) if K else 0
-    row_idx = np.concatenate([np.arange(c) for c in n]) if K else \
-        np.array([], dtype=np.int64)
+    row_idx = ragged_row_index(n)
     col_idx = np.repeat(np.arange(K), n)
 
     def pad(flat, fill, dtype):
-        out = np.full((T, K), fill, dtype=dtype)
+        out = nrfull((T, K), fill, dtype=dtype)
         out[row_idx, col_idx] = flat
         return out
 

@@ -25,6 +25,8 @@ import warnings
 import numpy as np
 import pyarrow as pa
 
+from nrt_ray.util import full as nrfull
+
 from nrt_ray.kernels import fit as fit_kernels
 from nrt_ray.kernels import regressors
 from nrt_ray.kernels.monitors import (MONITORED, MONITOR_REGISTRY, TOO_SHORT,
@@ -36,7 +38,7 @@ US = 1_000_000
 
 def _pad_parts(flat: np.ndarray, col_idx: np.ndarray, row_idx: np.ndarray,
                shape, fill, dtype):
-    out = np.full(shape, fill, dtype=dtype)
+    out = nrfull(shape, fill, dtype=dtype)
     out[row_idx, col_idx] = flat
     return out
 
@@ -55,9 +57,9 @@ def split_history_monitor(mats: dict, monitor_start_us: int):
     nm = mats["length"] - nh
 
     # flatten column-major traversal of valid cells
+    from nrt_ray.stages.assemble import ragged_row_index
     col_idx = np.repeat(np.arange(K), mats["length"])
-    row_idx = np.concatenate([np.arange(c) for c in mats["length"]]) \
-        if K else np.array([], dtype=np.int64)
+    row_idx = ragged_row_index(mats["length"])
     hist_flag = row_idx < nh[col_idx]
 
     def build(flag, lengths, offset):
@@ -155,9 +157,32 @@ class SeriesFitMonitor:
 
     # ------------------------------------------------------------------
 
+    #: padded-cell budget per processing chunk — series are length-sorted
+    #: and chunked so one hot url (daily cadence) doesn't force every
+    #: weekly series in the batch to pad to its length
+    CELL_BUDGET = 2_000_000
+
     def __call__(self, series: pa.Table) -> pa.Table:
         if series.num_rows == 0:
             return self._state_table(np.array([], dtype=object), None)
+        lengths = series.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(-lengths, kind="stable")
+        chunks = []
+        start = 0
+        while start < len(order):
+            max_len = max(int(lengths[order[start]]), 1)
+            count = max(int(self.CELL_BUDGET // max_len), 1)
+            chunks.append(order[start:start + count])
+            start += count
+        parts = [self._process_chunk(series.take(pa.array(c)))
+                 for c in chunks]
+        out = pa.concat_tables(parts)
+        # restore the caller's row order (chunks were length-sorted)
+        inverse = np.empty(len(order), dtype=np.int64)
+        inverse[order] = np.arange(len(order))
+        return out.take(pa.array(inverse))
+
+    def _process_chunk(self, series: pa.Table) -> pa.Table:
         mats = padded_matrices(series)
         hist, mon_part = split_history_monitor(mats, self.monitor_start_us)
         monitor = self._fit(hist, mats["url"])
@@ -215,7 +240,7 @@ class SeriesFitMonitor:
         K = y.shape[1]
         k = X3.shape[2]
         beta = np.zeros((k, K))
-        resid = np.full(y.shape, np.nan)
+        resid = nrfull(y.shape, np.nan)
         for i in range(K):
             n = int(hist["length"][i])
             if n == 0 or not np.isfinite(y[:n, i]).any():
@@ -236,7 +261,7 @@ class SeriesFitMonitor:
         K = y.shape[1]
         k = X3.shape[2]
         beta = np.zeros((k, K))
-        resid = np.full(y.shape, np.nan)
+        resid = nrfull(y.shape, np.nan)
         from nrt_ray.kernels.monitors import UNSTABLE
         kw = {}
         if self.fit_method == "ROC":

@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from nrt_ray.util import full as nrfull
+
 US = 1_000_000
 TIER_WIDTH_US = {"1h": 3600 * US, "1d": 86400 * US, "1w": 7 * 86400 * US}
 
@@ -118,11 +120,11 @@ def gapfill_linear(rolled: dict, width_us: int, max_gap: int | None = None):
         "series_idx": cat(sidx, sidx[gap_src]),
         "bucket_ts": cat(bts, fill_ts),
         "count": cat(rolled["count"], np.zeros(total, np.int32)),
-        "sum": cat(rolled["sum"], np.full(total, np.nan)),
+        "sum": cat(rolled["sum"], nrfull(total, np.nan)),
         "mean": cat(rolled["mean"], fill_mean),
-        "min": cat(rolled["min"], np.full(total, np.nan)),
-        "max": cat(rolled["max"], np.full(total, np.nan)),
-        "last": cat(rolled["last"], np.full(total, np.nan)),
+        "min": cat(rolled["min"], nrfull(total, np.nan)),
+        "max": cat(rolled["max"], nrfull(total, np.nan)),
+        "last": cat(rolled["last"], nrfull(total, np.nan)),
         "gapfilled": cat(np.zeros(n, bool), np.ones(total, bool)),
     }
     order = np.lexsort((out["bucket_ts"], out["series_idx"]))
@@ -136,6 +138,27 @@ def apply_retention(rolled: dict, width_us: int, retention_us: int | None,
         return rolled
     cutoff = high_water_us - retention_us
     keep = rolled["bucket_ts"] + width_us > cutoff
+    return {k: v[keep] for k, v in rolled.items()}
+
+
+def trim_for_retention(rolled: dict, width_us: int,
+                       retention_us: int | None, high_water_us: int):
+    """Pre-gapfill retention trim: drop observed buckets outside the
+    retention window EXCEPT each series' last bucket before the cutoff
+    (the left interpolation anchor), so gap-fill inside the window is
+    bit-identical to gap-filling the full history first — without
+    materializing millions of fill rows that retention would discard.
+    """
+    if retention_us is None:
+        return rolled
+    cutoff = high_water_us - retention_us
+    in_window = rolled["bucket_ts"] + width_us > cutoff
+    sidx = rolled["series_idx"]
+    # a bucket is the left anchor iff it is out-of-window and its successor
+    # within the same series is in-window (rows are series/bucket sorted)
+    succ_in = np.r_[in_window[1:], False]
+    same = np.r_[sidx[1:] == sidx[:-1], False]
+    keep = in_window | (~in_window & same & succ_in)
     return {k: v[keep] for k, v in rolled.items()}
 
 
@@ -192,6 +215,8 @@ def rollup_series_table(series: pa.Table, tiers=DEFAULT_TIERS,
     out = {}
     for tier in tiers:
         rolled = rollup_flat(sidx, ts_us, value, tier.width_us)
+        rolled = trim_for_retention(rolled, tier.width_us,
+                                    tier.retention_us, high_water_us)
         if tier.gapfill:
             rolled = gapfill_linear(rolled, tier.width_us, tier.max_gap)
         else:
