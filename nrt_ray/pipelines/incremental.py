@@ -1,0 +1,295 @@
+"""Incremental ingest: apply new crawl snapshots to a checkpointed run.
+
+This is the engine's analog of the reference's operational loop
+(``/root/reference/docs/deploy.rst:319-343``: load state → fetch new
+acquisitions → ``monitor()`` each in ascending date order → write state +
+report back):
+
+* new observations are filtered to ``warc_ts > high_water`` (strictly
+  newer than anything already ingested); older rows land in a
+  ``dead_letter`` table instead of corrupting order-sensitive monitor
+  state (the reference has no late-data story; it simply processes
+  forward),
+* both sides stay co-partitioned: the new batch is bucketed with the SAME
+  pinned ``num_partitions``, and each partition task reads exactly its own
+  state/rollup files — a partition-local zipper join, no broadcast and no
+  second shuffle,
+* monitor state is restored per partition, updated sequentially per url in
+  ``warc_ts`` order, and written back atomically,
+* rollup tiers are merged mergeably (counts/sums add, min/min, max/max,
+  ``last`` = newest since ingest is monotone); the gap between a series'
+  previous last bucket and its first new bucket is gap-filled with the
+  same linear semantics; retention re-applied at the new high-water mark.
+
+Float caveat (documented semantics): a bucket whose observations span an
+increment boundary accumulates its sum as ``sum_old + sum_new``, which can
+differ from the one-shot time-ordered summation in the last ulp; all other
+columns are bit-identical.  The equivalence test asserts exact equality
+everywhere except boundary-bucket sums/means (1e-12 rel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from nrt_ray.stages import compress, rollup
+from nrt_ray.stages.assemble import add_bucket_column, assemble_series
+from nrt_ray.stages.fit_monitor import SeriesFitMonitor, regressor_tensor
+from nrt_ray.stages.assemble import padded_matrices
+from nrt_ray.state import manifest
+
+US = 1_000_000
+
+
+def write_run_config(out_dir: str, config: dict) -> None:
+    d = os.path.join(out_dir, manifest.MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".tmp-run.json")
+    with open(tmp, "w") as f:
+        json.dump(config, f, sort_keys=True)
+    os.replace(tmp, os.path.join(d, "run.json"))
+
+
+def read_run_config(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, manifest.MANIFEST_DIR, "run.json")) as f:
+        return json.load(f)
+
+
+class IncrementProcessor:
+    """Per-partition incremental update (runs inside ``map_groups``)."""
+
+    def __init__(self, out_dir: str, run_id: str, config: dict,
+                 new_high_water_us: int):
+        self.out_dir = out_dir
+        self.run_id = run_id
+        self.config = config
+        self.new_hw = new_high_water_us
+        self.tiers = [rollup.TierSpec(**t) for t in config["tiers"]]
+        self.stage = SeriesFitMonitor(
+            strategy=config["strategy"],
+            monitor_start=config["monitor_start"],
+            monitor_params=config.get("monitor_params"),
+            fit_params=config.get("fit_params"))
+
+    # -- state update ---------------------------------------------------
+
+    def _update_state(self, state: pa.Table, series: pa.Table) -> pa.Table:
+        """Apply the new observations to the restored monitor, per url."""
+        mon = self.stage.restore(state)
+        state_urls = state.column("url").to_pylist()
+        pos = {u: i for i, u in enumerate(state_urls)}
+        mats = padded_matrices(series)
+        idx = np.array([pos.get(u, -1) for u in mats["url"]])
+        known = idx >= 0
+        if known.any():
+            sel = idx[known]
+            Tm = mats["value"].shape[0]
+            X3 = regressor_tensor(mats["days"], mats["dyear"],
+                                  self.stage.trend,
+                                  self.stage.harmonic_order)
+            preds = np.einsum("tki,ik->tk", X3, mon.beta[:, sel],
+                              optimize=True)
+            resid_all = mats["value"][:, known] - preds
+            within = (np.arange(Tm)[:, None]
+                      < mats["length"][None, known])
+            vals = np.where(within, mats["value"][:, known], np.nan)
+            from nrt_ray.util import full as nrfull
+            for t in range(Tm):
+                resid = nrfull(len(state_urls), np.nan)
+                value_row = nrfull(len(state_urls), np.nan)
+                days_row = np.zeros(len(state_urls), dtype=np.int64)
+                resid[sel] = resid_all[t]
+                value_row[sel] = vals[t]
+                days_row[sel] = mats["days"][t, known]
+                mon.monitor_residuals(resid, value_row, days_row)
+        new_state = self.stage._state_table(np.array(state_urls,
+                                                     dtype=object), mon)
+        return new_state
+
+    # -- rollup merge ---------------------------------------------------
+
+    def _merge_tier(self, old: pa.Table | None, series: pa.Table,
+                    tier: rollup.TierSpec) -> pa.Table:
+        new = rollup.rollup_series_table(
+            series, tiers=[rollup.TierSpec(tier.name, tier.width_us,
+                                           gapfill=False)],
+            high_water_us=self.new_hw)[tier.name] \
+            .drop_columns(["gapfilled"])
+        if old is None or old.num_rows == 0:
+            merged = new.to_pandas()
+        else:
+            import pandas as pd
+            o = old.to_pandas()
+            o = o[~o["gapfilled"]].drop(columns=["gapfilled"])
+            n = new.to_pandas()
+            merged = pd.concat([o, n], ignore_index=True)
+            g = merged.groupby(["url", "bucket_ts"], sort=True)
+            merged = pd.DataFrame({
+                "count": g["count"].sum().astype(np.int32),
+                "sum": g["sum"].sum(),
+                "min": g["min"].min(),
+                "max": g["max"].max(),
+                "last": g["last"].last(),  # new rows come last (monotone)
+            }).reset_index()
+            merged["mean"] = merged["sum"] / merged["count"]
+            merged = merged.sort_values(["url", "bucket_ts"])
+        # re-run gapfill + retention over the merged observed buckets
+        urls = merged["url"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, urls[1:] != urls[:-1]]) \
+            if len(urls) else np.array([], dtype=np.int64)
+        sidx = np.zeros(len(urls), dtype=np.int64)
+        sidx[starts] = 1
+        sidx = np.cumsum(sidx) - 1 if len(urls) else sidx
+        rolled = {
+            "series_idx": sidx,
+            "bucket_ts": merged["bucket_ts"].astype("int64").to_numpy(),
+            "count": merged["count"].to_numpy().astype(np.int32),
+            "sum": merged["sum"].to_numpy(),
+            "mean": merged["mean"].to_numpy(),
+            "min": merged["min"].to_numpy(),
+            "max": merged["max"].to_numpy(),
+            "last": merged["last"].to_numpy(),
+        }
+        rolled = rollup.trim_for_retention(rolled, tier.width_us,
+                                           tier.retention_us, self.new_hw)
+        if tier.gapfill:
+            rolled = rollup.gapfill_linear(rolled, tier.width_us,
+                                           tier.max_gap)
+        else:
+            rolled["gapfilled"] = np.zeros(len(rolled["bucket_ts"]), bool)
+        rolled = rollup.apply_retention(rolled, tier.width_us,
+                                        tier.retention_us, self.new_hw)
+        uniq_urls = urls[starts] if len(urls) else urls
+        return pa.table({
+            "url": pa.array(uniq_urls, pa.string()).take(
+                pa.array(rolled.pop("series_idx"))),
+            "bucket_ts": pa.array(rolled["bucket_ts"], pa.int64()).cast(
+                pa.timestamp("us")),
+            "count": pa.array(rolled["count"], pa.int32()),
+            "sum": pa.array(rolled["sum"], pa.float64(), from_pandas=True),
+            "mean": pa.array(rolled["mean"], pa.float64()),
+            "min": pa.array(rolled["min"], pa.float64(), from_pandas=True),
+            "max": pa.array(rolled["max"], pa.float64(), from_pandas=True),
+            "last": pa.array(rolled["last"], pa.float64(),
+                             from_pandas=True),
+            "gapfilled": pa.array(rolled["gapfilled"], pa.bool_()),
+        })
+
+    # -------------------------------------------------------------------
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group.column("pid")[0].as_py())
+        series = assemble_series(group)
+
+        state_path = os.path.join(manifest.partition_dir(
+            self.out_dir, "state", pid), "part.parquet")
+        old_state = pq.read_table(state_path) if os.path.exists(state_path) \
+            else None
+        if old_state is not None:
+            new_state = self._update_state(old_state, series)
+        else:
+            new_state = self.stage(series)  # brand-new partition
+        manifest.write_partition_table(self.out_dir, "state", pid,
+                                       new_state)
+
+        tier_tables = {}
+        points = 0
+        for tier in self.tiers:
+            tier_dir = os.path.join(manifest.partition_dir(
+                self.out_dir, f"rollup_{tier.name}", pid), "part.parquet")
+            old = pq.read_table(tier_dir) if os.path.exists(tier_dir) \
+                else None
+            merged = self._merge_tier(old, series, tier)
+            tier_tables[tier.name] = merged
+            points += merged.num_rows
+            manifest.write_partition_table(self.out_dir,
+                                           f"rollup_{tier.name}", pid,
+                                           merged)
+        segments = compress.segments_from_rollups(tier_tables)
+        manifest.write_partition_table(self.out_dir, "segments", pid,
+                                       segments)
+        alerts = new_state.filter(pc.equal(new_state.column("status"), 3)) \
+            .select([c for c in ("url", "strategy", "detection_date",
+                                 "process", "boundary")
+                     if c in new_state.column_names])
+        manifest.write_partition_table(self.out_dir, "alerts", pid, alerts)
+        checksum = manifest.state_checksum(new_state)
+        manifest.commit_partition(self.out_dir, self.run_id, pid, {
+            "num_partitions": self.config["num_partitions"],
+            "row_counts": {"input": group.num_rows,
+                           "series": series.num_rows},
+            "state_checksum": checksum,
+            "strategy": self.config["strategy"],
+            "high_water_us": self.new_hw,
+            "increment": True,
+        })
+        return pa.table({
+            "pid": pa.array([pid], pa.int32()),
+            "input_rows": pa.array([group.num_rows], pa.int64()),
+            "rollup_points": pa.array([points], pa.int64()),
+            "state_checksum": pa.array([checksum], pa.string()),
+        })
+
+
+def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
+    """Apply a new batch of observations to an existing pipeline output.
+
+    Args:
+        out_dir: output directory of a previous ``run_pipeline`` call that
+            wrote a run config (see ``write_run_config``).
+        flat_dataset: Dataset of new flat rows
+            ``url, warc_ts, value, days, dyear``.
+
+    Returns:
+        summary dict incl. late-row count (dead-lettered).
+    """
+    config = read_run_config(out_dir)
+    P = config["num_partitions"]
+    old_hw = config["high_water_us"]
+
+    # split late vs new (strictly-forward contract)
+    hw_scalar = pa.scalar(old_hw, pa.int64()).cast(pa.timestamp("us"))
+
+    def is_new(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("warc_ts"), hw_scalar))
+
+    def is_late(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("warc_ts"), hw_scalar))
+
+    late = flat_dataset.map_batches(is_late, batch_format="pyarrow")
+    late_rows = late.count()
+    if late_rows:
+        late.write_parquet(os.path.join(out_dir, "dead_letter"))
+
+    ds = flat_dataset.map_batches(is_new, batch_format="pyarrow") \
+        .map_batches(lambda t: add_bucket_column(t, P),
+                     batch_format="pyarrow")
+    new_hw_t = ds.max("warc_ts")
+    new_hw = int(pa.scalar(new_hw_t, pa.timestamp("us"))
+                 .cast(pa.int64()).as_py()) if new_hw_t is not None \
+        else old_hw
+
+    proc = IncrementProcessor(out_dir, run_id, config, new_hw)
+
+    def process(group: pa.Table) -> pa.Table:
+        return proc(group)
+
+    rows = ds.groupby("pid").map_groups(process,
+                                        batch_format="pyarrow").take_all()
+    config["high_water_us"] = new_hw
+    write_run_config(out_dir, config)
+    return {
+        "partitions_processed": len(rows),
+        "input_rows": int(sum(r["input_rows"] for r in rows)),
+        "rollup_points": int(sum(r["rollup_points"] for r in rows)),
+        "late_rows": int(late_rows),
+        "high_water_us": new_hw,
+    }

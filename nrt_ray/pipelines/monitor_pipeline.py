@@ -106,12 +106,17 @@ class PartitionProcessor:
                 "strategy": self.stage.strategy,
                 "high_water_us": self.high_water_us,
             })
+        ts_flat = series.column("ts").combine_chunks().flatten() \
+            .cast(pa.int64()) if series.num_rows else None
+        max_ts = int(pc.max(ts_flat).as_py()) if ts_flat is not None and \
+            len(ts_flat) else 0
         return pa.table({
             "pid": pa.array([pid], pa.int32()),
             "input_rows": pa.array([group.num_rows], pa.int64()),
             "series": pa.array([series.num_rows], pa.int64()),
             "rollup_points": pa.array([points], pa.int64()),
             "alerts": pa.array([alerts.num_rows], pa.int64()),
+            "max_ts_us": pa.array([max_ts], pa.int64()),
             "state_checksum": pa.array([checksum], pa.string()),
             "seconds": pa.array([time.perf_counter() - t0], pa.float64()),
         })
@@ -223,6 +228,16 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                                            batch_format="pyarrow")
     rows = lineage.take_all()  # one tiny row per partition
 
+    from nrt_ray.pipelines.incremental import write_run_config
+    hw_cfg = high_water_us if high_water_us is not None else \
+        max((int(r["max_ts_us"]) for r in rows), default=0)
+    write_run_config(out_dir, {
+        "strategy": strategy, "monitor_start": monitor_start,
+        "num_partitions": num_partitions,
+        "monitor_params": monitor_params, "fit_params": fit_params,
+        "tiers": [t.to_dict() for t in tiers],
+        "high_water_us": hw_cfg,
+    })
     summary = {
         "run_id": run_id,
         "partitions_processed": len(rows),

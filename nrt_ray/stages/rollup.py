@@ -174,6 +174,11 @@ class TierSpec:
         self.max_gap = max_gap
         self.retention_us = retention_us
 
+    def to_dict(self) -> dict:
+        return {"name": self.name, "width_us": self.width_us,
+                "gapfill": self.gapfill, "max_gap": self.max_gap,
+                "retention_us": self.retention_us}
+
     def __repr__(self):
         return (f"TierSpec({self.name}, width={self.width_us}, "
                 f"gapfill={self.gapfill}, max_gap={self.max_gap}, "
