@@ -12,9 +12,13 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "rollup_points": ..., "points_per_sec": ..., "input_rows": ...}
 
-``--scaling``: runs the same benchmark twice in fresh processes
-(num_cpus=8 and num_cpus=32) on identical input and reports both
-throughputs plus the scaling efficiency (sandbox proxy for N vs 4N nodes).
+``--scaling``: runs the same benchmark in fresh processes at two
+parallelism levels (default num_cpus=2 vs 8 — the sandbox proxy for N vs
+4N nodes) on identical input (identical partition count) and reports both
+throughputs plus the scaling efficiency.  The 2/8 choice and min-of-N
+repeats exist because this sandbox delivers only ~10 effective cores
+(with several-fold minute-to-minute throughput noise) regardless of the
+32 advertised CPUs — see BASELINE.md for the calibration.
 """
 
 from __future__ import annotations
@@ -32,6 +36,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # webtext scale for the headline pipeline (deterministic, cached on disk)
 BENCH_URLS = int(os.environ.get("NRT_BENCH_URLS", "6000"))
 WEBTEXT_CACHE = f"/tmp/nrt_ray_bench_webtext_{BENCH_URLS}"
+# fixed partition count so every parallelism level does identical work
+BENCH_PARTITIONS = int(os.environ.get("NRT_BENCH_PARTITIONS", "64"))
+# scaling legs: must both sit below the sandbox's EFFECTIVE core count
+# (measured ~10 delivered cores regardless of the 32 advertised CPUs —
+# see BASELINE.md); 2 vs 8 is the honest N vs 4N proxy here
+SCALING_LOW = int(os.environ.get("NRT_BENCH_SCALE_LOW", "2"))
+SCALING_HIGH = int(os.environ.get("NRT_BENCH_SCALE_HIGH", "8"))
+SCALING_REPEAT = int(os.environ.get("NRT_BENCH_REPEAT", "2"))
 
 
 def ensure_webtext() -> str:
@@ -57,7 +69,7 @@ def headline(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     summary = mp.run_pipeline(
         path, out_dir, strategy="EWMA", monitor_start="2021-01-01",
-        monitor_params={"trend": False}, num_partitions=4 * num_cpus,
+        monitor_params={"trend": False}, num_partitions=BENCH_PARTITIONS,
         resume=False)
     dt = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -127,21 +139,28 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    def run(ncpu: int) -> dict:
+        # min-of-N: the sandbox's delivered CPU throughput varies several-
+        # fold minute to minute (shared host); min is the honest estimate
+        results = [run_once(ncpu) for _ in range(SCALING_REPEAT)]
+        return min(results, key=lambda r: r["value"])
+
+    lo, hi = run(SCALING_LOW), run(SCALING_HIGH)
+    eff = (lo["value"] / hi["value"]) / (SCALING_HIGH / SCALING_LOW)
     print(json.dumps({
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "points_per_sec_8": lo["points_per_sec"],
-        "points_per_sec_32": hi["points_per_sec"],
-        "rows_per_sec_8": lo["rows_per_sec"],
-        "rows_per_sec_32": hi["rows_per_sec"],
+        "num_cpus_low": SCALING_LOW, "num_cpus_high": SCALING_HIGH,
+        "sec_low": lo["value"], "sec_high": hi["value"],
+        "points_per_sec_low": lo["points_per_sec"],
+        "points_per_sec_high": hi["points_per_sec"],
+        "rows_per_sec_low": lo["rows_per_sec"],
+        "rows_per_sec_high": hi["rows_per_sec"],
         "rollup_points": hi["rollup_points"],
         "scaling_efficiency": round(eff, 3),
     }))

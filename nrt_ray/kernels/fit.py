@@ -35,6 +35,19 @@ def ols(X: np.ndarray, y: np.ndarray):
     return beta, residuals
 
 
+def weighted_ols(X: np.ndarray, y: np.ndarray, w: np.ndarray):
+    """Weighted 1-D OLS via lstsq on the √w-scaled system (parity helper;
+    the batched RIRLS below solves the same system across all series at
+    once).
+
+    Returns:
+        (beta ``(k,)``, residuals ``(n,)`` as ``y − X·β``).
+    """
+    sw = np.sqrt(w)
+    beta, *_ = np.linalg.lstsq(X * sw[:, None], y * sw, rcond=None)
+    return beta, y - X @ beta
+
+
 def rirls(X: np.ndarray, y: np.ndarray, tune: float = 4.685,
           scale_constant: float = 0.6745, update_scale: bool = True,
           maxiter: int = 50, tol: float = 1e-8):

@@ -46,6 +46,7 @@ def queries() -> dict:
         "segments_1d_events": tsq.segments_events,
         # ---- text analysis / dedup -------------------------------------
         "doc_token_counts": tx.token_counts,
+        "doc_token_counts_bpe": tx.bpe_token_counts,
         "doc_fingerprints": tx.fingerprints,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,

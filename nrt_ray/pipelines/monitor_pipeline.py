@@ -266,6 +266,18 @@ def events_to_flat(batch: pa.Table) -> pa.Table:
     })
 
 
+def top_recent_breaks(out_dir: str, k: int = 100):
+    """Report: the k most recently confirmed breaks across all partitions
+    (the engine's analog of the reference's GeoTIFF report layers
+    mask/detection_date/process) — a global sort + limit over the small
+    alerts table."""
+    alerts = ray.data.read_parquet(os.path.join(out_dir, "alerts"))
+    if alerts.count() == 0:
+        return alerts
+    return alerts.sort(["detection_date", "url"],
+                       descending=[True, False]).limit(k)
+
+
 def read_output_table(out_dir: str, table: str):
     """Read a pipeline output table back as one pyarrow Table (test/report
     helper; partitions are concatenated in pid order)."""

@@ -59,6 +59,31 @@ def token_counts(sf_dir: str):
                                           concurrency=2)
 
 
+class BpeishTokenCounter:
+    """doc_id → GPT-2-style pre-tokenizer piece count (the regex split a
+    byte-pair encoder applies before merges — a realistic token-count
+    proxy without a vocabulary)."""
+
+    PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+    def __init__(self):
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.fromiter((len(self.pat.findall(t)) for t in texts),
+                             dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_pieces": pa.array(counts)})
+
+
+def bpe_token_counts(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(BpeishTokenCounter,
+                                          batch_format="pyarrow",
+                                          concurrency=2)
+
+
 class Fingerprinter:
     """doc_id → md5 hex digest of the text (document fingerprint; the SQL
     oracle uses DuckDB's md5() for an exact cross-check)."""

@@ -1,0 +1,90 @@
+"""Multimodal binary-column plumbing: header parsing, stub features,
+frame sampling (real decode paths raise NotImplementedError by design)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nrt_ray.stages import multimodal as mm
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06"
+            + b"\x00" * 32)
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") \
+        + b"\x00" * 16
+
+
+def _jpeg(w, h):
+    # SOI + APP0 stub + SOF0 with dims
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" \
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof + b"\x00" * 8
+
+
+def test_parse_image_headers():
+    assert mm.parse_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert mm.parse_image_header(_gif(32, 16)) == ("gif", 32, 16)
+    assert mm.parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert mm.parse_image_header(b"garbage") == (None, 0, 0)
+
+
+def test_image_meta_batch():
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([_png(10, 20), _jpeg(30, 40), b"x"],
+                            pa.binary()),
+    })
+    out = mm.ImageMeta()(batch)
+    assert out.column("img_format").to_pylist() == ["png", "jpeg", None]
+    assert out.column("img_width").to_pylist() == [10, 30, 0]
+    assert out.column("img_height").to_pylist() == [20, 40, 0]
+
+
+def test_stub_features_deterministic_unit_norm():
+    stage = mm.ImageFeatures(dim=64)
+    batch = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array([b"abc", b"abc"], pa.binary())})
+    out = stage(batch)
+    f = np.array(out.column("features").to_pylist())
+    assert f.shape == (2, 64)
+    np.testing.assert_array_equal(f[0], f[1])
+    np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)
+    assert "payload" not in out.column_names
+
+
+def test_real_decode_raises():
+    with pytest.raises(NotImplementedError):
+        mm.ImageFeatures(decode="real")
+    with pytest.raises(NotImplementedError):
+        mm.FrameSampler(decode="real")
+
+
+def test_frame_sampler_fanout():
+    video = bytes(range(256)) * 640  # 160 KiB → 40 chunks of 4096
+    batch = pa.table({"id": pa.array(["v1"], pa.string()),
+                      "payload": pa.array([video], pa.binary())})
+    out = mm.FrameSampler(frame_bytes=4096, stride=10)(batch)
+    assert out.num_rows == 4  # frames 0, 10, 20, 30
+    assert out.column("frame_no").to_pylist() == [0, 10, 20, 30]
+    assert all(len(f) == 4096 for f in out.column("frame").to_pylist())
+
+
+def test_distributed_feature_stage(ray_session):
+    import ray.data
+    rows = [{"id": i, "payload": bytes([i] * 100)} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(mm.ImageFeatures,
+                         fn_constructor_kwargs={"dim": 16},
+                         batch_size=mm.BINARY_BATCH_SIZE,
+                         batch_format="pyarrow", concurrency=2)
+    t = out.to_pandas()
+    assert len(t) == 50
+    assert len(t["features"].iloc[0]) == 16

@@ -1,0 +1,128 @@
+"""Pytest oracles for the non-SQL-checkable text/similarity operators:
+planted near-duplicates must be found, language-ID must recover the
+stopword language, simhash must be close for near-identical docs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nrt_ray.pipelines import similarity as sim
+from nrt_ray.pipelines import textops as tx
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents + embeddings tables with planted near-dups."""
+    d = tmp_path_factory.mktemp("planted")
+    rng = np.random.default_rng(3)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts, ids = [], []
+    base_docs = []
+    for i in range(40):
+        words = rng.choice(vocab, 60)
+        base_docs.append(" ".join(words))
+    for i, t in enumerate(base_docs):
+        ids.append(i)
+        texts.append(t)
+    # planted near-dups: copy docs 0..4 with ONE word changed
+    for j in range(5):
+        ids.append(100 + j)
+        words = base_docs[j].split()
+        words[30] = "changedword"
+        texts.append(" ".join(words))
+    # planted exact dup of doc 6
+    ids.append(200)
+    texts.append(base_docs[6])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    # embeddings: 30 random + 3 planted near-identical pairs
+    M = rng.normal(size=(30, 16))
+    rows = [(i, M[i]) for i in range(30)]
+    for j in range(3):
+        rows.append((300 + j, M[j] + rng.normal(0, 1e-3, 16)))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].astype(np.float32).tolist()
+                               for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_near_dups(ray_session, planted_dir):
+    verified = tx.jaccard_verify(planted_dir, threshold=0.5)
+    pairs = set(zip(verified["doc_a"].to_pylist(),
+                    verified["doc_b"].to_pylist()))
+    for j in range(5):
+        assert (j, 100 + j) in pairs, f"missed near-dup {j}"
+    assert (6, 200) in pairs  # exact dup is also a near-dup
+    # jaccard of the verified pairs is high
+    assert min(verified["jaccard"].to_pylist()) >= 0.5
+
+
+def test_exact_dedup_planted(ray_session, planted_dir):
+    t = tx.dedup_exact(planted_dir)
+    copies = dict(zip(t["fingerprint"].to_pylist(),
+                      t["n_copies"].to_pylist()))
+    assert max(copies.values()) == 2  # doc 6 == doc 200
+    keep = dict(zip(t["fingerprint"].to_pylist(), t["keep_id"].to_pylist()))
+    dup_fp = [f for f, c in copies.items() if c == 2][0]
+    assert keep[dup_fp] == 6  # smallest doc_id wins
+
+
+def test_simhash_near_for_near_dups(ray_session, planted_dir):
+    t = tx.simhashes(planted_dir)
+    h = {d: int(s, 16) for d, s in zip(t["doc_id"].to_pylist(),
+                                       t["simhash"].to_pylist())}
+    for j in range(5):
+        dist = bin(h[j] ^ h[100 + j]).count("1")
+        assert dist <= 12, f"simhash distance {dist} too large for near-dup"
+    # random pairs are far apart on average
+    rand = [bin(h[i] ^ h[i + 10]).count("1") for i in range(10, 25)]
+    assert np.mean(rand) > 20
+
+
+def test_lang_id_recovers_stopword_language(ray_session, tmp_path):
+    texts = {
+        "en": "the cat and the dog went to the house of it is that for",
+        "de": "der hund und die katze ist nicht ein tier mit der maus",
+        "fr": "le chien et la chatte est un animal pour les gens une fois",
+    }
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(list(texts.keys()), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([1] * len(ids), pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    t = tx.lang_id(str(tmp_path)).to_pandas()
+    got = dict(zip(t["doc_id"], t["lang_pred"]))
+    for i, lang in enumerate(texts):
+        assert got[i] == lang
+
+
+def test_embedding_near_dup_pairs_planted(ray_session, planted_dir):
+    t = sim.near_dup_pairs_cosine(planted_dir, threshold=0.999)
+    pairs = set(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()))
+    for j in range(3):
+        assert (j, 300 + j) in pairs
+
+
+def test_lsh_topk_recall_vs_bruteforce(ray_session, planted_dir):
+    exact = sim.topk_cosine(planted_dir, k=5)
+    approx = sim.lsh_topk_cosine(planted_dir, k=5)
+    exact_ids = set(exact["vec_id"].to_pylist())
+    approx_ids = set(approx["vec_id"].to_pylist())
+    # LSH with 1-bit neighbourhood should recover most of the true top-5
+    assert len(exact_ids & approx_ids) >= 3
