@@ -24,6 +24,18 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 US = 1_000_000
 
 
+def pool_size(cap: int = 4) -> int:
+    """Actor-pool size that never starves the rest of the pipeline: at low
+    CPU counts a fixed pool can reserve every CPU and deadlock the
+    downstream shuffle (observed at num_cpus=2 with concurrency=2)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(cap, cpus // 2))
+
+
 def round_away(arr, digits: int):
     """Round half away from zero (DuckDB's ROUND semantics) — used on every
     computed float so the driver's value-hash comparison is stable."""
@@ -136,7 +148,7 @@ def join_orders_customers(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .map_batches(AddSegment, fn_constructor_args=(seg_ref,),
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=pool_size()) \
         .groupby("c_mktsegment") \
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))

@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from nrt_ray.pipelines.relational import round_away
+from nrt_ray.pipelines.relational import pool_size, round_away
 
 
 def _read_emb(sf_dir: str):
@@ -65,7 +65,7 @@ def topk_cosine(sf_dir: str, k: int = 10):
     qref = ray.put(query_vector(sf_dir))
     out = _read_emb(sf_dir) \
         .map_batches(CosineScorer, fn_constructor_args=(qref,),
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({"vec_id": t["vec_id"],
@@ -118,7 +118,7 @@ def lsh_topk_cosine(sf_dir: str, k: int = 10, n_planes: int = 6):
         .map_batches(hasher, batch_format="pyarrow") \
         .map_batches(in_buckets, batch_format="pyarrow") \
         .map_batches(CosineScorer, fn_constructor_args=(qref,),
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k)
     t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return pa.table({"vec_id": t["vec_id"],

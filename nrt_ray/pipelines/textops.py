@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from nrt_ray.pipelines.relational import round_away
+from nrt_ray.pipelines.relational import pool_size, round_away
 
 _WORD_RE = re.compile(r"\S+")
 
@@ -56,7 +56,7 @@ class TokenCounter:
 def token_counts(sf_dir: str):
     return _read_docs(sf_dir).map_batches(TokenCounter,
                                           batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())
 
 
 class BpeishTokenCounter:
@@ -81,7 +81,7 @@ class BpeishTokenCounter:
 def bpe_token_counts(sf_dir: str):
     return _read_docs(sf_dir).map_batches(BpeishTokenCounter,
                                           batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())
 
 
 class Fingerprinter:
@@ -98,7 +98,7 @@ class Fingerprinter:
 def fingerprints(sf_dir: str):
     return _read_docs(sf_dir).map_batches(Fingerprinter,
                                           batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())
 
 
 def dedup_exact(sf_dir: str):
@@ -142,7 +142,7 @@ class QualityScorer:
 def quality_scores(sf_dir: str):
     return _read_docs(sf_dir).map_batches(QualityScorer,
                                           batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())
 
 
 class LangId:
@@ -172,7 +172,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     return _read_docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())
 
 
 # ------------------------------------------------------------------ minhash
@@ -241,7 +241,7 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     bands_ds = _read_docs(sf_dir).map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
                                               bands=bands),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=pool_size())
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
@@ -300,4 +300,4 @@ class SimHasher:
 
 def simhashes(sf_dir: str):
     return _read_docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
-                                          concurrency=2)
+                                          concurrency=pool_size())

@@ -81,9 +81,8 @@ def test_exact_dedup_planted(ray_session, planted_dir):
 
 
 def test_simhash_near_for_near_dups(ray_session, planted_dir):
-    t = tx.simhashes(planted_dir)
-    h = {d: int(s, 16) for d, s in zip(t["doc_id"].to_pylist(),
-                                       t["simhash"].to_pylist())}
+    t = tx.simhashes(planted_dir).to_pandas()
+    h = {d: int(s, 16) for d, s in zip(t["doc_id"], t["simhash"])}
     for j in range(5):
         dist = bin(h[j] ^ h[100 + j]).count("1")
         assert dist <= 12, f"simhash distance {dist} too large for near-dup"
