@@ -34,7 +34,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # webtext scale for the headline pipeline (deterministic, cached on disk)
-BENCH_URLS = int(os.environ.get("NRT_BENCH_URLS", "6000"))
+BENCH_URLS = int(os.environ.get("NRT_BENCH_URLS", "20000"))
 WEBTEXT_CACHE = f"/tmp/nrt_ray_bench_webtext_{BENCH_URLS}"
 # fixed partition count so every parallelism level does identical work
 BENCH_PARTITIONS = int(os.environ.get("NRT_BENCH_PARTITIONS", "64"))
@@ -54,7 +54,8 @@ def ensure_webtext() -> str:
         info = generate_webtext(WEBTEXT_CACHE, n_urls=BENCH_URLS, seed=42)
         with open(marker, "w") as f:
             json.dump(info, f)
-    return os.path.join(WEBTEXT_CACHE, "webtext.parquet")
+    with open(marker) as f:
+        return json.load(f)["webtext"]
 
 
 def headline(num_cpus: int) -> dict:
@@ -62,9 +63,12 @@ def headline(num_cpus: int) -> dict:
 
     path = ensure_webtext()
     # warm the page cache so we measure compute + shuffle, not cold disk
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))]
+             if os.path.isdir(path) else [path])
+    for fp in files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
     out_dir = tempfile.mkdtemp(prefix="nrt_bench_")
     t0 = time.perf_counter()
     summary = mp.run_pipeline(
@@ -146,13 +150,15 @@ def scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # min-of-N: the sandbox's delivered CPU throughput varies several-
-        # fold minute to minute (shared host); min is the honest estimate
-        results = [run_once(ncpu) for _ in range(SCALING_REPEAT)]
-        return min(results, key=lambda r: r["value"])
-
-    lo, hi = run(SCALING_LOW), run(SCALING_HIGH)
+    # interleave the legs and take min-of-N per leg: the sandbox's
+    # delivered CPU throughput varies several-fold minute to minute
+    # (shared host), so alternating exposes both legs to the same drift
+    lows, highs = [], []
+    for _ in range(SCALING_REPEAT):
+        lows.append(run_once(SCALING_LOW))
+        highs.append(run_once(SCALING_HIGH))
+    lo = min(lows, key=lambda r: r["value"])
+    hi = min(highs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (SCALING_HIGH / SCALING_LOW)
     print(json.dumps({
         "num_cpus_low": SCALING_LOW, "num_cpus_high": SCALING_HIGH,

@@ -62,8 +62,13 @@ def make_params(n_urls: int, seed: int = 42) -> pd.DataFrame:
 def generate_webtext(out_dir: str, n_urls: int = 512, seed: int = 42,
                      start: str = "2018-01-01", end: str = "2022-06-15",
                      missing_prob: float = 0.1, outlier_prob: float = 0.02,
-                     rows_per_file: int = 2_000_000) -> dict:
-    """Write ``webtext.parquet`` (+ ``params.parquet``) under ``out_dir``.
+                     shard_rows: int = 200_000) -> dict:
+    """Write the webtext table (+ ``params.parquet``) under ``out_dir``.
+
+    Tables over ``shard_rows`` rows are written as a sharded directory
+    ``webtext/part-NNNNN.parquet`` (a single parquet file is read by ONE
+    Ray task — sharding is what gives the read stage its parallelism);
+    smaller tables stay a single ``webtext.parquet`` file.
 
     Returns a summary dict (row counts, paths).
     """
@@ -119,17 +124,30 @@ def generate_webtext(out_dir: str, n_urls: int = 512, seed: int = 42,
     order = np.random.default_rng(seed + 2).permutation(len(df))
     df = df.iloc[order].reset_index(drop=True)
 
-    text, html = render_pages(df["url"].to_numpy(), df["value"].to_numpy(),
-                              seed)
-    table = pa.table({
-        "url": pa.array(df["url"], pa.string()),
-        "warc_ts": pa.array(df["warc_ts"]).cast(pa.timestamp("us")),
-        "html": pa.array(html, pa.binary()),
-        "text": pa.array(text, pa.string()),
-        "lang": pa.array(df["lang"], pa.string()),
-    })
-    webtext_path = os.path.join(out_dir, "webtext.parquet")
-    pq.write_table(table, webtext_path, row_group_size=rows_per_file // 8 or 1)
+    def _render_table(sub: pd.DataFrame) -> pa.Table:
+        text, html = render_pages(sub["url"].to_numpy(),
+                                  sub["value"].to_numpy(), seed)
+        return pa.table({
+            "url": pa.array(sub["url"], pa.string()),
+            "warc_ts": pa.array(sub["warc_ts"]).cast(pa.timestamp("us")),
+            "html": pa.array(html, pa.binary()),
+            "text": pa.array(text, pa.string()),
+            "lang": pa.array(sub["lang"], pa.string()),
+        })
+
+    if len(df) > shard_rows:
+        webtext_path = os.path.join(out_dir, "webtext")
+        os.makedirs(webtext_path, exist_ok=True)
+        for i, lo in enumerate(range(0, len(df), shard_rows)):
+            sub = df.iloc[lo:lo + shard_rows]
+            pq.write_table(_render_table(sub),
+                           os.path.join(webtext_path,
+                                        f"part-{i:05d}.parquet"),
+                           row_group_size=shard_rows // 4 or 1)
+    else:
+        webtext_path = os.path.join(out_dir, "webtext.parquet")
+        pq.write_table(_render_table(df), webtext_path,
+                       row_group_size=shard_rows // 4 or 1)
     params_path = os.path.join(out_dir, "params.parquet")
     pq.write_table(pa.Table.from_pandas(params, preserve_index=False),
                    params_path)
