@@ -150,15 +150,16 @@ def scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # interleave the legs and take min-of-N per leg: the sandbox's
-    # delivered CPU throughput varies several-fold minute to minute
-    # (shared host), so alternating exposes both legs to the same drift
-    lows, highs = [], []
+    # The sandbox's delivered CPU throughput varies several-fold minute to
+    # minute (shared host).  Measure the legs in adjacent pairs so each
+    # pair sees (approximately) the same machine phase, and report the
+    # pair from the fastest phase; all raw pairs are included.
+    pairs = []
     for _ in range(SCALING_REPEAT):
-        lows.append(run_once(SCALING_LOW))
-        highs.append(run_once(SCALING_HIGH))
-    lo = min(lows, key=lambda r: r["value"])
-    hi = min(highs, key=lambda r: r["value"])
+        lo = run_once(SCALING_LOW)
+        hi = run_once(SCALING_HIGH)
+        pairs.append((lo, hi))
+    lo, hi = min(pairs, key=lambda p: p[0]["value"] + p[1]["value"])
     eff = (lo["value"] / hi["value"]) / (SCALING_HIGH / SCALING_LOW)
     print(json.dumps({
         "num_cpus_low": SCALING_LOW, "num_cpus_high": SCALING_HIGH,
@@ -169,6 +170,7 @@ def scaling() -> None:
         "rows_per_sec_high": hi["rows_per_sec"],
         "rollup_points": hi["rollup_points"],
         "scaling_efficiency": round(eff, 3),
+        "all_pairs_sec": [[p[0]["value"], p[1]["value"]] for p in pairs],
     }))
 
 
