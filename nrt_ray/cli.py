@@ -1,0 +1,108 @@
+"""Command-line entry points.
+
+Examples::
+
+    # full run (resumable — rerun after a kill and committed partitions
+    # are skipped)
+    python -m nrt_ray.cli run --input /data/webtext --out /data/out \
+        --strategy EWMA --monitor-start 2021-01-01 --partitions 128
+
+    # incremental ingest of new snapshots against the same output
+    python -m nrt_ray.cli increment --input /data/new_crawl --out /data/out
+
+    # top-k most recent confirmed breaks
+    python -m nrt_ray.cli report --out /data/out --k 50
+
+    # deterministic synthetic input (tests / benchmarks)
+    python -m nrt_ray.cli generate --out /tmp/webtext --urls 5000
+
+Owns its Ray session (guarded init + shutdown), unlike the library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nrt_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="full fit+monitor+rollup pipeline")
+    run.add_argument("--input", required=True)
+    run.add_argument("--out", required=True)
+    run.add_argument("--strategy", default="EWMA",
+                     choices=["EWMA", "CUSUM", "MOSUM", "CCDC", "IQR"])
+    run.add_argument("--monitor-start", default="2021-01-01")
+    run.add_argument("--partitions", type=int, default=64)
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--verify-extract", action="store_true")
+    run.add_argument("--num-cpus", type=int, default=None)
+
+    inc = sub.add_parser("increment", help="apply new snapshots to an "
+                                           "existing output")
+    inc.add_argument("--input", required=True)
+    inc.add_argument("--out", required=True)
+    inc.add_argument("--num-cpus", type=int, default=None)
+
+    rep = sub.add_parser("report", help="top-k recent confirmed breaks")
+    rep.add_argument("--out", required=True)
+    rep.add_argument("--k", type=int, default=100)
+    rep.add_argument("--num-cpus", type=int, default=None)
+
+    gen = sub.add_parser("generate", help="seeded synthetic webtext table")
+    gen.add_argument("--out", required=True)
+    gen.add_argument("--urls", type=int, default=512)
+    gen.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from nrt_ray.sources.synthetic import generate_webtext
+        info = generate_webtext(args.out, n_urls=args.urls, seed=args.seed)
+        print(json.dumps(info))
+        return 0
+
+    ray = _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "run":
+            from nrt_ray.pipelines.monitor_pipeline import run_pipeline
+            summary = run_pipeline(
+                args.input, args.out, strategy=args.strategy,
+                monitor_start=args.monitor_start,
+                num_partitions=args.partitions,
+                resume=not args.no_resume,
+                verify_extract=args.verify_extract)
+            print(json.dumps(summary))
+        elif args.cmd == "increment":
+            from nrt_ray.pipelines.incremental import run_increment
+            from nrt_ray.pipelines.monitor_pipeline import ingest_webtext
+            summary = run_increment(args.out, ingest_webtext(args.input))
+            print(json.dumps(summary))
+        elif args.cmd == "report":
+            from nrt_ray.pipelines.monitor_pipeline import top_recent_breaks
+            ds = top_recent_breaks(args.out, k=args.k)
+            for row in ds.take_all():
+                print(json.dumps(row, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
