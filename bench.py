@@ -79,7 +79,9 @@ def headline(num_cpus: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     return {"seconds": dt, "rollup_points": summary["rollup_points"],
             "input_rows": summary["input_rows"],
-            "series": summary["series"]}
+            "series": summary["series"],
+            "pp_task_seconds": summary["pp_task_seconds"],
+            "pp_max_seconds": summary["pp_max_seconds"]}
 
 
 BENCH_QUERIES = (
@@ -137,6 +139,11 @@ def main() -> None:
         "rollup_points": head["rollup_points"],
         "points_per_sec": round(head["rollup_points"] / head["seconds"]),
         "rows_per_sec": round(head["input_rows"] / head["seconds"]),
+        "pp_task_seconds": head["pp_task_seconds"],
+        "pp_max_seconds": head["pp_max_seconds"],
+        # fraction of the ideal wall the wide stage achieved
+        "parallel_utilization": round(
+            head["pp_task_seconds"] / (head["seconds"] * NUM_CPUS), 3),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -171,6 +178,10 @@ def scaling() -> None:
         "rollup_points": hi["rollup_points"],
         "scaling_efficiency": round(eff, 3),
         "all_pairs_sec": [[p[0]["value"], p[1]["value"]] for p in pairs],
+        "parallel_utilization_low": lo.get("parallel_utilization"),
+        "parallel_utilization_high": hi.get("parallel_utilization"),
+        "pp_task_seconds_low": lo.get("pp_task_seconds"),
+        "pp_task_seconds_high": hi.get("pp_task_seconds"),
     }))
 
 

@@ -248,6 +248,12 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         "alerts": int(sum(r["alerts"] for r in rows)),
         "high_water_us": high_water_us,
         "num_partitions": num_partitions,
+        # parallel-efficiency instrumentation: total partition-processor
+        # task-seconds and the straggler; wall / (task_s / cpus) ≈ how far
+        # from perfectly parallel the wide stage ran
+        "pp_task_seconds": round(float(sum(r["seconds"] for r in rows)), 2),
+        "pp_max_seconds": round(float(max((r["seconds"] for r in rows),
+                                          default=0.0)), 2),
     }
     return summary
 
