@@ -282,8 +282,9 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     def process(group: pa.Table) -> pa.Table:
         return proc(group)
 
-    rows = ds.groupby("pid").map_groups(process,
-                                        batch_format="pyarrow").take_all()
+    from nrt_ray.stages.exchange import exchange_map_groups
+    tables = exchange_map_groups(ds, P, process)
+    rows = [row for t in tables for row in t.to_pylist()]
     config["high_water_us"] = new_hw
     write_run_config(out_dir, config)
     return {

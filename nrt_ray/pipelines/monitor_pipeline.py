@@ -179,7 +179,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                  fit_params: dict | None = None,
                  high_water_us: int | None = None,
                  run_id: str | None = None,
-                 flat_dataset=None) -> dict:
+                 flat_dataset=None,
+                 shuffle: str = "exchange") -> dict:
     """Run the flagship pipeline; returns a summary dict (tiny).
 
     Args:
@@ -188,6 +189,9 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         flat_dataset: optional pre-extracted flat Dataset with columns
             ``url, warc_ts, value, days, dyear`` (e.g. the events adapter).
         resume: skip partitions already committed in ``out_dir``'s manifest.
+        shuffle: 'exchange' (default — explicit two-phase hash exchange,
+            see ``stages/exchange.py``) or 'sort' (Dataset-native
+            ``groupby(pid).map_groups``; same results, slower shuffle).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest.check_partitioning(out_dir, num_partitions)
@@ -224,9 +228,14 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
     def process_partition(group: pa.Table) -> pa.Table:
         return processor(group)
 
-    lineage = ds.groupby("pid").map_groups(process_partition,
-                                           batch_format="pyarrow")
-    rows = lineage.take_all()  # one tiny row per partition
+    if shuffle == "exchange":
+        from nrt_ray.stages.exchange import exchange_map_groups
+        tables = exchange_map_groups(ds, num_partitions, process_partition)
+        rows = [row for t in tables for row in t.to_pylist()]
+    else:
+        lineage = ds.groupby("pid").map_groups(process_partition,
+                                               batch_format="pyarrow")
+        rows = lineage.take_all()  # one tiny row per partition
 
     from nrt_ray.pipelines.incremental import write_run_config
     hw_cfg = high_water_us if high_water_us is not None else \

@@ -1,0 +1,80 @@
+"""Explicit hash-partition exchange (map-side split + per-partition reduce).
+
+Semantically identical to ``ds.groupby("pid").map_groups(process_fn)`` but
+implemented with raw Ray tasks — the documented escape hatch for the one
+place the Dataset API underperforms: Ray Data's sort-based groupby funnels
+every row through a sample + serial SortMap (measured ~10–15 s of
+non-scaling wall on a 4.4 M-row shuffle), while this exchange is a classic
+two-phase shuffle:
+
+    split phase:  one task per input block, slices the block into P
+                  sub-tables by the precomputed ``pid`` column
+                  (zero-copy Arrow ``take``/``slice``), P object refs out;
+    reduce phase: one task per partition, concatenates its sub-tables and
+                  runs the partition processor.
+
+Both phases are embarrassingly parallel; all data moves through the object
+store exactly once (any shuffle materializes its input).  Partitioning is
+by the same pinned ``hash(url) % P`` column, so resume/increment
+co-partitioning is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _split_block(block: pa.Table, num_partitions: int):
+    """Slice one block into per-pid sub-tables (sort by pid + boundary
+    slicing — zero-copy on the value buffers)."""
+    if block.num_rows == 0 or "pid" not in block.column_names:
+        # fully-filtered blocks surface with an empty schema
+        return tuple(None for _ in range(num_partitions))
+    pid = block.column("pid").to_numpy(zero_copy_only=False)
+    order = np.argsort(pid, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    spid = pid[order]
+    out = []
+    for p in range(num_partitions):
+        lo = np.searchsorted(spid, p, side="left")
+        hi = np.searchsorted(spid, p, side="right")
+        out.append(sorted_tbl.slice(lo, hi - lo))
+    return tuple(out)
+
+
+def exchange_map_groups(ds, num_partitions: int, process_fn,
+                        num_cpus_per_reduce: float = 1.0) -> list:
+    """Run ``process_fn`` once per pid partition of ``ds``.
+
+    Args:
+        ds: Dataset whose rows carry an int ``pid`` column in
+            ``[0, num_partitions)``.
+        process_fn: ``pa.Table -> pa.Table`` called with one partition's
+            full table (rows in arbitrary order, like map_groups).
+
+    Returns:
+        list of result tables (one per non-empty partition).
+    """
+    split_remote = ray.remote(num_returns=num_partitions)(_split_block)
+
+    def _reduce(pid: int, *tables):
+        parts = [t for t in tables if t is not None and t.num_rows]
+        if not parts:
+            return None
+        return process_fn(pa.concat_tables(parts))
+
+    reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
+
+    block_refs = ds.to_arrow_refs()
+    split_refs = [split_remote.remote(ref, num_partitions)
+                  for ref in block_refs]
+    if num_partitions == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [reduce_remote.remote(p, *[split_refs[b][p]
+                                          for b in range(len(split_refs))])
+                for p in range(num_partitions)]
+    results = ray.get(out_refs)
+    return [r for r in results if r is not None]
