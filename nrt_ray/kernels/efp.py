@@ -47,7 +47,13 @@ def recursive_residuals(X: np.ndarray, y: np.ndarray, span: int) -> np.ndarray:
     var = np.full(n, np.nan)
 
     X0, y0 = X[:span], y[:span]
-    XtX_inv = np.linalg.inv(X0.T @ X0)
+    try:
+        XtX_inv = np.linalg.inv(X0.T @ X0)
+    except np.linalg.LinAlgError:
+        # singular initial span (e.g. duplicate acquisition days under a
+        # trend design — arbitrary web data hits this, a raster never
+        # does); the pseudo-inverse keeps the BDE recursion well-defined
+        XtX_inv = np.linalg.pinv(X0.T @ X0)
     beta = XtX_inv @ (X0.T @ y0)
 
     x_last = X[span - 1]

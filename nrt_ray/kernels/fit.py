@@ -24,6 +24,17 @@ from nrt_ray.kernels.efp import history_roc
 MIN_SPAN_DAYS = 183  # half a year — minimum history span for stable fits
 
 
+def _solve_normal(Xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Solve the normal equations; SVD pseudo-inverse fallback for
+    singular suffixes (e.g. all observations on one day under a trend
+    design — arbitrary web data hits this, a raster never does)."""
+    XtX, Xty = Xs.T @ Xs, Xs.T @ ys
+    try:
+        return np.linalg.solve(XtX, Xty)
+    except np.linalg.LinAlgError:
+        return np.linalg.pinv(XtX) @ Xty
+
+
 def ols(X: np.ndarray, y: np.ndarray):
     """NaN-aware OLS fit for all series at once.
 
@@ -154,7 +165,7 @@ def ccdc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
         jdx = len(yv)
         for jdx in range(len(yv), min_obs - 1, -2):
             Xs, ys = Xv[-jdx:], yv[-jdx:]
-            beta_s = np.linalg.solve(Xs.T @ Xs, Xs.T @ ys)
+            beta_s = _solve_normal(Xs, ys)
             resid_s = Xs @ beta_s - ys
             rmse = np.sqrt(np.mean(resid_s ** 2))
             is_stable = (np.fabs(beta_s[1]) / rmse < threshold
@@ -206,7 +217,7 @@ def roc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
             is_stable[idx] = False
             continue
         Xs, ys = Xv[stable_idx:], yv[stable_idx:]
-        beta[:, idx] = np.linalg.solve(Xs.T @ Xs, Xs.T @ ys)
+        beta[:, idx] = _solve_normal(Xs, ys)
         fit_start[idx] = dv[stable_idx]
 
     residuals = X @ beta - y

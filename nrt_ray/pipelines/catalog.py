@@ -39,10 +39,17 @@ def queries() -> dict:
         "rollup_1d_gapfill_events": partial(tsq.rollup_events,
                                             tier_name="1d", gapfill=True),
         "fit_ols_trend_events": tsq.fit_ols_trend,
+        "fit_rirls_events": partial(tsq.fit_events, fit_method="RIRLS"),
+        "fit_roc_stable_events": partial(tsq.fit_events, fit_method="ROC"),
+        "fit_ccdc_stable_events": partial(tsq.fit_events,
+                                          fit_method="CCDC-stable"),
         "monitor_cusum_events": partial(tsq.monitor_events,
                                         strategy="CUSUM"),
         "monitor_ewma_events": partial(tsq.monitor_events, strategy="EWMA"),
         "monitor_iqr_events": partial(tsq.monitor_events, strategy="IQR"),
+        "monitor_mosum_events": partial(tsq.monitor_events,
+                                        strategy="MOSUM"),
+        "monitor_ccdc_events": partial(tsq.monitor_events, strategy="CCDC"),
         "segments_1d_events": tsq.segments_events,
         # ---- text analysis / dedup -------------------------------------
         "doc_token_counts": tx.token_counts,
@@ -65,6 +72,38 @@ def queries() -> dict:
 
 _BUCKET = ("make_timestamp(CAST(floor(epoch(ts)/{w}) AS BIGINT)"
            "*{w}*1000000)")
+
+
+def _sql_set(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(tx.STOPWORDS[lang]))
+
+
+# stopword-hit language id: per-language hit counts over the lowercase
+# letter-run tokens; winner = max hits with ties resolved in fixed order
+# (en, de, fr, ro) — exactly the Python heuristic in textops.LangId
+_LANG_ID_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, len(toks) AS ntoks,
+               len(list_filter(toks, x -> x IN ({_sql_set('en')}))) AS en,
+               len(list_filter(toks, x -> x IN ({_sql_set('de')}))) AS de,
+               len(list_filter(toks, x -> x IN ({_sql_set('fr')}))) AS fr,
+               len(list_filter(toks, x -> x IN ({_sql_set('ro')}))) AS ro
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= ro THEN 'en'
+                WHEN de >= fr AND de >= ro THEN 'de'
+                WHEN fr >= ro THEN 'fr'
+                ELSE 'ro' END AS lang_pred,
+           round(greatest(en, de, fr, ro)
+                 / CAST(greatest(ntoks, 1) AS DOUBLE), 6) AS lang_score
+    FROM h
+"""
 
 
 def _rollup_sql(width_s: int) -> str:
@@ -135,6 +174,68 @@ def oracle_sql() -> dict:
         "rollup_1h_events": _rollup_sql(3600),
         "rollup_1d_events": _rollup_sql(86400),
         "rollup_1w_events": _rollup_sql(7 * 86400),
+        # gap-fill: empty buckets strictly between two observed buckets get
+        # count 0 + a linearly interpolated mean (null sum/min/max/last).
+        # Ordered-aggregate sums reproduce the engine's time-ordered
+        # summation bit-for-bit, so the interpolation matches exactly.
+        "rollup_1d_gapfill_events": f"""
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)/86400) AS BIGINT) AS b,
+                       CAST(count(*) AS INTEGER) AS n_obs,
+                       sum(value ORDER BY ts) AS vsum,
+                       min(value) AS vmin,
+                       max(value) AS vmax,
+                       arg_max(value, ts) AS vlast,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+                           / count(*) AS vmean
+                FROM events GROUP BY user_id, b
+            ),
+            w AS (
+                SELECT *,
+                       lead(b) OVER (PARTITION BY user_id ORDER BY b)
+                           AS nb,
+                       lead(vmean) OVER (PARTITION BY user_id ORDER BY b)
+                           AS nmean
+                FROM obs
+            ),
+            steps AS (
+                SELECT user_id, b, nb, vmean, nmean,
+                       unnest(generate_series(
+                           1, CAST(nb - b - 1 AS BIGINT))) AS s
+                FROM w WHERE nb IS NOT NULL AND nb - b > 1
+            ),
+            -- interpolate between the ROUNDED neighbour means: exact
+            -- decimal doubles on both engines -> bit-identical lerp
+            fills AS (
+                SELECT user_id, b + s AS b,
+                       round(vmean, 4) * (1 - s / CAST(nb - b AS DOUBLE))
+                           + round(nmean, 4)
+                             * (s / CAST(nb - b AS DOUBLE)) AS fmean
+                FROM steps
+            )
+            SELECT user_id,
+                   make_timestamp(b*86400*1000000) AS bucket_ts,
+                   n_obs,
+                   round(vsum, 4) AS v_sum,
+                   round(vmean, 4) AS v_mean,
+                   round(vmin, 4) AS v_min,
+                   round(vmax, 4) AS v_max,
+                   round(vlast, 4) AS v_last,
+                   false AS gapfilled
+            FROM obs
+            UNION ALL
+            SELECT user_id,
+                   make_timestamp(b*86400*1000000) AS bucket_ts,
+                   CAST(0 AS INTEGER) AS n_obs,
+                   NULL AS v_sum,
+                   round(fmean, 4) AS v_mean,
+                   NULL AS v_min,
+                   NULL AS v_max,
+                   NULL AS v_last,
+                   true AS gapfilled
+            FROM fills
+        """,
         "fit_ols_trend_events": """
             SELECT user_id,
                    round(regr_intercept(value,
@@ -151,6 +252,14 @@ def oracle_sql() -> dict:
                    length(text) AS n_chars_actual
             FROM documents
         """,
+        "doc_token_counts_bpe": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '{tx.BpeishTokenCounter.PATTERN.replace("'", "''")}'
+                        )) AS BIGINT) AS n_bpe_pieces
+            FROM documents
+        """,
+        "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,

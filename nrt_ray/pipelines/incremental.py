@@ -82,7 +82,14 @@ class IncrementProcessor:
     # -- state update ---------------------------------------------------
 
     def _update_state(self, state: pa.Table, series: pa.Table) -> pa.Table:
-        """Apply the new observations to the restored monitor, per url."""
+        """Apply the new observations to the restored monitor, per url.
+
+        Urls first appearing in this increment (absent from the old state
+        table) are fitted fresh over their new observations — exactly what a
+        one-shot run would do if these were the url's only rows — and their
+        state rows are appended, so no series is ever silently invisible to
+        monitoring.
+        """
         mon = self.stage.restore(state)
         state_urls = state.column("url").to_pylist()
         pos = {u: i for i, u in enumerate(state_urls)}
@@ -92,7 +99,8 @@ class IncrementProcessor:
         if known.any():
             sel = idx[known]
             Tm = mats["value"].shape[0]
-            X3 = regressor_tensor(mats["days"], mats["dyear"],
+            X3 = regressor_tensor(mats["days"][:, known],
+                                  mats["dyear"][:, known],
                                   self.stage.trend,
                                   self.stage.harmonic_order)
             preds = np.einsum("tki,ik->tk", X3, mon.beta[:, sel],
@@ -112,6 +120,14 @@ class IncrementProcessor:
                 mon.monitor_residuals(resid, value_row, days_row)
         new_state = self.stage._state_table(np.array(state_urls,
                                                      dtype=object), mon)
+        if not known.all():
+            unknown_urls = set(np.asarray(mats["url"], dtype=object)[~known])
+            sel_mask = pa.array([u in unknown_urls
+                                 for u in series.column("url").to_pylist()],
+                                pa.bool_())
+            fresh = self.stage(series.filter(sel_mask))
+            new_state = pa.concat_tables([new_state, fresh],
+                                         promote_options="default")
         return new_state
 
     # -- rollup merge ---------------------------------------------------
@@ -264,6 +280,9 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     def is_late(t: pa.Table) -> pa.Table:
         return t.filter(pc.less_equal(t.column("warc_ts"), hw_scalar))
 
+    # execute the upstream lineage (read/extract) exactly once; the late /
+    # new splits and the high-water max below then scan cached blocks
+    flat_dataset = flat_dataset.materialize()
     late = flat_dataset.map_batches(is_late, batch_format="pyarrow")
     late_rows = late.count()
     if late_rows:

@@ -123,13 +123,17 @@ class PartitionProcessor:
 
 
 def ingest_webtext(input_path, verify_extract: bool = False,
-                   override_num_blocks: int | None = None):
-    """Read a webtext Parquet table and extract the flat signal rows."""
+                   override_num_blocks: int | None = None,
+                   aux: bool = False):
+    """Read a webtext Parquet table and extract the flat signal rows.
+
+    ``aux=True`` additionally emits the CCDC_RIRLS secondary-signal
+    columns (kept off otherwise so the shuffle stays narrow)."""
     columns = ["url", "warc_ts", "text"] + (
         ["html"] if verify_extract else [])
     ds = ray.data.read_parquet(input_path, columns=columns,
                                override_num_blocks=override_num_blocks)
-    return ds.map_batches(ExtractSignal(verify=verify_extract),
+    return ds.map_batches(ExtractSignal(verify=verify_extract, aux=aux),
                           batch_format="pyarrow")
 
 
@@ -201,8 +205,14 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
     if high_water_us is None and needs_hw and flat_dataset is None:
         high_water_us = global_high_water_us(input_path)
 
+    if screen_outliers == "default":
+        from nrt_ray.kernels.monitors import MONITOR_REGISTRY
+        effective_screen = MONITOR_REGISTRY[strategy].default_screen_outliers
+    else:
+        effective_screen = screen_outliers
     ds = flat_dataset if flat_dataset is not None else \
-        ingest_webtext(input_path, verify_extract)
+        ingest_webtext(input_path, verify_extract,
+                       aux=(effective_screen == "CCDC_RIRLS"))
     if high_water_us is None and needs_hw:
         hw = ds.max("warc_ts")
         high_water_us = int(pa.scalar(hw, pa.timestamp("us"))
@@ -240,6 +250,17 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
     from nrt_ray.pipelines.incremental import write_run_config
     hw_cfg = high_water_us if high_water_us is not None else \
         max((int(r["max_ts_us"]) for r in rows), default=0)
+    if high_water_us is None and skipped:
+        # resumed run: partitions committed earlier are absent from `rows`,
+        # so merge with the previous run config's high-water mark — else a
+        # later increment would re-classify already-ingested rows as new
+        try:
+            from nrt_ray.pipelines.incremental import read_run_config
+            prev_hw = read_run_config(out_dir).get("high_water_us")
+            if prev_hw:
+                hw_cfg = max(hw_cfg, int(prev_hw))
+        except (OSError, ValueError, KeyError):
+            pass
     write_run_config(out_dir, {
         "strategy": strategy, "monitor_start": monitor_start,
         "num_partitions": num_partitions,

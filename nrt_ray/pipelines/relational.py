@@ -79,18 +79,21 @@ def q1_pricing_summary(sf_dir: str):
                    Sum("l_extendedprice_sum", alias_name="sum_base_price"),
                    Sum("disc_price_sum", alias_name="sum_disc_price"),
                    Sum("l_quantity_count", alias_name="count_order"))
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    avg_qty = round_away(
-        pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64())), 4)
-    return pa.table({
-        "l_returnflag": t["l_returnflag"],
-        "l_linestatus": t["l_linestatus"],
-        "sum_qty": round_away(t["sum_qty"], 2),
-        "sum_base_price": round_away(t["sum_base_price"], 2),
-        "sum_disc_price": round_away(t["sum_disc_price"], 2),
-        "avg_qty": avg_qty,
-        "count_order": t["count_order"],
-    })
+    def round_cols(t: pa.Table) -> pa.Table:
+        avg_qty = round_away(
+            pc.divide(t["sum_qty"],
+                      pc.cast(t["count_order"], pa.float64())), 4)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": round_away(t["sum_qty"], 2),
+            "sum_base_price": round_away(t["sum_base_price"], 2),
+            "sum_disc_price": round_away(t["sum_disc_price"], 2),
+            "avg_qty": avg_qty,
+            "count_order": t["count_order"],
+        })
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
 
 
 def filter_project_events(sf_dir: str):
@@ -112,15 +115,32 @@ def filter_project_events(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def batch_topk(batch: pa.Table, keys: list[str], descending: list[bool],
+               k: int) -> pa.Table:
+    """Keep only a batch's local top-k rows — the partial step that turns
+    a global sort+limit into a sort over ≤ k rows per block."""
+    if batch.num_rows <= k:
+        return batch
+    order = pc.sort_indices(batch, sort_keys=[
+        (name, "descending" if d else "ascending")
+        for name, d in zip(keys, descending)])
+    return batch.take(order.slice(0, k))
+
+
 def topk_orders(sf_dir: str):
-    """Global top-10 orders by totalprice (sort + limit; orderkey breaks
-    ties deterministically)."""
+    """Global top-10 orders by totalprice (per-batch top-k, then a sort
+    over only the survivors; orderkey breaks ties deterministically)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"],
-                  descending=[True, True]).limit(10)
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table({"o_orderkey": t["o_orderkey"],
-                     "o_totalprice": round_away(t["o_totalprice"], 2)})
+    keys, desc = ["o_totalprice", "o_orderkey"], [True, True]
+    out = ds.map_batches(lambda t: batch_topk(t, keys, desc, 10),
+                         batch_format="pyarrow") \
+        .sort(keys, descending=desc).limit(10)
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_totalprice": round_away(t["o_totalprice"], 2)})
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
 
 
 def join_orders_customers(sf_dir: str):
@@ -132,30 +152,36 @@ def join_orders_customers(sf_dir: str):
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
-                      cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_of)
+    # sorted-key numpy lookup (Arrow-native broadcast join, no pandas map)
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    seg_ref = ray.put((keys[order],
+                       cust["c_mktsegment"].to_numpy(zero_copy_only=False)
+                       [order]))
 
     class AddSegment:
         def __init__(self, ref):
-            self.seg = ray.get(ref)
+            self.keys, self.vals = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            segs = pd.Series(keys).map(self.seg).to_numpy(dtype=object)
+            k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            segs = self.vals[np.searchsorted(self.keys, k)]
             return batch.append_column("c_mktsegment",
                                        pa.array(segs, pa.string()))
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+    out = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .map_batches(AddSegment, fn_constructor_args=(seg_ref,),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .groupby("c_mktsegment") \
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
-    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return pa.table({"c_mktsegment": t["c_mktsegment"],
-                     "revenue": round_away(t["revenue"], 2),
-                     "n_orders": t["n_orders"]})
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "revenue": round_away(t["revenue"], 2),
+                         "n_orders": t["n_orders"]})
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
 
 
 def customers_per_region(sf_dir: str):
@@ -163,37 +189,39 @@ def customers_per_region(sf_dir: str):
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
-    region_of_nation = {}
     rname = dict(zip(region["r_regionkey"].to_pylist(),
                      region["r_name"].to_pylist()))
-    for nk, rk in zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_regionkey"].to_pylist()):
-        region_of_nation[nk] = rname[rk]
-    ref = ray.put(region_of_nation)
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    rn = np.array([rname[rk] for rk in
+                   nation["n_regionkey"].to_pylist()], dtype=object)
+    order = np.argsort(nk)
+    ref = ray.put((nk[order], rn[order]))
 
     def fn(batch: pa.Table) -> pa.Table:
         lookup = ray.get(ref)
         keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = pd.Series(keys).map(lookup).to_numpy(dtype=object)
+        lk, lv = lookup
+        names = lv[np.searchsorted(lk, keys)]
         return pa.table({"r_name": pa.array(names, pa.string())})
 
-    out = _read(sf_dir, "customer", ["c_nationkey"]) \
+    return _read(sf_dir, "customer", ["c_nationkey"]) \
         .map_batches(fn, batch_format="pyarrow") \
         .groupby("r_name").aggregate(Count(alias_name="n_customers"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def lang_distribution(sf_dir: str):
-    out = _read(sf_dir, "documents", ["lang"]) \
+    return _read(sf_dir, "documents", ["lang"]) \
         .groupby("lang").aggregate(Count(alias_name="n_docs"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def events_head_by_time(sf_dir: str):
-    """First 100 events in (ts, event_id) order — deterministic limit."""
+    """First 100 events in (ts, event_id) order — per-batch head, then a
+    deterministic sort+limit over the survivors."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
-    out = ds.sort(["ts", "event_id"]).limit(100)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    keys, asc = ["ts", "event_id"], [False, False]
+    return ds.map_batches(lambda t: batch_topk(t, keys, asc, 100),
+                          batch_format="pyarrow") \
+        .sort(keys).limit(100)
 
 
 def user_value_stats(sf_dir: str):
@@ -211,11 +239,13 @@ def user_value_stats(sf_dir: str):
                    Min("value_min", alias_name="value_min"),
                    Max("value_max", alias_name="value_max"),
                    Sum("value_count", alias_name="n_events"))
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table({
-        "user_id": t["user_id"],
-        "value_sum": round_away(t["value_sum"], 4),
-        "value_min": round_away(t["value_min"], 4),
-        "value_max": round_away(t["value_max"], 4),
-        "n_events": t["n_events"],
-    })
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "value_sum": round_away(t["value_sum"], 4),
+            "value_min": round_away(t["value_min"], 4),
+            "value_max": round_away(t["value_max"], 4),
+            "n_events": t["n_events"],
+        })
+
+    return out.map_batches(round_cols, batch_format="pyarrow")

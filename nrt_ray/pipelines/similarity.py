@@ -1,19 +1,28 @@
 """Similarity search over the ``embeddings`` table (``list<float>``).
 
 * brute-force cosine top-k: the baseline — the query matrix is broadcast
-  (``ray.put`` once), each batch does one numpy matmul, top-k is a global
-  sort + limit;
+  (``ray.put`` once), each batch does one numpy matmul; every batch emits
+  only its local top-k, so the final global sort touches ≤ k rows per
+  block instead of the whole table;
 * LSH-bucketed variant: random-hyperplane signatures → candidates share a
   bucket → exact cosine only within buckets (the scale path: the matmul
   per batch shrinks from N×Q to bucket-local sizes);
-* embedding-cosine near-duplicate pairs via the same LSH buckets.
+* embedding-cosine near-duplicate pairs via the same LSH buckets, with a
+  bucket-size ceiling and distributed pair dedup.
+
+All operators return Datasets; nothing materializes the table on the
+driver (the query vector / hyperplanes are the only driver-side state and
+they are O(dim)).
 """
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -34,42 +43,68 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(col), -1).astype(np.float64)
 
 
-def query_vector(sf_dir: str) -> np.ndarray:
-    """Deterministic query: the embedding of the smallest vec_id."""
+def embedding_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the FIRST row of the first row group
+    — never reads the whole table."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+def query_vector(sf_dir: str) -> np.ndarray:
+    """Deterministic query: the embedding of the smallest vec_id (found
+    with a column-pruned scan of vec_id + one row-group read)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    best_rg, best_id = 0, None
+    for rg in range(pf.metadata.num_row_groups):
+        ids = pf.read_row_group(rg, columns=["vec_id"])["vec_id"]
+        lo = pc.min(ids).as_py()
+        if best_id is None or lo < best_id:
+            best_id, best_rg = lo, rg
+    t = pf.read_row_group(best_rg, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     row = int(np.argmin(ids))
     return np.asarray(t["embedding"][row].as_py(), dtype=np.float64)
 
 
 class CosineScorer:
-    """Batch transform: cosine similarity to a broadcast query vector."""
+    """Batch transform: cosine similarity to a broadcast query vector,
+    keeping only the batch-local top-k (k=None keeps all rows)."""
 
-    def __init__(self, query_ref):
+    def __init__(self, query_ref, k: int | None = None):
         q = np.asarray(ray.get(query_ref), dtype=np.float64)
         self.q = q / np.linalg.norm(q)
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _emb_matrix(batch)
         norms = np.linalg.norm(M, axis=1)
         sims = (M @ self.q) / np.where(norms == 0, 1.0, norms)
-        return pa.table({"vec_id": batch["vec_id"],
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if self.k is not None and len(sims) > self.k:
+            keep = np.argpartition(-sims, self.k)[:self.k]
+            ids, sims = ids[keep], sims[keep]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "cosine_sim": pa.array(sims, pa.float64())})
 
 
+def _round_sims(batch: pa.Table) -> pa.Table:
+    return pa.table({"vec_id": batch["vec_id"],
+                     "cosine_sim": pa.array(
+                         round_away(batch["cosine_sim"], 5))})
+
+
 def topk_cosine(sf_dir: str, k: int = 10):
-    """Brute-force cosine top-k (numpy matmul per batch, global
-    sort+limit)."""
+    """Brute-force cosine top-k: numpy matmul + local top-k per batch,
+    then a global sort over only the per-batch survivors."""
     qref = ray.put(query_vector(sf_dir))
-    out = _read_emb(sf_dir) \
-        .map_batches(CosineScorer, fn_constructor_args=(qref,),
+    return _read_emb(sf_dir) \
+        .map_batches(CosineScorer, fn_constructor_args=(qref, k),
                      batch_format="pyarrow", concurrency=pool_size()) \
-        .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k)
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table({"vec_id": t["vec_id"],
-                     "cosine_sim": round_away(t["cosine_sim"], 5)})
+        .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
+        .map_batches(_round_sims, batch_format="pyarrow")
 
 
 def embedding_norms(sf_dir: str):
@@ -111,49 +146,64 @@ def lsh_topk_cosine(sf_dir: str, k: int = 10, n_planes: int = 6):
     qref = ray.put(q)
 
     def in_buckets(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         return batch.filter(pc.is_in(batch["bucket"], value_set=nb))
 
-    out = _read_emb(sf_dir) \
+    return _read_emb(sf_dir) \
         .map_batches(hasher, batch_format="pyarrow") \
         .map_batches(in_buckets, batch_format="pyarrow") \
-        .map_batches(CosineScorer, fn_constructor_args=(qref,),
+        .map_batches(CosineScorer, fn_constructor_args=(qref, k),
                      batch_format="pyarrow", concurrency=pool_size()) \
-        .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k)
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table({"vec_id": t["vec_id"],
-                     "cosine_sim": round_away(t["cosine_sim"], 5)})
+        .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
+        .map_batches(_round_sims, batch_format="pyarrow")
+
+
+#: LSH buckets larger than this are skipped in the near-dup pass (an
+#: O(b²) matmul on one hot bucket is the scale hazard); never silent.
+MAX_BUCKET = 5000
 
 
 def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.98,
                           n_planes: int = 8):
     """Embedding-cosine near-duplicate pairs via LSH buckets: exact cosine
-    only within buckets, pairs above threshold reported."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    hasher = HyperplaneHasher(
-        dim=len(t["embedding"][0].as_py()), n_planes=n_planes)
+    only within buckets, pairs above threshold reported; distributed pair
+    dedup (a pair found in two buckets survives once)."""
+    hasher = HyperplaneHasher(dim=embedding_dim(sf_dir), n_planes=n_planes)
     ds = _read_emb(sf_dir).map_batches(hasher, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                              "vec_b": pd.Series([], dtype=np.int64),
+                              "cosine_sim": pd.Series([],
+                                                      dtype=np.float64)})
         ids = group["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        if len(ids) > MAX_BUCKET:
+            warnings.warn(f"LSH bucket of size {len(ids)} exceeds the "
+                          f"{MAX_BUCKET} ceiling — skipped")
+            return empty
         M = np.stack(group["embedding"].to_numpy())
         norms = np.linalg.norm(M, axis=1)
         Mn = M / np.where(norms == 0, 1.0, norms)[:, None]
         sims = Mn @ Mn.T
         a, b = np.triu_indices(len(ids), k=1)
         keep = sims[a, b] >= threshold
-        return pd.DataFrame({"vec_a": np.minimum(ids[a][keep], ids[b][keep]),
-                             "vec_b": np.maximum(ids[a][keep], ids[b][keep]),
-                             "cosine_sim": round_away(sims[a, b][keep], 5)})
+        return pd.DataFrame({
+            "vec_a": np.minimum(ids[a][keep], ids[b][keep])
+            .astype(np.int64),
+            "vec_b": np.maximum(ids[a][keep], ids[b][keep])
+            .astype(np.int64),
+            "cosine_sim": round_away(sims[a, b][keep], 5)})
 
-    out = ds.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    pdf = out.to_pandas()
-    if pdf.empty:
+    # the pair stream is small by construction (bucket-local, capped);
+    # materialize it so the empty case keeps its schema through the dedup
+    out = ds.groupby("bucket").map_groups(pairs, batch_format="pandas") \
+        .materialize()
+    if out.count() == 0:
+        # typed empty table (a Dataset built from it loses the schema on
+        # to_pandas; zero rows is not a materialization concern)
         return pa.table({"vec_a": pa.array([], pa.int64()),
                          "vec_b": pa.array([], pa.int64()),
                          "cosine_sim": pa.array([], pa.float64())})
-    pdf = pdf.drop_duplicates(subset=["vec_a", "vec_b"]) \
-        .sort_values(["vec_a", "vec_b"]) \
-        .astype({"vec_a": np.int64, "vec_b": np.int64})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return out.groupby(["vec_a", "vec_b"]) \
+        .map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,27 +1,32 @@
 """Text analysis + deduplication operators for training-data pipelines.
 
 All stages are Ray Data ``map_batches`` transforms over the ``documents``
-table: stateful pieces (compiled regexes, stopword sets, hash seeds) live
-in actor-pool classes (built once per actor in ``__init__``).  Dedup
-follows the scale pattern: content hash per batch (vectorized) → groupby
-on the hash → representative / pair emission per group.
+table; every operator RETURNS A DATASET (callers materialize, the operator
+never does).  Per-batch work is vectorized: Arrow compute kernels for the
+regex/count features, batched unique-token hashing + ``reduceat`` segment
+reductions for the sketches.  Dedup follows the scale pattern: content
+hash per batch → groupby on the hash → representative / pair emission per
+group, with a bucket-size ceiling against mega-bucket blowup; candidate
+pairs are deduplicated distributed (groupby on the pair key), and Jaccard
+verification joins the texts to the pair rows via a broadcast of the small
+pair side — nothing collects the corpus on the driver.
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
+import warnings
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
 from nrt_ray.pipelines.relational import pool_size, round_away
-
-_WORD_RE = re.compile(r"\S+")
 
 STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for"},
@@ -36,135 +41,144 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
                                  columns=list(columns))
 
 
-class TokenCounter:
-    """doc_id → token count (whitespace tokens) + char count."""
+def _count_re(text, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(text, pattern) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
 
-    def __init__(self):
-        self.word = _WORD_RE
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_tokens = np.fromiter((len(self.word.findall(t)) for t in texts),
-                               dtype=np.int64, count=len(texts))
-        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64,
-                              count=len(texts))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "n_tokens": pa.array(n_tokens),
-                         "n_chars_actual": pa.array(n_chars)})
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → whitespace-token count + char count (Arrow kernels only)."""
+    text = batch["text"]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(_count_re(text, r"\S+")),
+        "n_chars_actual": pa.array(
+            pc.cast(pc.utf8_length(text), pa.int64())),
+    })
 
 
 def token_counts(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(TokenCounter,
-                                          batch_format="pyarrow",
-                                          concurrency=pool_size())
+    return _read_docs(sf_dir).map_batches(token_count_batch,
+                                          batch_format="pyarrow")
 
 
 class BpeishTokenCounter:
     """doc_id → GPT-2-style pre-tokenizer piece count (the regex split a
     byte-pair encoder applies before merges — a realistic token-count
-    proxy without a vocabulary)."""
+    proxy without a vocabulary).
+
+    The canonical GPT-2 pattern ends ``\\s+(?!\\S)|\\s+``; RE2 (Arrow,
+    DuckDB) has no lookahead, but for *counting* the lookahead is
+    irrelevant: dropping it merges a trailing-whitespace match with the
+    following token's leading space without changing the number of
+    matches (verified piece-for-piece against the lookahead pattern on
+    the test corpora).  Using the RE2-safe form everywhere makes the
+    count reproducible by Arrow's ``count_substring_regex`` and the
+    DuckDB oracle alike.
+    """
 
     PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
-               r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
-
-    def __init__(self):
-        self.pat = re.compile(self.PATTERN)
+               r"| ?[^\sA-Za-z0-9]+|\s+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = np.fromiter((len(self.pat.findall(t)) for t in texts),
-                             dtype=np.int64, count=len(texts))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "n_bpe_pieces": pa.array(counts)})
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_pieces": pa.array(_count_re(batch["text"],
+                                               self.PATTERN)),
+        })
 
 
 def bpe_token_counts(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(BpeishTokenCounter,
-                                          batch_format="pyarrow",
-                                          concurrency=pool_size())
+    return _read_docs(sf_dir).map_batches(BpeishTokenCounter(),
+                                          batch_format="pyarrow")
 
 
-class Fingerprinter:
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id → md5 hex digest of the text (document fingerprint; the SQL
-    oracle uses DuckDB's md5() for an exact cross-check)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
-                   for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "fingerprint": pa.array(digests, pa.string())})
+    oracle uses DuckDB's md5() for an exact cross-check).  The md5 itself
+    is the work — a per-doc digest loop is the vectorized form."""
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(digests, pa.string())})
 
 
 def fingerprints(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(Fingerprinter,
-                                          batch_format="pyarrow",
-                                          concurrency=pool_size())
+    return _read_docs(sf_dir).map_batches(fingerprint_batch,
+                                          batch_format="pyarrow")
 
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: per distinct content hash keep the smallest doc_id and
-    report the group size.  Hash in map_batches → groupby(hash)."""
-    out = fingerprints(sf_dir).groupby("fingerprint") \
+    report the group size.  Hash in map_batches → groupby(hash); returns
+    the aggregated Dataset (never materialized here)."""
+    return fingerprints(sf_dir).groupby("fingerprint") \
         .aggregate(Min("doc_id", alias_name="keep_id"),
                    Count(alias_name="n_copies"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
-class QualityScorer:
+def quality_batch(batch: pa.Table) -> pa.Table:
     """Heuristic quality features: ratios of uppercase / digits /
-    punctuation + mean token length (pure ASCII-class definitions so the
-    SQL oracle can reproduce them exactly)."""
-
-    def __init__(self):
-        self.upper = re.compile(r"[A-Z]")
-        self.digit = re.compile(r"[0-9]")
-        self.punct = re.compile(r"[.,!?;:]")
-        self.word = _WORD_RE
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = np.maximum([len(t) for t in texts], 1).astype(np.float64)
-        ups = np.array([len(self.upper.findall(t)) for t in texts])
-        digs = np.array([len(self.digit.findall(t)) for t in texts])
-        puncts = np.array([len(self.punct.findall(t)) for t in texts])
-        toks = [self.word.findall(t) for t in texts]
-        mean_tok = np.array([np.mean([len(w) for w in ws]) if ws else 0.0
-                             for ws in toks])
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "upper_ratio": pa.array(round_away(ups / n, 6)),
-            "digit_ratio": pa.array(round_away(digs / n, 6)),
-            "punct_ratio": pa.array(round_away(puncts / n, 6)),
-            "mean_token_len": pa.array(round_away(mean_tok, 6)),
-        })
+    punctuation + mean token length — all Arrow compute kernels (ASCII
+    class definitions so the SQL oracle reproduces them exactly)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = np.maximum(n_chars, 1).astype(np.float64)
+    ups = _count_re(text, r"[A-Z]")
+    digs = _count_re(text, r"[0-9]")
+    puncts = _count_re(text, r"[.,!?;:]")
+    n_tok = _count_re(text, r"\S+")
+    n_ws = _count_re(text, r"\s")
+    # mean token length = total non-whitespace chars / token count
+    with np.errstate(invalid="ignore"):
+        mean_tok = np.where(n_tok > 0,
+                            (n_chars - n_ws) / np.maximum(n_tok, 1), 0.0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "upper_ratio": pa.array(round_away(ups / n, 6)),
+        "digit_ratio": pa.array(round_away(digs / n, 6)),
+        "punct_ratio": pa.array(round_away(puncts / n, 6)),
+        "mean_token_len": pa.array(round_away(mean_tok, 6)),
+    })
 
 
 def quality_scores(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(QualityScorer,
-                                          batch_format="pyarrow",
-                                          concurrency=pool_size())
+    return _read_docs(sf_dir).map_batches(quality_batch,
+                                          batch_format="pyarrow")
 
 
 class LangId:
-    """Stopword-hit language guesser (n-gram-free heuristic): the language
-    whose stopword set hits the most lowercase tokens wins; ties resolve
-    in fixed language order."""
+    """Stopword-hit language guesser: the language whose stopword set hits
+    the most lowercase letter-run tokens wins; ties resolve in fixed
+    language order.  Vectorized: one Arrow lower+split per batch, one
+    ``np.isin`` per language over the flattened token array, per-doc
+    sums via ``bincount``."""
 
     ORDER = ("en", "de", "fr", "ro")
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.sets = {k: STOPWORDS[k] for k in self.ORDER}
+        self.sets = {k: np.array(sorted(STOPWORDS[k]), dtype=object)
+                     for k in self.ORDER}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for t in batch["text"].to_pylist():
-            toks = [w.lower() for w in self.word.findall(t)]
-            hits = {k: sum(w in s for w in toks)
-                    for k, s in self.sets.items()}
-            best = max(self.ORDER, key=lambda k: hits[k])
-            preds.append(best)
-            scores.append(hits[best] / max(len(toks), 1))
+        ndocs = batch.num_rows
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]),
+                                      "[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(ndocs), lens)
+        nonempty = flat != ""
+        ntoks = np.bincount(doc_idx[nonempty], minlength=ndocs)
+        hits = np.stack([
+            np.bincount(doc_idx[np.isin(flat, self.sets[k])],
+                        minlength=ndocs)
+            for k in self.ORDER])                       # (4, ndocs)
+        best = hits.argmax(axis=0)      # first max wins = fixed order
+        preds = np.array(self.ORDER, dtype=object)[best]
+        scores = hits.max(axis=0) / np.maximum(ntoks, 1)
         return pa.table({"doc_id": batch["doc_id"],
                          "lang_pred": pa.array(preds, pa.string()),
                          "lang_score": pa.array(round_away(scores, 6))})
@@ -175,17 +189,7 @@ def lang_id(sf_dir: str):
                                           concurrency=pool_size())
 
 
-# ------------------------------------------------------------------ minhash
-
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return np.array([hash_bytes(joined.encode())], dtype=np.uint64)
-    views = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.fromiter((hash_bytes(s.encode()) for s in views),
-                                 dtype=np.uint64, count=len(views)))
-
+# ------------------------------------------------------------------ hashing
 
 def hash_bytes(b: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(),
@@ -193,111 +197,250 @@ def hash_bytes(b: bytes) -> int:
 
 
 _MIX_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_POLY_MULT = np.uint64(0x100000001B3)      # FNV-64 prime (odd)
+_SHINGLE_K = 5
 
+
+def _token_hash_segments(texts):
+    """Whitespace-tokenize a batch and hash every token (blake2b once per
+    *unique* token in the batch).  Returns ``(flat_hashes, counts)`` where
+    consecutive slices of ``flat_hashes`` are each doc's token hashes."""
+    toks_per_doc = [t.split() for t in texts]
+    counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    all_toks = [w for ws in toks_per_doc for w in ws]
+    if not all_toks:
+        return np.array([], dtype=np.uint64), counts
+    uniq, inv = np.unique(np.array(all_toks, dtype=object),
+                          return_inverse=True)
+    hu = np.fromiter((hash_bytes(w.encode()) for w in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    return hu[inv], counts
+
+
+def _shingle_hashes(flat: np.ndarray, counts: np.ndarray,
+                    k: int = _SHINGLE_K) -> list[np.ndarray]:
+    """Per-doc unique k-token-shingle hashes via a vectorized rolling
+    polynomial over the token hashes (no per-shingle string building)."""
+    out = []
+    pos = 0
+    empty = np.array([hash_bytes(b"")], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in counts:
+            h = flat[pos:pos + c]
+            pos += c
+            if c == 0:
+                out.append(empty)
+            elif c < k:
+                s = np.uint64(0)
+                for v in h:
+                    s = s * _POLY_MULT + v
+                out.append(np.array([s], dtype=np.uint64))
+            else:
+                s = np.zeros(c - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    s = s * _POLY_MULT + h[j:c - k + 1 + j]
+                out.append(np.unique(s))
+    return out
+
+
+def _shingles(text: str, k: int = _SHINGLE_K) -> np.ndarray:
+    """Unique shingle hashes of one document (shared by minhash + Jaccard
+    verification so both see the same sets)."""
+    flat, counts = _token_hash_segments([text])
+    return _shingle_hashes(flat, counts, k)[0]
+
+
+# ------------------------------------------------------------------ minhash
 
 class MinHasher:
     """doc_id → (band_id, band_key) rows for LSH bucketing.
 
-    ``num_perm`` hash functions from a seeded xorshift-multiply family
-    (fully vectorized wrapping uint64 arithmetic — no per-permutation
-    Python loop), grouped into bands; one output row per (doc, band).
+    ``num_perm`` hash functions from a seeded xorshift-multiply family,
+    applied to the concatenated shingle hashes of the whole batch at once
+    and min-reduced per doc with ``np.minimum.reduceat`` — no per-doc
+    signature loop.  Band keys fold each band's rows with the same mix.
     Seeds are generated once per actor.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.seeds = rng.integers(0, 2 ** 63, num_perm,
-                                  dtype=np.uint64)
+        self.seeds = rng.integers(0, 2 ** 63, num_perm, dtype=np.uint64)
         self.bands = bands
         self.rows = num_perm // bands
 
-    def signature(self, shingles: np.ndarray) -> np.ndarray:
+    def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(num_perm, ndocs) minhash signature matrix."""
+        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        concat = np.concatenate(shingle_sets) if shingle_sets else \
+            np.array([], dtype=np.uint64)
         with np.errstate(over="ignore"):
-            h = (shingles[None, :] ^ self.seeds[:, None]) * _MIX_MULT
+            h = (concat[None, :] ^ self.seeds[:, None]) * _MIX_MULT
             h ^= h >> np.uint64(29)
             h *= _MIX_MULT
-        return h.min(axis=1)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        return np.minimum.reduceat(h, starts, axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(bands, ndocs) uint64 keys: mix-fold of each band's rows."""
+        ndocs = sig.shape[1]
+        sigb = sig.reshape(self.bands, self.rows, ndocs)
+        key = np.zeros((self.bands, ndocs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows):
+                key = (key ^ sigb[:, r, :]) * _MIX_MULT
+                key ^= key >> np.uint64(29)
+        return key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_keys = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            sig = self.signature(_shingles(t))
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
-                key = hash_bytes(chunk.tobytes())
-                doc_ids.append(d)
-                band_ids.append(bi)
-                band_keys.append(key)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "band_id": pa.array(band_ids, pa.int32()),
-                         "band_key": pa.array(np.array(band_keys,
-                                                       dtype=np.uint64))})
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, counts = _token_hash_segments(texts)
+        sig = self.signatures(_shingle_hashes(flat, counts))
+        keys = self.band_keys(sig)                       # (bands, ndocs)
+        ndocs = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.tile(ids, self.bands), pa.int64()),
+            "band_id": pa.array(np.repeat(np.arange(self.bands,
+                                                    dtype=np.int32),
+                                          ndocs)),
+            "band_key": pa.array(keys.reshape(-1)),
+        })
+
+
+#: LSH buckets larger than this are skipped (a band key shared by this
+#: many docs is boilerplate, not near-duplication; emitting its O(b²)
+#: pairs would blow up on one hot key).  Skips are warned, never silent.
+MAX_BUCKET = 1000
+
+
+def _bucket_pairs(group: pd.DataFrame,
+                  max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    ids = np.unique(group["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    if len(ids) > max_bucket:
+        warnings.warn(f"LSH bucket of size {len(ids)} exceeds the "
+                      f"{max_bucket} ceiling — skipped (boilerplate key)")
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[a].astype(np.int64),
+                         "doc_b": ids[b].astype(np.int64)})
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """Near-dup candidate pairs: shingle→minhash→band rows →
-    groupby(band) → pairs within non-singleton buckets."""
+    groupby(band) → pairs within non-singleton buckets → distributed pair
+    dedup (groupby on the pair key).  Returns a Dataset."""
     bands_ds = _read_docs(sf_dir).map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
                                               bands=bands),
         batch_format="pyarrow", concurrency=pool_size())
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    out = bands_ds.groupby(["band_id", "band_key"]) \
-        .map_groups(pairs, batch_format="pandas")
-    pdf = out.to_pandas().drop_duplicates().sort_values(["doc_a", "doc_b"])
-    pdf = pdf.astype({"doc_a": np.int64, "doc_b": np.int64})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    # the pair stream is small by construction (bucket-local, capped);
+    # materialize it so the empty case keeps its schema through the dedup
+    pairs = bands_ds.groupby(["band_id", "band_key"]) \
+        .map_groups(_bucket_pairs, batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        # typed empty table (a Dataset built from it loses the schema on
+        # to_pandas; zero rows is not a materialization concern)
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pairs.groupby(["doc_a", "doc_b"]) \
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
 def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
-    """Candidates → exact token-shingle Jaccard verification (the classic
-    two-phase near-dup pipeline)."""
-    import pyarrow.parquet as pq
-    cand = minhash_candidates(sf_dir, **minhash_kw)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    text_of = dict(zip(docs["doc_id"].to_pylist(),
-                       docs["text"].to_pylist()))
-    rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(cand["doc_a"].to_pylist(), cand["doc_b"].to_pylist()):
-        sa, sb = set(_shingles(text_of[a]).tolist()), \
-            set(_shingles(text_of[b]).tolist())
+    """Candidates → exact shingle-Jaccard verification, distributed.
+
+    The candidate pair list (small by construction — LSH buckets are
+    capped) is broadcast once via ``ray.put``; a map over the documents
+    table emits each candidate doc's shingle set once per pair it appears
+    in, keyed by pair id; a groupby(pair) computes the exact Jaccard from
+    the two rows.  The corpus itself is never collected anywhere."""
+    cand_res = minhash_candidates(sf_dir, **minhash_kw)
+    cand = cand_res.to_pylist() if isinstance(cand_res, pa.Table) \
+        else cand_res.take_all()
+    if not cand:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    pairs_of: dict[int, list[int]] = {}
+    for pid, r in enumerate(cand):
+        for d in (int(r["doc_a"]), int(r["doc_b"])):
+            pairs_of.setdefault(d, []).append(pid)
+    pairs_ref = ray.put(pairs_of)
+    needed = pa.array(sorted(pairs_of), pa.int64())
+
+    class EmitShingles:
+        def __init__(self, ref):
+            self.pairs_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_in(batch["doc_id"], value_set=needed))
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            flat, counts = _token_hash_segments(b["text"].to_pylist())
+            sets = _shingle_hashes(flat, counts)
+            pair_ids, doc_ids, shingles = [], [], []
+            for d, s in zip(ids, sets):
+                for pid in self.pairs_of[int(d)]:
+                    pair_ids.append(pid)
+                    doc_ids.append(int(d))
+                    shingles.append(s)
+            return pa.table({
+                "pair_id": pa.array(pair_ids, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "shingles": pa.array([s.tolist() for s in shingles],
+                                     pa.list_(pa.uint64())),
+            })
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if len(group) != 2:
+            return empty
+        sa, sb = (set(s) for s in group["shingles"])
         j = len(sa & sb) / max(len(sa | sb), 1)
-        if j >= threshold:
-            rows["doc_a"].append(a)
-            rows["doc_b"].append(b)
-            rows["jaccard"].append(j)
-    return pa.table({"doc_a": pa.array(rows["doc_a"], pa.int64()),
-                     "doc_b": pa.array(rows["doc_b"], pa.int64()),
-                     "jaccard": pa.array(round_away(rows["jaccard"], 6))})
+        if j < threshold:
+            return empty
+        a, b = sorted(int(d) for d in group["doc_id"])
+        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
+                             "jaccard": round_away([j], 6)})
+
+    return _read_docs(sf_dir) \
+        .map_batches(EmitShingles, fn_constructor_args=(pairs_ref,),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .groupby("pair_id").map_groups(verify, batch_format="pandas")
 
 
-class SimHasher:
-    """doc_id → 64-bit SimHash (hex) over whitespace tokens."""
+# ------------------------------------------------------------------ simhash
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch["text"].to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for w in t.split():
-                h = hash_bytes(w.encode())
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = int((acc > 0).astype(np.uint64)
-                      @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-            out.append(f"{val:016x}")
-        return pa.table({"doc_id": batch["doc_id"],
-                         "simhash": pa.array(out, pa.string())})
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → 64-bit SimHash (hex) over whitespace tokens.
+
+    Vectorized: blake2b once per unique token in the batch, the ±1 bit
+    contributions of all tokens as one ``(n_tokens, 64)`` matrix,
+    per-doc sums via ``np.add.reduceat`` — no per-word Python loop."""
+    texts = batch["text"].to_pylist()
+    flat, counts = _token_hash_segments(texts)
+    ndocs = len(counts)
+    acc = np.zeros((ndocs, 64), dtype=np.int64)
+    if len(flat):
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+                   .astype(np.int64) * 2 - 1)           # (n_tokens, 64)
+        nonzero = np.flatnonzero(counts)
+        starts = (np.cumsum(counts) - counts)[nonzero]
+        acc[nonzero] = np.add.reduceat(contrib, starts, axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    vals = ((acc > 0).astype(np.uint64) * weights[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+    out = [f"{v:016x}" for v in vals]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "simhash": pa.array(out, pa.string())})
 
 
 def simhashes(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
-                                          concurrency=pool_size())
+    return _read_docs(sf_dir).map_batches(simhash_batch,
+                                          batch_format="pyarrow")

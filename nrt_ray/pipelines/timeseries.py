@@ -19,7 +19,8 @@ from nrt_ray.pipelines.relational import round_away
 from nrt_ray.stages import compress, rollup
 from nrt_ray.stages.assemble import (add_bucket_column, assemble_series,
                                      padded_matrices)
-from nrt_ray.stages.fit_monitor import SeriesFitMonitor, batched_masked_ols
+from nrt_ray.stages.fit_monitor import (SeriesFitMonitor, batched_masked_ols,
+                                        regressor_tensor)
 
 US = 1_000_000
 
@@ -48,32 +49,69 @@ def rollup_events(sf_dir: str, tier_name: str, gapfill: bool = False):
     with the per-url kernel fused after the one shuffle."""
     spec = rollup.TierSpec(tier_name, gapfill=gapfill)
 
+    def _stable_fill_means(t: pa.Table) -> np.ndarray:
+        """v_mean with gap-filled rows re-interpolated from the ROUNDED
+        neighbour means.  Rounded neighbours are exact decimal doubles on
+        both engines, and the lerp is the same op sequence, so the result
+        is bit-identical to the SQL oracle — the unrounded-neighbour lerp
+        (the pipeline semantics, pytest-oracled) differs from DuckDB in
+        the last ulp when the bucket sums disagree in summation order."""
+        # observed means from exact integer cents: the event values are
+        # 2-decimal, so rint(sum·100) recovers the exact cent total and
+        # (cents/100)/count is the same correctly-rounded op sequence as
+        # the oracle's sum(CAST(round(value·100) AS BIGINT))/100.0/count —
+        # bit-identical even when the mean sits exactly on a rounding
+        # boundary (count=8 → .xxx5 halfway cases flip otherwise)
+        cnt = t["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = t["sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vm = round_away(np.rint(sums * 100.0) / 100.0 / cnt, 4)
+        gf = t["gapfilled"].to_numpy(zero_copy_only=False)
+        if not gf.any():
+            return vm
+        n = len(vm)
+        idx = np.arange(n)
+        bts = t["bucket_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        last = np.maximum.accumulate(np.where(~gf, idx, -1))
+        nxt = n - 1 - np.maximum.accumulate(
+            np.where(~gf[::-1], idx, -1))[::-1]
+        with np.errstate(invalid="ignore"):
+            frac = (bts - bts[last]) / (bts[nxt] - bts[last])
+        filled = vm[last] * (1 - frac) + vm[nxt] * frac
+        out = vm.copy()
+        out[gf] = round_away(filled[gf], 4)
+        return out
+
     def per_bucket(series: pa.Table) -> pa.Table:
         t = rollup.rollup_series_table(series, tiers=[spec])[tier_name]
         # v_sum instead of v_mean in the SQL-checked projection: sums of
         # 2-decimal data land far from 4-decimal rounding boundaries, while
         # means hit exact .5 boundaries (count=8 → .xxx125) where float
         # summation order would flip the rounded digit between engines
-        return pa.table({
+        # from_pandas=True: gap-filled rows have NaN sum/min/max/last →
+        # stored as Arrow nulls, matching the SQL oracle's NULLs
+        out = pa.table({
             "user_id": _user_col(t),
             "bucket_ts": t["bucket_ts"],
             "n_obs": t["count"],
-            "v_sum": pa.array(round_away(t["sum"], 4)),
-            "v_mean": pa.array(round_away(t["mean"], 4)),
-            "v_min": pa.array(round_away(t["min"], 4)),
-            "v_max": pa.array(round_away(t["max"], 4)),
-            "v_last": pa.array(round_away(t["last"], 4)),
+            "v_sum": pa.array(round_away(t["sum"], 4), from_pandas=True),
+            "v_mean": pa.array(_stable_fill_means(t) if gapfill
+                               else round_away(t["mean"], 4)),
+            "v_min": pa.array(round_away(t["min"], 4), from_pandas=True),
+            "v_max": pa.array(round_away(t["max"], 4), from_pandas=True),
+            "v_last": pa.array(round_away(t["last"], 4),
+                               from_pandas=True),
             "gapfilled": t["gapfilled"],
         })
+        if not gapfill:
+            # v_mean stays out of the SQL-checked projection (see note
+            # above); the gapfill variant keeps it (checked by its own
+            # DuckDB generate_series oracle + pytest bit-for-bit)
+            out = out.drop_columns(["gapfilled", "v_mean"])
+        return out
 
-    out = _series_dataset(sf_dir).map_batches(per_bucket,
-                                              batch_format="pyarrow")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    if not gapfill:
-        # v_mean stays out of the SQL-checked projection (see note above);
-        # the gapfill variant keeps it and is pytest-oracled instead
-        t = t.drop_columns(["gapfilled", "v_mean"])
-    return t
+    return _series_dataset(sf_dir).map_batches(per_bucket,
+                                               batch_format="pyarrow")
 
 
 def fit_ols_trend(sf_dir: str):
@@ -102,19 +140,34 @@ def fit_ols_trend(sf_dir: str):
             "slope": pa.array(round_away(slope, 8)),
         })
 
-    out = _series_dataset(sf_dir).map_batches(fit_batch,
-                                              batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _series_dataset(sf_dir).map_batches(fit_batch,
+                                               batch_format="pyarrow")
 
 
 def monitor_events(sf_dir: str, strategy: str, monitor_start="2024-01-22",
-                   monitor_params=None, fit_method="OLS"):
+                   monitor_params=None, fit_method=None,
+                   screen_outliers=None):
     """Sequential change monitoring per user (non-SQL-expressible: the
-    process is an order-sensitive recursion)."""
-    params = {"trend": False, "harmonic_order": 0}
+    process is an order-sensitive recursion).
+
+    ``screen_outliers`` defaults to None (not the strategy default): the
+    events table carries no auxiliary signal columns, so CCDC's default
+    CCDC_RIRLS screening would raise — the webtext pipeline, whose
+    ``ExtractSignal`` emits ``aux_green``/``aux_swir``, exercises it.
+    """
+    defaults = {"EWMA": {"trend": False, "harmonic_order": 0},
+                "CUSUM": {"trend": False, "harmonic_order": 0},
+                "IQR": {"trend": False, "harmonic_order": 0},
+                # MOSUM's ROC fit and CCDC's stable fit need a trend column
+                "MOSUM": {"trend": True, "harmonic_order": 0},
+                "CCDC": {"trend": True, "harmonic_order": 0}}
+    params = dict(defaults.get(strategy, {}))
     params.update(monitor_params or {})
+    if fit_method is None and strategy in ("EWMA", "CUSUM", "IQR"):
+        fit_method = "OLS"
     stage = SeriesFitMonitor(strategy=strategy, monitor_start=monitor_start,
                              fit_method=fit_method,
+                             screen_outliers=screen_outliers,
                              monitor_params=params)
 
     def run(series: pa.Table) -> pa.Table:
@@ -129,8 +182,54 @@ def monitor_events(sf_dir: str, strategy: str, monitor_start="2024-01-22",
             "process": pa.array(round_away(proc.astype(np.float64), 6)),
         })
 
-    out = _series_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _series_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def fit_events(sf_dir: str, fit_method: str):
+    """Per-user history fit with the reference's robust / stable methods
+    (RIRLS / ROC / CCDC-stable; ``/root/reference/nrt/fit_methods.py:74-323``)
+    over a trend design.  Emits intercept/slope plus the stability verdict
+    for the stable methods.  Iterative/sequential — no SQL oracle; the
+    kernels are golden-tested against statsmodels RLM / strucchange in
+    ``tests/test_kernels.py``.
+    """
+    from nrt_ray.kernels import fit as fit_kernels
+    from nrt_ray.kernels.efp import rec_cusum_crit
+    crit = rec_cusum_crit(0.05) if fit_method == "ROC" else None
+
+    def fit_batch(series: pa.Table) -> pa.Table:
+        mats = padded_matrices(series)
+        X3 = regressor_tensor(mats["days"], mats["dyear"], True, 0)
+        K = len(mats["length"])
+        beta = np.zeros((X3.shape[2], K))
+        stable = np.ones(K, dtype=bool)
+        for i in range(K):
+            n = int(mats["length"][i])
+            X = X3[:n, i, :]
+            y = mats["value"][:n, i:i + 1]
+            d = mats["days"][:n, i]
+            if fit_method == "RIRLS":
+                b = fit_kernels.rirls(X, y)[0]
+            elif fit_method == "ROC":
+                b, _, st, _ = fit_kernels.roc_stable_fit(
+                    X, y, d, alpha=0.05, crit=crit)
+                stable[i] = bool(st[0])
+            elif fit_method == "CCDC-stable":
+                b, _, st, _ = fit_kernels.ccdc_stable_fit(X, y, d,
+                                                          threshold=3)
+                stable[i] = bool(st[0])
+            else:
+                raise ValueError(f"Unknown fit method {fit_method!r}")
+            beta[:, i] = np.nan_to_num(b[:, 0])
+        return pa.table({
+            "user_id": _user_col(series),
+            "intercept": pa.array(round_away(beta[0], 5)),
+            "slope": pa.array(round_away(beta[1], 8)),
+            "stable": pa.array(stable),
+        })
+
+    return _series_dataset(sf_dir).map_batches(fit_batch,
+                                               batch_format="pyarrow")
 
 
 def segments_events(sf_dir: str, tier_name: str = "1d"):
@@ -159,6 +258,5 @@ def segments_events(sf_dir: str, tier_name: str = "1d"):
             "decode_ok": pa.array(ok, pa.bool_()),
         })
 
-    out = _series_dataset(sf_dir).map_batches(seg_batch,
-                                              batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _series_dataset(sf_dir).map_batches(seg_batch,
+                                               batch_format="pyarrow")

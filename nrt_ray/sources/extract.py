@@ -61,10 +61,14 @@ class ExtractSignal:
         verify: when True, additionally re-extract text from ``html`` and
             raise if any row's stored ``text`` differs byte-for-byte (the
             extraction invariant); costs one regex pass over the html.
+        aux: when True, also emit the ``aux_green``/``aux_swir`` secondary
+            signals (needed only for CCDC_RIRLS outlier screening — off by
+            default so the shuffle stays as narrow as possible).
     """
 
-    def __init__(self, verify: bool = False):
+    def __init__(self, verify: bool = False, aux: bool = False):
         self.verify = verify
+        self.aux = aux
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -90,7 +94,34 @@ class ExtractSignal:
             "value": value,
             "days": pa.array(days, pa.int32()),
             "dyear": pa.array(dyear, pa.float64()),
+            **(aux_signals(text) if self.aux else {}),
         })
+
+
+def aux_signals(text: pa.ChunkedArray | pa.Array) -> dict:
+    """Secondary per-snapshot signals for CCDC_RIRLS outlier screening.
+
+    The reference screens NDVI outliers with two auxiliary bands
+    (green residual > 0.04·sf = cloud, SWIR residual < −0.04·sf = shadow;
+    ``/root/reference/nrt/outliers.py:60-95``).  The webtext analogs:
+
+    * ``aux_green``: text length (10-kB units) — bloats when a page is
+      replaced by an interstitial / error page (the "cloud" analog);
+    * ``aux_swir``: punctuation density — collapses when real prose is
+      replaced by boilerplate (the "shadow" analog).
+
+    Both are deterministic Arrow-kernel computations over the extracted
+    text, so the distributed fit path and the shared-axis oracle see
+    bit-identical matrices.
+    """
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"),
+                      pa.float64())
+    return {
+        "aux_green": pc.divide(n_chars, pa.scalar(1e4)),
+        "aux_swir": pc.divide(n_punct,
+                              pc.max_element_wise(n_chars, pa.scalar(1.0))),
+    }
 
 
 def timestamp_features(ts: pa.ChunkedArray | pa.Array):

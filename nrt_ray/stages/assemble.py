@@ -74,7 +74,8 @@ def assemble_series(batch: pa.Table) -> pa.Table:
                 pa.timestamp("us"))),
     }
     for name, typ in (("value", pa.float64()), ("days", pa.int32()),
-                      ("dyear", pa.float64())):
+                      ("dyear", pa.float64()), ("aux_green", pa.float64()),
+                      ("aux_swir", pa.float64())):
         if name in batch.column_names:
             flat = batch.column(name).to_numpy(zero_copy_only=False)[keep]
             cols[name] = pa.ListArray.from_arrays(pa.array(offsets),
@@ -134,4 +135,8 @@ def padded_matrices(series: pa.Table):
                   .cast(pa.int64()).to_numpy(zero_copy_only=False),
                   0, np.int64),
     }
+    for aux in ("aux_green", "aux_swir"):
+        if aux in series.column_names:
+            out[aux] = pad(flat_of(aux).astype(np.float64), np.nan,
+                           np.float64)
     return out

@@ -17,6 +17,14 @@ Both phases are embarrassingly parallel; all data moves through the object
 store exactly once (any shuffle materializes its input).  Partitioning is
 by the same pinned ``hash(url) % P`` column, so resume/increment
 co-partitioning is unchanged.
+
+Pipelining: input blocks are consumed via ``iter_internal_ref_bundles``,
+so split tasks launch while the upstream Dataset is still executing (no
+driver-side materialization barrier before the shuffle), and each reduce
+task starts as soon as its own split inputs exist — Ray's ref scheduling
+provides the only barrier a shuffle inherently needs.  Reduce results are
+collected with ``ray.wait`` as they finish rather than one final
+``ray.get`` gate.
 """
 
 from __future__ import annotations
@@ -45,6 +53,15 @@ def _split_block(block: pa.Table, num_partitions: int):
     return tuple(out)
 
 
+def _iter_block_refs(ds):
+    """Yield the dataset's block refs as they are produced (streaming)."""
+    for bundle in ds.iter_internal_ref_bundles():
+        refs = getattr(bundle, "block_refs", None)
+        if refs is None:  # older RefBundle layout: .blocks = [(ref, meta)]
+            refs = [r for r, _ in bundle.blocks]
+        yield from refs
+
+
 def exchange_map_groups(ds, num_partitions: int, process_fn,
                         num_cpus_per_reduce: float = 1.0) -> list:
     """Run ``process_fn`` once per pid partition of ``ds``.
@@ -58,7 +75,6 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
     Returns:
         list of result tables (one per non-empty partition).
     """
-    split_remote = ray.remote(num_returns=num_partitions)(_split_block)
 
     def _reduce(pid: int, *tables):
         parts = [t for t in tables if t is not None and t.num_rows]
@@ -68,13 +84,26 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
 
     reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
 
-    block_refs = ds.to_arrow_refs()
-    split_refs = [split_remote.remote(ref, num_partitions)
-                  for ref in block_refs]
     if num_partitions == 1:
-        split_refs = [[r] for r in split_refs]
-    out_refs = [reduce_remote.remote(p, *[split_refs[b][p]
-                                          for b in range(len(split_refs))])
-                for p in range(num_partitions)]
-    results = ray.get(out_refs)
-    return [r for r in results if r is not None]
+        # degenerate exchange: no split phase — every block feeds the one
+        # reduce task directly
+        block_refs = list(_iter_block_refs(ds))
+        out_refs = [reduce_remote.remote(0, *block_refs)]
+    else:
+        split_remote = ray.remote(num_returns=num_partitions)(_split_block)
+        # submit split tasks as upstream blocks stream in (pipelined)
+        split_refs = [split_remote.remote(ref, num_partitions)
+                      for ref in _iter_block_refs(ds)]
+        out_refs = [reduce_remote.remote(p,
+                                         *[split_refs[b][p]
+                                           for b in range(len(split_refs))])
+                    for p in range(num_partitions)]
+
+    results = []
+    pending = list(out_refs)
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        r = ray.get(done[0])
+        if r is not None:
+            results.append(r)
+    return results

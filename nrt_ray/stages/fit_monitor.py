@@ -67,8 +67,11 @@ def split_history_monitor(mats: dict, monitor_start_us: int):
         cidx = col_idx[flag]
         ridx = row_idx[flag] - offset[cidx]
         out = {"length": lengths}
-        spec = (("value", np.nan, np.float64), ("days", 0, np.int64),
-                ("dyear", np.nan, np.float64), ("ts", 0, np.int64))
+        spec = [("value", np.nan, np.float64), ("days", 0, np.int64),
+                ("dyear", np.nan, np.float64), ("ts", 0, np.int64)]
+        for aux in ("aux_green", "aux_swir"):
+            if aux in mats:
+                spec.append((aux, np.nan, np.float64))
         for name, fill, dtype in spec:
             flat = mats[name][row_idx, col_idx][flag]
             out[name] = _pad_parts(flat, cidx, ridx, (Tp, K), fill, dtype)
@@ -212,6 +215,31 @@ class SeriesFitMonitor:
                 warnings.simplefilter("ignore", RuntimeWarning)
                 sigma0 = np.nanstd(resid0, axis=0)
                 y = np.where(np.abs(resid0) > L * sigma0, np.nan, y)
+        elif self.screen_outliers == "CCDC_RIRLS":
+            # two-band robust screening (reference nrt/outliers.py:60-95):
+            # RIRLS-fit both auxiliary signals, drop observations where
+            # green_resid > 0.04·sf or swir_resid < −0.04·sf
+            if "aux_green" not in hist or "aux_swir" not in hist:
+                raise ValueError(
+                    "CCDC_RIRLS screening requires aux_green/aux_swir "
+                    "columns in the series batch (emitted by ExtractSignal; "
+                    "absent from this input). Pass screen_outliers=None to "
+                    "fit without screening.")
+            sf_ = float(self.fit_params.get("scaling_factor", 1.0))
+            _, g_resid = self._per_series_fit(
+                fit_kernels.rirls, X3, hist["aux_green"], hist,
+                with_dates=False)
+            _, s_resid = self._per_series_fit(
+                fit_kernels.rirls, X3, hist["aux_swir"], hist,
+                with_dates=False)
+            with np.errstate(invalid="ignore"):
+                is_out = ((g_resid > 0.04 * sf_)
+                          | (s_resid < -0.04 * sf_))
+            y = np.where(is_out, np.nan, y)
+        elif self.screen_outliers is not None:
+            raise ValueError(
+                f"Unknown screen_outliers {self.screen_outliers!r}")
+        if self.screen_outliers is not None:
             newly_short = short_mask(y) & (status == MONITORED)
             status[newly_short] = TOO_SHORT
             y = np.where(status[None, :] == MONITORED, y, np.nan)

@@ -13,6 +13,15 @@ from nrt_ray.pipelines import similarity as sim
 from nrt_ray.pipelines import textops as tx
 
 
+def _tbl(res):
+    """Materialize an operator result (Dataset or Table) as pa.Table."""
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return res
+
+
+
 @pytest.fixture(scope="module")
 def planted_dir(tmp_path_factory):
     """documents + embeddings tables with planted near-dups."""
@@ -60,7 +69,7 @@ def planted_dir(tmp_path_factory):
 
 
 def test_minhash_finds_planted_near_dups(ray_session, planted_dir):
-    verified = tx.jaccard_verify(planted_dir, threshold=0.5)
+    verified = _tbl(tx.jaccard_verify(planted_dir, threshold=0.5))
     pairs = set(zip(verified["doc_a"].to_pylist(),
                     verified["doc_b"].to_pylist()))
     for j in range(5):
@@ -71,7 +80,7 @@ def test_minhash_finds_planted_near_dups(ray_session, planted_dir):
 
 
 def test_exact_dedup_planted(ray_session, planted_dir):
-    t = tx.dedup_exact(planted_dir)
+    t = _tbl(tx.dedup_exact(planted_dir))
     copies = dict(zip(t["fingerprint"].to_pylist(),
                       t["n_copies"].to_pylist()))
     assert max(copies.values()) == 2  # doc 6 == doc 200
@@ -112,15 +121,15 @@ def test_lang_id_recovers_stopword_language(ray_session, tmp_path):
 
 
 def test_embedding_near_dup_pairs_planted(ray_session, planted_dir):
-    t = sim.near_dup_pairs_cosine(planted_dir, threshold=0.999)
+    t = _tbl(sim.near_dup_pairs_cosine(planted_dir, threshold=0.999))
     pairs = set(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()))
     for j in range(3):
         assert (j, 300 + j) in pairs
 
 
 def test_lsh_topk_recall_vs_bruteforce(ray_session, planted_dir):
-    exact = sim.topk_cosine(planted_dir, k=5)
-    approx = sim.lsh_topk_cosine(planted_dir, k=5)
+    exact = _tbl(sim.topk_cosine(planted_dir, k=5))
+    approx = _tbl(sim.lsh_topk_cosine(planted_dir, k=5))
     exact_ids = set(exact["vec_id"].to_pylist())
     approx_ids = set(approx["vec_id"].to_pylist())
     # LSH with 1-bit neighbourhood should recover most of the true top-5
