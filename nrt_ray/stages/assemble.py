@@ -34,11 +34,49 @@ def bucket_of(urls, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
-def add_bucket_column(batch: pa.Table, num_buckets: int) -> pa.Table:
+_SALT_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def add_bucket_column(batch: pa.Table, num_buckets: int,
+                      hot_urls=None, slice_us: int | None = None) -> pa.Table:
+    """Append the partition id column ``pid = hash(url) % P``.
+
+    Hot-url salting (SURVEY §4): rows of urls in ``hot_urls`` are salted by
+    time slice — ``pid = mix(hash(url), warc_ts // slice_us) % P`` — so one
+    mega-url's rows spread over many partitions instead of melting a single
+    reduce task.  Each salt slice holds a contiguous time range; the merge
+    phase re-concatenates them (see monitor_pipeline.merge_hot_partitions).
+    """
     urls = batch.column("url").to_pandas().to_numpy(dtype=object)
-    return batch.append_column("pid",
-                               pa.array(bucket_of(urls, num_buckets),
-                                        pa.int32()))
+    pid = bucket_of(urls, num_buckets)
+    if hot_urls:
+        mask = np.isin(urls, np.asarray(sorted(hot_urls), dtype=object))
+        if mask.any():
+            h = pd.util.hash_array(urls[mask], categorize=False)
+            ts = batch.column("warc_ts").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[mask]
+            salt = (ts // np.int64(slice_us)).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hh = (h ^ (salt * _SALT_MULT)) * _SALT_MULT
+            pid[mask] = (hh % np.uint64(num_buckets)).astype(np.int32)
+    return batch.append_column("pid", pa.array(pid, pa.int32()))
+
+
+def flatten_series(series: pa.Table) -> pa.Table:
+    """Inverse of :func:`assemble_series`: series rows back to flat rows
+    (url, warc_ts, value, days, dyear[, aux...]) — used by the hot-url
+    merge phase to re-concatenate time-sliced sub-series."""
+    n = series.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    urls = series.column("url").to_pandas().to_numpy(dtype=object)
+    cols: dict[str, pa.Array] = {
+        "url": pa.array(np.repeat(urls, n), pa.string()),
+        "warc_ts": series.column("ts").combine_chunks().flatten(),
+    }
+    for name in series.column_names:
+        if name in ("url", "n", "ts"):
+            continue
+        cols[name] = series.column(name).combine_chunks().flatten()
+    return pa.table(cols)
 
 
 def assemble_series(batch: pa.Table) -> pa.Table:

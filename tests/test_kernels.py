@@ -126,9 +126,32 @@ def test_mosum_crit_validation(kwargs):
 
 
 def test_mosum_crit_pinned_value():
-    # golden boundary row (pre-asymptotic regime) = crit·√2
+    # golden boundary row (pre-asymptotic regime) = crit·√2; the anchor
+    # entry of the simulated table is pinned bit-exactly to the golden
     assert efp.mosum_crit(0.05, h=0.25) * np.sqrt(2.0) == \
-        pytest.approx(1.89762642047451)
+        1.89762642047451
+
+
+def test_mosum_crit_full_reference_domain():
+    """The simulated table serves the reference's whole (h, period, alpha)
+    grid (``/root/reference/nrt/utils_efp.py:145-166``) with sane
+    monotonicity: crit grows with period (longer monitoring → higher sup)
+    and decreases with alpha (tighter significance → higher crit)."""
+    prev_by_h = {}
+    for h in (0.25, 0.5, 1.0):
+        for period in (2, 4, 6, 8, 10):
+            c05 = efp.mosum_crit(0.05, h=h, period=period)
+            c01 = efp.mosum_crit(0.01, h=h, period=period)
+            c001 = efp.mosum_crit(0.001, h=h, period=period)
+            assert 0.5 < c05 < c01 < c001 < 5.0, (h, period)
+            if h in prev_by_h:
+                assert c05 >= prev_by_h[h] - 1e-9, (h, period)
+            prev_by_h[h] = c05
+    # interpolation between simulated sig levels is monotone too
+    a = efp.mosum_crit(0.05, h=0.5, period=10)
+    b = efp.mosum_crit(0.045, h=0.5, period=10)
+    c = efp.mosum_crit(0.04, h=0.5, period=10)
+    assert a <= b <= c
 
 
 # ----------------------------------------------------------------------- fit

@@ -1,0 +1,119 @@
+"""Hot-url salting: a url with ~100× cadence is split across partitions by
+time slice and merged back — outputs must be bit-identical to the unsalted
+plan, and unskewed runs must not change at all."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from nrt_ray.pipelines import monitor_pipeline as mp
+from nrt_ray.sources import synthetic
+from nrt_ray.stages import rollup
+
+US = 1_000_000
+
+TIERS = (rollup.TierSpec("1d"), rollup.TierSpec("1w"))
+
+
+@pytest.fixture(scope="module")
+def skewed_webtext(tmp_path_factory):
+    """Synthetic crawl + ONE url at ~100× the cadence of the others."""
+    d = tmp_path_factory.mktemp("wt_skew")
+    info = synthetic.generate_webtext(str(d), n_urls=32, seed=17)
+    t = pq.read_table(info["webtext"])
+    # clone the schema-compatible rows of one existing url into an
+    # hourly-cadence mega-url spanning the same period
+    rng = np.random.default_rng(5)
+    ts0 = int(pc.min(t.column("warc_ts")).cast(pa.int64()).as_py())
+    ts1 = int(pc.max(t.column("warc_ts")).cast(pa.int64()).as_py())
+    hours = np.arange(ts0, ts1, 3600 * US, dtype=np.int64)
+    vals = 0.5 + 0.05 * rng.standard_normal(len(hours))
+    texts = [f"snapshot ndvi:{v:.6f} hot page" for v in vals]
+    htmls = [f"<html><p>{x}</p></html>".encode() for x in texts]
+    hot = pa.table({
+        "url": pa.array(["https://hot.example.com/live"] * len(hours),
+                        pa.string()),
+        "warc_ts": pa.array(hours, pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(hours), pa.string()),
+    })
+    merged = pa.concat_tables([t.select(hot.column_names), hot])
+    path = str(d / "skewed.parquet")
+    pq.write_table(merged, path)
+    return path, len(hours)
+
+
+def _read_all(out, name):
+    t = mp.read_output_table(out, name)
+    order = pc.sort_indices(t, sort_keys=[
+        (c, "ascending") for c in ("url", "bucket_ts", "seg_start")
+        if c in t.column_names])
+    return t.take(order)
+
+
+def test_salted_equals_unsalted(ray_session, skewed_webtext, tmp_path):
+    path, hot_rows = skewed_webtext
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=6,
+                  tiers=TIERS)
+    mp.run_pipeline(path, str(tmp_path / "plain"), **common)
+    summary = mp.run_pipeline(path, str(tmp_path / "salted"),
+                              salt_threshold=1000, **common)
+    # the hot url was detected and deferred to the merge phase
+    assert summary["partitions_processed"] > common["num_partitions"] - 1
+
+    # state floats come from reductions over padded (T, K) batches whose K
+    # differs between the plans → last-ulp tolerance; everything computed
+    # per url independently (rollups, segments, ints, codes) is bitwise
+    for name in ("state", "alerts", "rollup_1d", "rollup_1w", "segments"):
+        a = _read_all(str(tmp_path / "plain"), name)
+        b = _read_all(str(tmp_path / "salted"), name)
+        assert a.num_rows == b.num_rows, name
+        state_like = name in ("state", "alerts")
+        for col in a.column_names:
+            ca, cb = a.column(col), b.column(col)
+            if pa.types.is_floating(ca.type):
+                va = ca.to_numpy(zero_copy_only=False)
+                vb = cb.to_numpy(zero_copy_only=False)
+                if state_like:
+                    np.testing.assert_allclose(va, vb, rtol=1e-9,
+                                               atol=1e-12, equal_nan=True,
+                                               err_msg=f"{name}.{col}")
+                else:
+                    np.testing.assert_array_equal(
+                        va.view(np.uint64), vb.view(np.uint64),
+                        err_msg=f"{name}.{col}")
+            elif pa.types.is_list(ca.type) and state_like:
+                la = [np.asarray(x, dtype=np.float64)
+                      for x in ca.to_pylist()]
+                lb = [np.asarray(x, dtype=np.float64)
+                      for x in cb.to_pylist()]
+                for x, y in zip(la, lb):
+                    np.testing.assert_allclose(x, y, rtol=1e-9,
+                                               atol=1e-12, equal_nan=True,
+                                               err_msg=f"{name}.{col}")
+            else:
+                assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
+
+
+def test_salting_disabled_by_default_identical(ray_session, skewed_webtext,
+                                               tmp_path):
+    """threshold=None (default): no detection pass, no hot partitions."""
+    path, _ = skewed_webtext
+    summary = mp.run_pipeline(path, str(tmp_path / "o"), strategy="EWMA",
+                              monitor_params={"trend": False},
+                              monitor_start="2021-01-01",
+                              num_partitions=4, tiers=TIERS)
+    assert summary["partitions_processed"] <= 4
+
+
+def test_detect_hot_urls(ray_session, skewed_webtext):
+    path, hot_rows = skewed_webtext
+    hot = mp.detect_hot_urls(path, threshold=1000)
+    assert hot == {"https://hot.example.com/live"}
+    assert mp.detect_hot_urls(path, threshold=hot_rows + 1) == set()
