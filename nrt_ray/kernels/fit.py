@@ -25,14 +25,28 @@ MIN_SPAN_DAYS = 183  # half a year — minimum history span for stable fits
 
 
 def _solve_normal(Xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Solve the normal equations; SVD pseudo-inverse fallback for
-    singular suffixes (e.g. all observations on one day under a trend
-    design — arbitrary web data hits this, a raster never does)."""
-    XtX, Xty = Xs.T @ Xs, Xs.T @ ys
+    """Solve the least-squares system via *centered* normal equations
+    (intercept column 0 eliminated by centering — conditioning of the
+    centered regressors instead of ``cond(X)²``), with an SVD
+    pseudo-inverse fallback for singular suffixes (e.g. all observations
+    on one day under a trend design — arbitrary web data hits this, a
+    raster never does)."""
+    xbar = Xs.mean(axis=0)
+    ybar = ys.mean(axis=0)                       # scalar or (p,)
+    if Xs.shape[1] == 1:
+        return np.full((1,) + np.shape(ybar), ybar)[0][None] \
+            if ys.ndim > 1 else np.atleast_1d(ybar)
+    Xc = Xs[:, 1:] - xbar[1:]
+    yc = ys - ybar
+    A, b = Xc.T @ Xc, Xc.T @ yc                  # b: (k-1,) or (k-1, p)
     try:
-        return np.linalg.solve(XtX, Xty)
+        br = np.linalg.solve(A, b)
     except np.linalg.LinAlgError:
-        return np.linalg.pinv(XtX) @ Xty
+        br = np.linalg.pinv(A) @ b
+    b0 = ybar - xbar[1:] @ br                    # scalar or (p,)
+    if ys.ndim > 1:
+        return np.vstack([np.atleast_1d(b0), br])
+    return np.concatenate([np.atleast_1d(b0), np.atleast_1d(br)])
 
 
 def ols(X: np.ndarray, y: np.ndarray):

@@ -48,10 +48,15 @@ def nanlstsq(X: np.ndarray, y: np.ndarray) -> np.ndarray:
 
     Equivalent to solving ``lstsq(X[finite], y[finite, m])`` independently
     per column ``m`` (reference ``nrt/stats.py:20-68``), but via batched
-    normal equations.
+    *centered* normal equations: the intercept column is eliminated by
+    weighted centering, which drops the condition number from
+    ``cond(X)²`` (raw normal equations — ~1e9 for a days-since-epoch
+    trend column) to that of the centered regressors (~1e2), i.e. the
+    solution agrees with a QR/SVD solve to ~1e-12 relative.
 
     Args:
-        X: ``(n, k)`` design matrix.
+        X: ``(n, k)`` design matrix with an all-ones intercept column 0
+            (all design matrices in this engine have one).
         y: ``(n, m)`` observations with NaN for missing.
 
     Returns:
@@ -59,9 +64,27 @@ def nanlstsq(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     """
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    XtX, Xty, _ = masked_normal_equations(X, y)
-    beta = np.linalg.solve(XtX, Xty[..., None])[..., 0]  # (m, k)
-    return beta.T
+    valid = np.isfinite(y)
+    w = valid.astype(np.float64)
+    y0 = np.where(valid, y, 0.0)
+    n, k = X.shape
+    m = y.shape[1]
+    sw = w.sum(axis=0)                                    # (m,)
+    swc = np.maximum(sw, 1.0)
+    xbar = np.einsum("nk,nm->mk", X, w) / swc[:, None]    # (m, k)
+    ybar = (w * y0).sum(axis=0) / swc                     # (m,)
+    if k == 1:
+        return ybar[None, :].copy()
+    Xc = X[None, :, 1:] - xbar[:, None, 1:]               # (m, n, k-1)
+    yc = (y0 - ybar[None, :]).T                           # (m, n)
+    A = np.einsum("mni,nm,mnj->mij", Xc, w, Xc, optimize=True)
+    b = np.einsum("mni,mn->mi", Xc, w.T * yc, optimize=True)
+    try:
+        br = np.linalg.solve(A, b[..., None])[..., 0]     # (m, k-1)
+    except np.linalg.LinAlgError:
+        br = (np.linalg.pinv(A) @ b[..., None])[..., 0]
+    b0 = ybar - np.einsum("mi,mi->m", br, xbar[:, 1:])
+    return np.concatenate([b0[:, None], br], axis=1).T    # (k, m)
 
 
 def mad(resid: np.ndarray, c: float = 0.6745, axis=None) -> np.ndarray:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from nrt_ray.pipelines import monitor_oracles as mo
 from nrt_ray.pipelines import relational as rel
 from nrt_ray.pipelines import similarity as sim
 from nrt_ray.pipelines import textops as tx
@@ -294,6 +295,59 @@ def oracle_sql() -> dict:
                          x -> x::DOUBLE * x::DOUBLE))), 5) AS l2_norm
             FROM embeddings
         """,
+        # sequential monitors: the full fit → seed → sequential-update →
+        # freeze-at-break semantics, expressed with window functions over
+        # the unfrozen trajectory + first-crossing extraction (see
+        # nrt_ray/pipelines/monitor_oracles.py) — exact incl. status
+        # codes, detection dates and the frozen process value
+        "monitor_ewma_events": mo.ewma_sql(),
+        "monitor_cusum_events": mo.cusum_sql(),
+        "monitor_iqr_events": mo.iqr_sql(),
+        "monitor_ccdc_events": mo.ccdc_sql(),
+        "monitor_mosum_events": mo.mosum_sql(),
+        # CCDC-stable fit over the 30-day events table: the shrink loop
+        # exits on the half-year span rule after the first full-history
+        # OLS, so the oracle is that OLS + the three stability conditions
+        # (kernels/fit.py ccdc_stable_fit; reference
+        # /root/reference/nrt/fit_methods.py:166-251)
+        "fit_ccdc_stable_events": """
+            WITH f1 AS (
+                SELECT user_id, count(*) AS nh,
+                       avg(CAST(floor(epoch(ts)/86400) AS DOUBLE)) AS ad,
+                       avg(value) AS av
+                FROM events GROUP BY user_id
+            ),
+            fit0 AS (
+                SELECT e.user_id, any_value(f.ad) AS ad,
+                       any_value(f.av) AS av,
+                       sum((floor(epoch(e.ts)/86400) - f.ad)
+                           * (e.value - f.av))
+                       / sum((floor(epoch(e.ts)/86400) - f.ad)
+                             * (floor(epoch(e.ts)/86400) - f.ad)) AS b1
+                FROM events e JOIN f1 f USING (user_id)
+                GROUP BY e.user_id
+            ),
+            fit AS (SELECT user_id, ad, av, b1, av - ad * b1 AS b0
+                    FROM fit0),
+            resid AS (
+                SELECT e.user_id, e.ts,
+                       (f.b0 + f.b1 * floor(epoch(e.ts)/86400))
+                           - e.value AS r
+                FROM events e JOIN fit f USING (user_id)
+            ),
+            fstat AS (
+                SELECT user_id, sqrt(avg(r * r)) AS rmse,
+                       arg_min(r, ts) AS r_first, arg_max(r, ts) AS r_last
+                FROM resid GROUP BY user_id
+            )
+            SELECT f.user_id,
+                   round(f.b0, 5) AS intercept,
+                   round(f.b1, 8) AS slope,
+                   (abs(f.b1) / fs.rmse < 3.0
+                    AND abs(fs.r_first) / fs.rmse < 3.0
+                    AND abs(fs.r_last) / fs.rmse < 3.0) AS stable
+            FROM fit f JOIN fstat fs USING (user_id)
+        """,
         "embedding_topk_cosine": """
             WITH q AS (
                 SELECT embedding AS qe FROM embeddings
@@ -307,8 +361,8 @@ def oracle_sql() -> dict:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id DESC LIMIT 10
         """,
-        # monitor_* / segments / minhash / simhash / lsh / gapfill /
-        # lang_id / jaccard: sequential state, LSH randomness or custom
-        # codecs — not SQL-expressible; rows-only driver check + pytest
-        # oracles in tests/.
+        # segments / minhash / simhash / lsh / jaccard / fit_rirls /
+        # fit_roc: custom codecs, LSH bucketing or iterative robust /
+        # sequential fits without a faithful SQL form — rows-only driver
+        # check + pytest oracles in tests/.
     }

@@ -1,0 +1,342 @@
+"""DuckDB oracle SQL for the sequential monitor catalog queries.
+
+The five monitors are order-sensitive recursions, but over the driver's
+``events`` table their exact semantics are SQL-expressible because the
+process trajectory up to the first boundary crossing does not depend on
+the post-break freeze: we compute the *unfrozen* trajectory with window
+functions, locate the first crossing, and read the frozen state there.
+
+Conventions replicated exactly from the engine
+(:mod:`nrt_ray.kernels.monitors`, :mod:`nrt_ray.stages.fit_monitor`):
+
+* history = observations strictly before ``monitor_start``; the fit runs
+  per user over the history only;
+* fit residuals carry the ``X·β − y`` sign (reference fit convention,
+  ``/root/reference/nrt/fit_methods.py:58-71``), monitoring residuals are
+  ``y − ŷ`` — seed/window/quantile state is built from the former,
+  updates consume the latter;
+* trend fits are solved by centering on the unweighted means (the same
+  algebra as the engine's centered normal equations — the 1×1 solve is a
+  division on both sides);
+* ``days`` is whole days since 1970-01-01 (timestamp truncation);
+* status codes: 1 monitored, 2 unstable, 3 break (first
+  ``|process| ≥ boundary`` in the monitor window, state frozen there),
+  4 too-short history (< 1.5·k valid observations);
+* the final ``process`` is rounded half-away-from-zero to 6 digits, like
+  the Ray side's ``round_away``.
+
+Critical values (OLS-CUSUM, MOSUM) are computed once at import by the
+same solvers the engine uses and inlined into the SQL as literals,
+mirroring the reference's driver-side pre-computation of ``crit``
+(``/root/reference/nrt/monitor/__init__.py:222-223``).
+"""
+
+from __future__ import annotations
+
+from nrt_ray.kernels.efp import mosum_crit, ols_cusum_crit
+
+MONITOR_START = "2024-01-22 00:00:00"
+
+#: shared CTE prefix: per-user history rows (time-indexed) + monitor rows
+_BASE = f"""
+WITH hist AS (
+    SELECT user_id, value,
+           CAST(floor(epoch(ts)/86400) AS DOUBLE) AS d,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+    FROM events WHERE ts < TIMESTAMP '{MONITOR_START}'
+),
+mon AS (
+    SELECT user_id, value, ts,
+           CAST(floor(epoch(ts)/86400) AS BIGINT) AS days,
+           CAST(floor(epoch(ts)/86400) AS DOUBLE) AS d,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS j
+    FROM events WHERE ts >= TIMESTAMP '{MONITOR_START}'
+),
+users AS (SELECT DISTINCT user_id FROM events)
+"""
+
+
+def _fit_k1(ddof_expr: str) -> str:
+    """Intercept-only fit (k=1): beta0 = history mean; residual std via an
+    explicit two-pass (mean of residuals, then mean squared deviation) —
+    the same op sequence as ``np.nanstd``."""
+    return f"""
+f1 AS (
+    SELECT user_id, count(*) AS nh, avg(value) AS beta0 FROM hist
+    GROUP BY user_id
+),
+f2 AS (
+    SELECT h.user_id, avg(f.beta0 - h.value) AS mean_r
+    FROM hist h JOIN f1 f USING (user_id) GROUP BY h.user_id
+),
+fit AS (
+    SELECT h.user_id, any_value(f.nh) AS nh, any_value(f.beta0) AS beta0,
+           sqrt(sum(power((f.beta0 - h.value) - f2.mean_r, 2))
+                / ({ddof_expr})) AS sigma
+    FROM hist h JOIN f1 f USING (user_id) JOIN f2 USING (user_id)
+    GROUP BY h.user_id
+)"""
+
+
+#: trend fit (k=2): centered 1×1 solve; fit residuals X·β − y
+_FIT_TREND = """
+f1 AS (
+    SELECT user_id, count(*) AS nh, avg(d) AS ad, avg(value) AS av
+    FROM hist GROUP BY user_id
+),
+fit0 AS (
+    SELECT h.user_id, any_value(f.nh) AS nh, any_value(f.ad) AS ad,
+           any_value(f.av) AS av,
+           any_value(f.av) - any_value(f.ad)
+               * (sum((h.d - f.ad) * (h.value - f.av))
+                  / sum((h.d - f.ad) * (h.d - f.ad))) AS b0,
+           sum((h.d - f.ad) * (h.value - f.av))
+               / sum((h.d - f.ad) * (h.d - f.ad)) AS b1
+    FROM hist h JOIN f1 f USING (user_id) GROUP BY h.user_id
+),
+hresid AS (
+    SELECT h.user_id, h.i, (f.b0 + f.b1 * h.d) - h.value AS r
+    FROM hist h JOIN fit0 f USING (user_id)
+)"""
+
+
+#: shared tail over a `traj(user_id, days, j, p, bound)` CTE: first
+#: crossing (state frozen there) else last value
+_CROSS_FINAL = """
+final AS (
+    SELECT user_id,
+           min(j) FILTER (WHERE abs(p) >= bound) AS jstar,
+           arg_min(days, j) FILTER (WHERE abs(p) >= bound) AS det_days,
+           coalesce(arg_min(p, j) FILTER (WHERE abs(p) >= bound),
+                    arg_max(p, j)) AS p
+    FROM traj GROUP BY user_id
+)"""
+
+
+def ewma_sql(lambda_: float = 0.3, sensitivity: float = 2.0,
+             threshold_outlier: float = 10.0) -> str:
+    lam = repr(float(lambda_))
+    om = repr(1.0 - float(lambda_))  # (1 − λ)
+    return _BASE + "," + _fit_k1("any_value(f.nh)") + f""",
+fitb AS (
+    SELECT *, {repr(float(sensitivity))} * sigma
+              * sqrt({lam} / (2.0 - {lam})) AS bound
+    FROM fit
+),
+seedt AS (
+    -- EWMA recursion over history fit residuals (beta0 − y), closed form
+    SELECT h.user_id,
+           {lam} * sum((f.beta0 - h.value) * power({om}, f.nh - h.i)) AS seed
+    FROM hist h JOIN fitb f USING (user_id) GROUP BY h.user_id
+),
+mval AS (
+    -- valid monitor obs: extreme residuals (|r| > thr·σ) are skipped
+    SELECT m.user_id, m.days, (m.value - f.beta0) AS r,
+           row_number() OVER (PARTITION BY m.user_id ORDER BY m.ts) AS v
+    FROM mon m JOIN fitb f USING (user_id)
+    WHERE NOT (abs(m.value - f.beta0)
+               > {repr(float(threshold_outlier))} * f.sigma)
+),
+traj AS (
+    SELECT mv.user_id, mv.days, mv.v AS j,
+           power({om}, mv.v)
+           * (s.seed + {lam} * sum(mv.r * power({om}, -mv.v))
+                  OVER (PARTITION BY mv.user_id ORDER BY mv.v)) AS p,
+           f.bound
+    FROM mval mv JOIN seedt s USING (user_id)
+    JOIN fitb f USING (user_id)
+),
+{_CROSS_FINAL}
+SELECT u.user_id,
+       CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
+            WHEN s.seed > f.bound THEN 2
+            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
+       CAST(CASE WHEN f.nh IS NOT NULL AND f.nh > 1
+                 AND NOT (s.seed > f.bound) AND fin.jstar IS NOT NULL
+                 THEN fin.det_days ELSE 0 END AS BIGINT) AS detection_date,
+       round(CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 0.0
+                  WHEN s.seed > f.bound THEN s.seed
+                  ELSE coalesce(fin.p, s.seed) END, 6) AS process
+FROM users u
+LEFT JOIN fitb f USING (user_id)
+LEFT JOIN seedt s USING (user_id)
+LEFT JOIN final fin USING (user_id)
+"""
+
+
+def cusum_sql(sensitivity: float = 0.05) -> str:
+    crit = repr(float(ols_cusum_crit(sensitivity)))
+    x = "((f.nh + m.j) / CAST(f.nh AS DOUBLE))"
+    return _BASE + "," + _fit_k1("any_value(f.nh) - 1") + f""",
+seedt AS (
+    SELECT h.user_id,
+           sum((f.beta0 - h.value) / (f.sigma * sqrt(f.nh))) AS seed
+    FROM hist h JOIN fit f USING (user_id) GROUP BY h.user_id
+),
+traj AS (
+    SELECT m.user_id, m.days, m.j,
+           s.seed + sum((m.value - f.beta0) / (f.sigma * sqrt(f.nh)))
+               OVER (PARTITION BY m.user_id ORDER BY m.j) AS p,
+           sqrt({x} * ({x} - 1.0)
+                * ({crit} * {crit} + ln({x} / ({x} - 1.0)))) AS bound
+    FROM mon m JOIN fit f USING (user_id) JOIN seedt s USING (user_id)
+),
+{_CROSS_FINAL}
+SELECT u.user_id,
+       CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
+            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
+       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+       round(CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 0.0
+                  ELSE coalesce(fin.p, s.seed) END, 6) AS process
+FROM users u
+LEFT JOIN fit f USING (user_id)
+LEFT JOIN seedt s USING (user_id)
+LEFT JOIN final fin USING (user_id)
+"""
+
+
+def iqr_sql(sensitivity: float = 1.5, boundary: int = 3) -> str:
+    s = repr(float(sensitivity))
+    return _BASE + f""",
+f1 AS (
+    SELECT user_id, count(*) AS nh, avg(value) AS beta0 FROM hist
+    GROUP BY user_id
+),
+fit AS (
+    SELECT h.user_id, any_value(f.nh) AS nh, any_value(f.beta0) AS beta0,
+           quantile_cont(f.beta0 - h.value, 0.25) AS q25,
+           quantile_cont(f.beta0 - h.value, 0.75) AS q75
+    FROM hist h JOIN f1 f USING (user_id) GROUP BY h.user_id
+),
+mout AS (
+    SELECT m.user_id, m.days, m.j,
+           ((m.value - f.beta0) > f.q75 + {s} * (f.q75 - f.q25)
+            OR (m.value - f.beta0) < f.q25 - {s} * (f.q75 - f.q25)) AS outl
+    FROM mon m JOIN fit f USING (user_id)
+),
+traj AS (
+    SELECT user_id, days, j,
+           CAST(j - coalesce(max(CASE WHEN NOT outl THEN j END)
+               OVER (PARTITION BY user_id ORDER BY j), 0) AS DOUBLE) AS p,
+           {float(int(boundary))!r} AS bound
+    FROM mout
+),
+{_CROSS_FINAL}
+SELECT u.user_id,
+       CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
+            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
+       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+       round(coalesce(fin.p, 0.0), 6) AS process
+FROM users u
+LEFT JOIN fit f USING (user_id)
+LEFT JOIN final fin USING (user_id)
+"""
+
+
+def ccdc_sql(sensitivity: float = 3.0, boundary: int = 3,
+             threshold: float = 3.0) -> str:
+    s = repr(float(sensitivity))
+    t = repr(float(threshold))
+    return _BASE + "," + _FIT_TREND + f""",
+fstat AS (
+    SELECT hr.user_id, sqrt(avg(hr.r * hr.r)) AS rmse,
+           arg_min(hr.r, hr.i) AS r_first, arg_max(hr.r, hr.i) AS r_last
+    FROM hresid hr GROUP BY hr.user_id
+),
+fit AS (
+    SELECT f.user_id, f.nh, f.b0, f.b1, fs.rmse,
+           (abs(f.b1) / fs.rmse < {t}
+            AND abs(fs.r_first) / fs.rmse < {t}
+            AND abs(fs.r_last) / fs.rmse < {t}) AS stable
+    FROM fit0 f JOIN fstat fs USING (user_id)
+),
+mout AS (
+    SELECT m.user_id, m.days, m.j,
+           CASE WHEN f.rmse = 0 THEN abs(m.value - (f.b0 + f.b1 * m.d)) > 0
+                ELSE abs(m.value - (f.b0 + f.b1 * m.d)) / f.rmse > {s}
+           END AS outl
+    FROM mon m JOIN fit f USING (user_id)
+    WHERE f.stable
+),
+traj AS (
+    SELECT user_id, days, j,
+           CAST(j - coalesce(max(CASE WHEN NOT outl THEN j END)
+               OVER (PARTITION BY user_id ORDER BY j), 0) AS DOUBLE) AS p,
+           {float(int(boundary))!r} AS bound
+    FROM mout
+),
+{_CROSS_FINAL}
+SELECT u.user_id,
+       CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 4
+            WHEN NOT f.stable THEN 2
+            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
+       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+       round(coalesce(fin.p, 0.0), 6) AS process
+FROM users u
+LEFT JOIN fit f USING (user_id)
+LEFT JOIN final fin USING (user_id)
+"""
+
+
+def mosum_sql(sensitivity: float = 0.05, h: float = 0.25) -> str:
+    crit = repr(float(mosum_crit(sensitivity, h=h, period=10,
+                                 functional="max")))
+    hh = repr(float(h))
+    x = "((f.nh + m.j) / CAST(f.nh AS DOUBLE))"
+    return _BASE + "," + _FIT_TREND + f""",
+fs1 AS (
+    SELECT user_id, avg(r) AS mean_r FROM hresid GROUP BY user_id
+),
+fstat AS (
+    SELECT hr.user_id,
+           sqrt(sum(power(hr.r - fs1.mean_r, 2))
+                / (any_value(f.nh) - 2)) AS sigma
+    FROM hresid hr JOIN fs1 USING (user_id)
+    JOIN fit0 f USING (user_id)
+    GROUP BY hr.user_id
+),
+fit AS (
+    SELECT f.user_id, f.nh, f.b0, f.b1, fs.sigma,
+           CAST(floor(f.nh * {hh}) AS BIGINT) AS winsize
+    FROM fit0 f JOIN fstat fs USING (user_id)
+),
+-- combined normalized-residual sequence: history (fit sign X·β − y) then
+-- monitoring (y − ŷ); the ring buffer of the last `winsize` writes equals
+-- a rolling window over this sequence
+combined AS (
+    SELECT hr.user_id, hr.i AS g,
+           hr.r / (f.sigma * sqrt(f.nh)) AS norm
+    FROM hresid hr JOIN fit f USING (user_id)
+    UNION ALL
+    SELECT m.user_id, f.nh + m.j AS g,
+           (m.value - (f.b0 + f.b1 * m.d)) / (f.sigma * sqrt(f.nh)) AS norm
+    FROM mon m JOIN fit f USING (user_id)
+),
+traj AS (
+    SELECT m.user_id, m.days, m.j, sum(c.norm) AS p,
+           any_value({crit} * sqrt(2.0 *
+               CASE WHEN {x} > exp(1.0) THEN ln({x}) ELSE 1.0 END)) AS bound
+    FROM mon m JOIN fit f USING (user_id)
+    JOIN combined c ON c.user_id = m.user_id
+         AND c.g > f.nh + m.j - f.winsize AND c.g <= f.nh + m.j
+    GROUP BY m.user_id, m.days, m.j
+),
+{_CROSS_FINAL},
+-- a user with no monitor rows reports the nansum of its init window
+initsum AS (
+    SELECT c.user_id, sum(c.norm) AS p0
+    FROM combined c JOIN fit f USING (user_id)
+    WHERE c.g > f.nh - f.winsize AND c.g <= f.nh
+    GROUP BY c.user_id
+)
+SELECT u.user_id,
+       CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 4
+            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
+       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+       round(CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 0.0
+                  ELSE coalesce(fin.p, i.p0, 0.0) END, 6) AS process
+FROM users u
+LEFT JOIN fit f USING (user_id)
+LEFT JOIN final fin USING (user_id)
+LEFT JOIN initsum i USING (user_id)
+"""

