@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import partial
 
 from nrt_ray.pipelines import monitor_oracles as mo
+from nrt_ray.pipelines import sketch_oracles as sk
 from nrt_ray.pipelines import relational as rel
 from nrt_ray.pipelines import similarity as sim
 from nrt_ray.pipelines import textops as tx
@@ -305,6 +306,15 @@ def oracle_sql() -> dict:
         "monitor_iqr_events": mo.iqr_sql(),
         "monitor_ccdc_events": mo.ccdc_sql(),
         "monitor_mosum_events": mo.mosum_sql(),
+        # robust IRLS fit: every iteration of the kernel's control flow
+        # unrolled as CTE stages (see monitor_oracles.rirls_sql)
+        "fit_rirls_events": mo.rirls_sql(),
+        # MinHash/LSH near-dup candidates + exact-Jaccard verification:
+        # md5-low-64 token hashes, mod-2^64 rolling polynomial and
+        # xorshift-multiply permutations emulated on HUGEINT (see
+        # sketch_oracles.py) — the full sketch replayed in SQL
+        "minhash_near_dup_candidates": sk.minhash_candidates_sql(),
+        "near_dup_jaccard_verified": sk.jaccard_verified_sql(),
         # CCDC-stable fit over the 30-day events table: the shrink loop
         # exits on the half-year span rule after the first full-history
         # OLS, so the oracle is that OLS + the three stability conditions
@@ -347,6 +357,60 @@ def oracle_sql() -> dict:
                     AND abs(fs.r_first) / fs.rmse < 3.0
                     AND abs(fs.r_last) / fs.rmse < 3.0) AS stable
             FROM fit f JOIN fstat fs USING (user_id)
+        """,
+        # compressed 1d segments: every reported quantity is derived from
+        # the DECODED dod/xor payloads, so matching the SQL recomputation
+        # from raw events checks the whole encode→decode cycle (codec
+        # byte format itself is pytest-round-tripped exhaustively)
+        "segments_1d_events": r"""
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)/86400) AS BIGINT) AS b,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+                FROM events GROUP BY user_id, b
+            )
+            SELECT user_id, '1d' AS tier,
+                   count(*) AS n_points,
+                   make_timestamp(min(b)*86400*1000000) AS seg_start,
+                   make_timestamp(max(b)*86400*1000000) AS seg_end,
+                   CAST(sum(b*86400) AS BIGINT) AS ts_checksum,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM obs GROUP BY user_id
+        """,
+        # 64-bit SimHash over whitespace tokens; token hash = md5 low 64
+        # bits = DuckDB md5_number_lower, so the oracle rebuilds the
+        # exact bit votes
+        "doc_simhashes": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS tok
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, md5_number_lower(tok) AS h
+                   FROM t WHERE tok <> ''),
+            bb AS (SELECT unnest(generate_series(0, 63)) AS bit),
+            acc AS (
+                SELECT t2.doc_id, bb.bit,
+                       sum(CAST((t2.h >> bb.bit) & 1 AS BIGINT) * 2 - 1)
+                           AS s
+                FROM t2 CROSS JOIN bb GROUP BY t2.doc_id, bb.bit
+            ),
+            val AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 AND bit >= 32
+                                THEN (CAST(1 AS BIGINT) << (bit - 32))
+                                ELSE 0 END) AS hi,
+                       sum(CASE WHEN s > 0 AND bit < 32
+                                THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS lo
+                FROM acc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(printf('%08x%08x', CAST(v.hi AS BIGINT),
+                                   CAST(v.lo AS BIGINT)),
+                            '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN val v USING (doc_id)
         """,
         "embedding_topk_cosine": """
             WITH q AS (

@@ -278,6 +278,124 @@ LEFT JOIN final fin USING (user_id)
 """
 
 
+def rirls_sql(tune: float = 4.685, scale_constant: float = 0.6745,
+              maxiter: int = 50, tol: float = 1e-8) -> str:
+    """Unrolled robust IRLS (Tukey bisquare, MAD scale) over the trend
+    design — a faithful replay of :func:`nrt_ray.kernels.fit.rirls`
+    (reference ``/root/reference/nrt/fit_methods.py:74-140``).
+
+    Each of the (up to) ``maxiter − 1`` iterations is one CTE stage
+    carrying per-user state ``(b0, b1, scale, active)``: weighted
+    centered fit from the previous state, median / MAD of the new
+    residuals, the reference's *signed* convergence test, and a frozen
+    pass-through once inactive — exactly the kernel's control flow, so
+    non-converged users (the cap is real on this data) match too.
+    Emits the fit *level* at the per-user mean day plus the slope: both
+    are conditioned ~1, unlike the intercept-at-epoch whose ~19700-day
+    lever arm amplifies solver noise beyond rounding precision.
+    """
+    eps = repr(float(__import__("numpy").finfo("float32").eps))
+    tn = repr(float(tune))
+    sc = repr(float(scale_constant))
+    tl = repr(float(tol))
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+    SELECT user_id, value,
+           CAST(floor(epoch(ts)/86400) AS DOUBLE) AS d
+    FROM events
+),
+g0 AS (
+    SELECT user_id, count(*) AS n, avg(d) AS ad, avg(value) AS av
+    FROM ev GROUP BY user_id
+),
+ft0 AS (
+    SELECT e.user_id, any_value(g.ad) AS ad,
+           any_value(g.av) - any_value(g.ad)
+               * (sum((e.d - g.ad) * (e.value - g.av))
+                  / sum((e.d - g.ad) * (e.d - g.ad))) AS b0,
+           sum((e.d - g.ad) * (e.value - g.av))
+               / sum((e.d - g.ad) * (e.d - g.ad)) AS b1
+    FROM ev e JOIN g0 g USING (user_id) GROUP BY e.user_id
+),
+md0 AS (
+    SELECT e.user_id,
+           quantile_cont(e.value - (f.b0 + f.b1 * e.d), 0.5) AS med
+    FROM ev e JOIN ft0 f USING (user_id) GROUP BY e.user_id
+),
+p0 AS MATERIALIZED (
+    SELECT e.user_id, any_value(f.b0) AS b0, any_value(f.b1) AS b1,
+           CASE WHEN quantile_cont(abs((e.value - (f.b0 + f.b1 * e.d))
+                                       - m.med), 0.5) / {sc} >= {eps}
+                THEN quantile_cont(abs((e.value - (f.b0 + f.b1 * e.d))
+                                       - m.med), 0.5) / {sc}
+                ELSE 1.0 END AS scale,
+           (quantile_cont(abs((e.value - (f.b0 + f.b1 * e.d))
+                              - m.med), 0.5) / {sc} >= {eps}) AS active
+    FROM ev e JOIN ft0 f USING (user_id) JOIN md0 m USING (user_id)
+    GROUP BY e.user_id
+)"""]
+    for i in range(1, int(maxiter)):
+        p = f"p{i - 1}"
+        r = f"(e.value - (p.b0 + p.b1 * e.d))"
+        w = (f"(CASE WHEN abs({r} / p.scale) < {tn} THEN "
+             f"power(1.0 - power({r} / p.scale / {tn}, 2), 2) "
+             f"ELSE 0.0 END)")
+        parts.append(f""",
+w{i} AS MATERIALIZED (
+    SELECT e.user_id, sum({w}) AS sw,
+           sum({w} * e.d) AS swd, sum({w} * e.value) AS swy
+    FROM ev e JOIN {p} p USING (user_id) GROUP BY e.user_id
+),
+f{i} AS MATERIALIZED (
+    SELECT e.user_id,
+           CASE WHEN g.sw = 0 THEN 0.0 ELSE
+               (g.swy / g.sw) - (g.swd / g.sw)
+               * (sum({w} * (e.d - g.swd / g.sw)
+                      * (e.value - g.swy / g.sw))
+                  / sum({w} * (e.d - g.swd / g.sw)
+                        * (e.d - g.swd / g.sw))) END AS nb0,
+           CASE WHEN g.sw = 0 THEN 0.0 ELSE
+               sum({w} * (e.d - g.swd / g.sw)
+                   * (e.value - g.swy / g.sw))
+               / sum({w} * (e.d - g.swd / g.sw)
+                     * (e.d - g.swd / g.sw)) END AS nb1
+    FROM ev e JOIN {p} p USING (user_id) JOIN w{i} g USING (user_id)
+    GROUP BY e.user_id, g.sw, g.swd, g.swy
+),
+m{i} AS MATERIALIZED (
+    SELECT e.user_id,
+           quantile_cont(e.value - (f.nb0 + f.nb1 * e.d), 0.5) AS med
+    FROM ev e JOIN f{i} f USING (user_id) GROUP BY e.user_id
+),
+p{i} AS MATERIALIZED (
+    SELECT e.user_id,
+           CASE WHEN any_value(p.active) THEN any_value(f.nb0)
+                ELSE any_value(p.b0) END AS b0,
+           CASE WHEN any_value(p.active) THEN any_value(f.nb1)
+                ELSE any_value(p.b1) END AS b1,
+           CASE WHEN any_value(p.active) THEN
+               greatest({eps},
+                   quantile_cont(abs((e.value - (f.nb0 + f.nb1 * e.d))
+                                     - m.med), 0.5) / {sc})
+                ELSE any_value(p.scale) END AS scale,
+           (any_value(p.active)
+            AND ((any_value(f.nb0) - any_value(p.b0)) > {tl}
+                 OR (any_value(f.nb1) - any_value(p.b1)) > {tl}))
+               AS active
+    FROM ev e JOIN {p} p USING (user_id) JOIN f{i} f USING (user_id)
+    JOIN m{i} m USING (user_id)
+    GROUP BY e.user_id
+)""")
+    parts.append(f"""
+SELECT p.user_id,
+       round(p.b0 + p.b1 * g.ad, 5) AS level,
+       round(p.b1, 6) AS slope,
+       true AS stable
+FROM p{int(maxiter) - 1} p JOIN g0 g USING (user_id)
+""")
+    return "".join(parts)
+
+
 def mosum_sql(sensitivity: float = 0.05, h: float = 0.25) -> str:
     crit = repr(float(mosum_crit(sensitivity, h=h, period=10,
                                  functional="max")))

@@ -1,0 +1,191 @@
+"""DuckDB oracle SQL for the MinHash/LSH near-duplicate operators.
+
+These oracles replay :class:`nrt_ray.pipelines.textops.MinHasher` *exactly*
+in SQL: token hashes are md5-low-64 (DuckDB ``md5_number_lower``), the
+rolling-polynomial shingle hash and the xorshift-multiply permutation
+family are emulated on HUGEINT with explicit mod-2⁶⁴ arithmetic (DuckDB's
+UBIGINT raises on overflow, so every wrapping multiply is decomposed into
+32-bit halves), and the LSH band fold, bucket-size cap and pair dedup
+mirror the pipeline's semantics step for step.  The Jaccard verification
+oracle recomputes the exact shingle-set Jaccard of the candidate pairs.
+
+All state — permutation seeds, mix/polynomial constants, band layout —
+is inlined as literals from the same :class:`MinHasher` instance the
+pipeline constructs, so the SQL is self-contained (no macros, one
+statement: the driver executes oracle strings as-is).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nrt_ray.pipelines.textops import (MAX_BUCKET, MinHasher, _MIX_MULT,
+                                       _POLY_MULT, _SHINGLE_K, md5_low64)
+
+M64 = 1 << 64
+M32 = 1 << 32
+
+
+def _mulmod_const(a: str, c: int) -> str:
+    """SQL for ``(a * c) mod 2⁶⁴`` on HUGEINT, constant ``c`` pre-split
+    into 32-bit halves (full 128-bit products would overflow HUGEINT)."""
+    lo, hi = c % M32, c // M32
+    return (f"(((({a}) % {M32}) * {lo} + (((({a}) % {M32}) * {hi} "
+            f"+ (({a}) // {M32}) * {lo}) % {M64}) * {M32}) % {M64})")
+
+
+def _xor64(a: str, b: str) -> str:
+    return (f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) "
+            f"AS HUGEINT)")
+
+
+def _xorshr(a: str, bits: int = 29) -> str:
+    return (f"CAST(xor(CAST({a} AS UBIGINT), CAST({a} AS UBIGINT) "
+            f">> {bits}) AS HUGEINT)")
+
+
+def _shingle_ctes(k: int = _SHINGLE_K) -> str:
+    """CTEs building the distinct shingle-hash set per document:
+    whitespace tokens → md5-low-64 per occurrence → rolling polynomial
+    over windows of ``k`` token hashes (single fold of all tokens for
+    docs shorter than ``k``; md5('') for empty docs)."""
+    poly = int(_POLY_MULT)
+    empty_hash = md5_low64(b"")
+    # chained fold stages: s1 = h, s_{j+1} = (s_j * POLY + lead_j) mod 2^64
+    folds = []
+    for j in range(1, k):
+        ref = "s1" if j == 1 else f"s{j}_v"
+        folds.append(f"s{j + 1} AS (SELECT *, CASE WHEN l{j} IS NULL "
+                     f"THEN NULL ELSE ({_mulmod_const(ref, poly)} "
+                     f"+ l{j}) % {M64} END AS s{j + 1}_v FROM s{j})")
+    leads = ", ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY idx) AS l{j}"
+        for j in range(1, k))
+    short_case = " ".join(
+        f"WHEN cnt = {c} THEN " + (f"s{c}_v" if c > 1 else "s1")
+        for c in range(1, k))
+    return rf"""
+d0 AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+),
+tok0 AS (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(generate_series(1, len(arr))) AS pos
+    FROM d0
+),
+tok1 AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+           count(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM tok0 WHERE tok <> ''
+),
+s1 AS (
+    SELECT doc_id, idx, cnt,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS h,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS s1,
+           {leads}
+    FROM tok1
+),
+{", ".join(folds)},
+shingles AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, s{k}_v AS s FROM s{k}
+        WHERE cnt >= {k} AND idx <= cnt - {k - 1}
+        UNION ALL
+        SELECT doc_id, CASE {short_case} END AS s FROM s{k}
+        WHERE cnt < {k} AND idx = 1
+        UNION ALL
+        SELECT d.doc_id, CAST({empty_hash} AS HUGEINT) AS s
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM tok1)
+    )
+)"""
+
+
+def _candidate_ctes(num_perm: int, bands: int, seed: int,
+                    max_bucket: int) -> str:
+    """CTEs from ``shingles`` to deduplicated candidate ``pairs``."""
+    mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
+    mult = int(_MIX_MULT)
+    rows = mh.rows
+    seed_rows = ", ".join(f"({i}, CAST({int(s)} AS HUGEINT))"
+                          for i, s in enumerate(mh.seeds))
+    # band fold: key = (key ^ sig_r) * MULT; key ^= key >> 29, per row
+    fold_stages = []
+    prev = None
+    for r in range(rows):
+        t = f"s{r}" if prev is None else _xor64(prev, f"s{r}")
+        k = _mulmod_const(t, mult)
+        fold_stages.append(f"bf{r} AS (SELECT doc_id, band_id, "
+                           + ", ".join(f"s{q}" for q in range(rows))
+                           + f", {_xorshr(k)} AS k{r} FROM "
+                           + (f"bf{r - 1}" if r else "bp") + ")")
+        prev = f"k{r}"
+    pivots = ", ".join(
+        f"max(CASE WHEN perm % {rows} = {r} THEN sig END) AS s{r}"
+        for r in range(rows))
+    return f""",
+seeds(perm, seed) AS (VALUES {seed_rows}),
+mix0 AS (
+    SELECT sh.doc_id, se.perm,
+           {_xor64('sh.s', 'se.seed')} AS x0
+    FROM shingles sh CROSS JOIN seeds se
+),
+mix1 AS (SELECT doc_id, perm, {_mulmod_const('x0', mult)} AS m1
+         FROM mix0),
+mix2 AS (SELECT doc_id, perm, {_xorshr('m1')} AS x1 FROM mix1),
+mix3 AS (SELECT doc_id, perm, {_mulmod_const('x1', mult)} AS m2
+         FROM mix2),
+sig AS (
+    SELECT doc_id, perm, min(m2) AS sig FROM mix3
+    GROUP BY doc_id, perm
+),
+bp AS (
+    SELECT doc_id, perm // {rows} AS band_id, {pivots}
+    FROM sig GROUP BY doc_id, band_id
+),
+{", ".join(fold_stages)},
+bk AS (SELECT doc_id, band_id, k{rows - 1} AS key FROM bf{rows - 1}),
+bsz AS (
+    SELECT band_id, key, count(*) AS n FROM bk GROUP BY band_id, key
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a
+    JOIN bk b ON a.band_id = b.band_id AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    JOIN bsz z ON z.band_id = a.band_id AND z.key = a.key
+    WHERE z.n <= {max_bucket}
+)"""
+
+
+def minhash_candidates_sql(num_perm: int = 64, bands: int = 16,
+                           seed: int = 7,
+                           max_bucket: int = MAX_BUCKET) -> str:
+    return ("WITH " + _shingle_ctes()
+            + _candidate_ctes(num_perm, bands, seed, max_bucket)
+            + "\nSELECT doc_a, doc_b FROM pairs\n")
+
+
+def jaccard_verified_sql(threshold: float = 0.6, num_perm: int = 64,
+                         bands: int = 16, seed: int = 7,
+                         max_bucket: int = MAX_BUCKET) -> str:
+    return ("WITH " + _shingle_ctes()
+            + _candidate_ctes(num_perm, bands, seed, max_bucket)
+            + f""",
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS i
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.i / CAST(na.n + nb.n - i.i AS DOUBLE) >= {threshold!r}
+""")

@@ -196,13 +196,20 @@ def hash_bytes(b: bytes) -> int:
                           "little")
 
 
+def md5_low64(b: bytes) -> int:
+    """Low 64 bits of md5 — bit-compatible with DuckDB's
+    ``md5_number_lower`` (little-endian of digest bytes 8..16), which is
+    what makes the SimHash SQL oracle possible."""
+    return int.from_bytes(hashlib.md5(b).digest()[8:], "little")
+
+
 _MIX_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 _POLY_MULT = np.uint64(0x100000001B3)      # FNV-64 prime (odd)
 _SHINGLE_K = 5
 
 
-def _token_hash_segments(texts):
-    """Whitespace-tokenize a batch and hash every token (blake2b once per
+def _token_hash_segments(texts, hasher=md5_low64):
+    """Whitespace-tokenize a batch and hash every token (one digest per
     *unique* token in the batch).  Returns ``(flat_hashes, counts)`` where
     consecutive slices of ``flat_hashes`` are each doc's token hashes."""
     toks_per_doc = [t.split() for t in texts]
@@ -212,7 +219,7 @@ def _token_hash_segments(texts):
         return np.array([], dtype=np.uint64), counts
     uniq, inv = np.unique(np.array(all_toks, dtype=object),
                           return_inverse=True)
-    hu = np.fromiter((hash_bytes(w.encode()) for w in uniq),
+    hu = np.fromiter((hasher(w.encode()) for w in uniq),
                      dtype=np.uint64, count=len(uniq))
     return hu[inv], counts
 
@@ -223,7 +230,7 @@ def _shingle_hashes(flat: np.ndarray, counts: np.ndarray,
     polynomial over the token hashes (no per-shingle string building)."""
     out = []
     pos = 0
-    empty = np.array([hash_bytes(b"")], dtype=np.uint64)
+    empty = np.array([md5_low64(b"")], dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in counts:
             h = flat[pos:pos + c]
@@ -419,11 +426,12 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """doc_id → 64-bit SimHash (hex) over whitespace tokens.
 
-    Vectorized: blake2b once per unique token in the batch, the ±1 bit
-    contributions of all tokens as one ``(n_tokens, 64)`` matrix,
-    per-doc sums via ``np.add.reduceat`` — no per-word Python loop."""
+    Vectorized: one md5 per unique token in the batch (md5-low-64 so the
+    DuckDB oracle can reproduce the hash), the ±1 bit contributions of
+    all tokens as one ``(n_tokens, 64)`` matrix, per-doc sums via
+    ``np.add.reduceat`` — no per-word Python loop."""
     texts = batch["text"].to_pylist()
-    flat, counts = _token_hash_segments(texts)
+    flat, counts = _token_hash_segments(texts, hasher=md5_low64)
     ndocs = len(counts)
     acc = np.zeros((ndocs, 64), dtype=np.int64)
     if len(flat):
