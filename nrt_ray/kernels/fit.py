@@ -197,7 +197,8 @@ def ccdc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
 
 
 def roc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
-                   alpha: float = 0.05, crit: float = 0.9478982340418134):
+                   alpha: float = 0.05, crit: float = 0.9478982340418134,
+                   min_span_days: int = MIN_SPAN_DAYS):
     """Stable fit via Reverse-Ordered-CUSUM stable-history detection.
 
     Per series: find the stable-history start with :func:`history_roc`,
@@ -227,7 +228,7 @@ def roc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
             is_stable[idx] = False
             continue
         dv = dates[ok]
-        if dv[-1] - dv[stable_idx] < MIN_SPAN_DAYS:
+        if dv[-1] - dv[stable_idx] < min_span_days:
             is_stable[idx] = False
             continue
         Xs, ys = Xv[stable_idx:], yv[stable_idx:]

@@ -67,7 +67,11 @@ def queries() -> dict:
         "embedding_topk_cosine": sim.topk_cosine,
         "embedding_norms": sim.embedding_norms,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
-        "embedding_near_dup_pairs": sim.near_dup_pairs_cosine,
+        # threshold 0.4 for the driver check: the synthetic embeddings
+        # are near-orthogonal (max pairwise cosine ~0.5), so the 0.98
+        # production default would make the check vacuously empty
+        "embedding_near_dup_pairs": partial(sim.near_dup_pairs_cosine,
+                                            threshold=0.4),
     }
     return q
 
@@ -309,6 +313,11 @@ def oracle_sql() -> dict:
         # robust IRLS fit: every iteration of the kernel's control flow
         # unrolled as CTE stages (see monitor_oracles.rirls_sql)
         "fit_rirls_events": mo.rirls_sql(),
+        # reverse-ordered-CUSUM stable fit: recursive residuals of the
+        # reversed daily-composite series in closed form (distinct days
+        # keep every prefix design nonsingular), boundary crossings,
+        # centered suffix refit (see monitor_oracles.roc_sql)
+        "fit_roc_stable_events": mo.roc_sql(),
         # MinHash/LSH near-dup candidates + exact-Jaccard verification:
         # md5-low-64 token hashes, mod-2^64 rolling polynomial and
         # xorshift-multiply permutations emulated on HUGEINT (see
@@ -425,8 +434,9 @@ def oracle_sql() -> dict:
             FROM embeddings
             ORDER BY cosine_sim DESC, vec_id DESC LIMIT 10
         """,
-        # segments / minhash / simhash / lsh / jaccard / fit_rirls /
-        # fit_roc: custom codecs, LSH bucketing or iterative robust /
-        # sequential fits without a faithful SQL form — rows-only driver
-        # check + pytest oracles in tests/.
+        # hyperplane-LSH embedding ops: the seeded plane matrix inlined
+        # as DOUBLE[] literals replays the bucket assignment exactly
+        "embedding_lsh_topk_cosine": sk.lsh_topk_sql(),
+        "embedding_near_dup_pairs": sk.embedding_near_dup_sql(
+            threshold=0.4),
     }

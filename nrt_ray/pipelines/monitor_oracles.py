@@ -458,3 +458,140 @@ LEFT JOIN fit f USING (user_id)
 LEFT JOIN final fin USING (user_id)
 LEFT JOIN initsum i USING (user_id)
 """
+
+
+def roc_sql(crit: float | None = None, min_daily: int = 5,
+            min_span_days: int = 14, span: int = 3) -> str:
+    """Reverse-Ordered-CUSUM stable fit replayed with window functions.
+
+    Replays :func:`nrt_ray.kernels.fit.roc_stable_fit` over per-day
+    composite means (reference ``/root/reference/nrt/fit_methods.py:141``,
+    stable-history search ``nrt/utils_efp.py:67-100``):
+
+    * per-day composite = ``(sum(cents)/100.0)/count`` — the identical
+      correctly-rounded op sequence as the pipeline's integer-cents mean;
+    * Brown-Durbin-Evans recursive residuals of the *time-reversed*
+      series in closed form — distinct days make every prefix design
+      nonsingular, so the rank-one-update recursion equals prefix OLS
+      computed from window cumulative sums (span = k+1 = 3);
+    * the Rec-CUSUM significance test ``p-value < alpha`` is equivalent
+      to "some process point exceeds the linear boundary
+      ``crit·(1+2t)``" (the sup-statistic and the boundary use the same
+      time grid, and the p-value is monotone in the statistic with
+      ``crit`` its root at alpha) — so crossings alone decide;
+    * stable suffix refit via the same centered normal equations as
+      ``_solve_normal``; level reported at the full-series mean day.
+    """
+    if crit is None:
+        from nrt_ray.kernels.efp import REC_CUSUM_CRIT_005
+        crit = REC_CUSUM_CRIT_005
+    from nrt_ray.pipelines.relational import round_away_tol_sql
+    cr = repr(float(crit))
+    sp = int(span)
+    _lvl = round_away_tol_sql(
+        "coalesce((f.av - f.ad * f.b1) + f.b1 * c.adf, 0.0)", 5)
+    _slp = round_away_tol_sql("coalesce(f.b1, 0.0)", 6)
+    return f"""
+WITH daily AS MATERIALIZED (
+    SELECT user_id,
+           CAST(floor(epoch(ts)/86400) AS BIGINT) AS d,
+           (sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0)
+               / count(*) AS y
+    FROM events
+    GROUP BY user_id, CAST(floor(epoch(ts)/86400) AS BIGINT)
+),
+flt AS MATERIALIZED (
+    SELECT user_id, d, CAST(d AS DOUBLE) AS dd, y
+    FROM daily
+    QUALIFY count(*) OVER (PARTITION BY user_id) >= {min_daily}
+),
+ord AS (
+    SELECT user_id, d, dd, y,
+           row_number() OVER w AS q,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           count(*) OVER wp AS s,
+           sum(dd) OVER wp AS sd,
+           sum(dd * dd) OVER wp AS sdd,
+           sum(y) OVER wp AS sy,
+           sum(dd * y) OVER wp AS sdy
+    FROM flt
+    WINDOW w AS (PARTITION BY user_id ORDER BY d DESC),
+           wp AS (PARTITION BY user_id ORDER BY d DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+rr AS (
+    -- standardized recursive residual of the reversed series at q>span:
+    -- prediction error from the prefix OLS over rows 1..q-1, scaled by
+    -- sqrt(1 + x'(X'X)^-1 x) (closed form for the [1, day] design)
+    SELECT user_id, q, n,
+           (y - ((sdd * sy - sd * sdy) / det
+                 + (s * sdy - sd * sy) / det * dd))
+           / sqrt(1 + (sdd - 2 * dd * sd + s * dd * dd) / det) AS w
+    FROM (SELECT *, s * sdd - sd * sd AS det FROM ord)
+    WHERE q > {sp}
+),
+sg AS (
+    SELECT user_id, any_value(n) AS n, stddev_pop(w) AS sigma
+    FROM rr GROUP BY user_id
+),
+proc AS (
+    -- Rec-CUSUM process p_j, j = 1..n-span (leading p_0 = 0 omitted:
+    -- it can never cross the boundary crit·(1+2t) >= crit > 0)
+    SELECT r.user_id, r.q - {sp} AS j, g.n - {sp} AS m,
+           sum(r.w) OVER (PARTITION BY r.user_id ORDER BY r.q)
+               / (g.sigma * sqrt(g.n - {sp})) AS p
+    FROM rr r JOIN sg g USING (user_id)
+),
+crs AS (
+    SELECT user_id, min(j) AS jmin
+    FROM proc
+    WHERE abs(p) > {cr} * (1 + 2.0 * j / m)
+    GROUP BY user_id
+),
+sidx AS (
+    SELECT g.user_id, g.n,
+           CASE WHEN c.jmin IS NULL THEN 0
+                ELSE (g.n - {sp} + 1) - c.jmin END AS stable_idx
+    FROM sg g LEFT JOIN crs c USING (user_id)
+),
+fwd AS (
+    SELECT user_id, d, dd, y,
+           row_number() OVER (PARTITION BY user_id ORDER BY d ASC) AS fq
+    FROM flt
+),
+gg AS (
+    SELECT user_id, max(d) AS dlast, avg(dd) AS adf
+    FROM flt GROUP BY user_id
+),
+cond AS (
+    SELECT s.user_id, s.stable_idx, st.d AS start_d,
+           (s.n - s.stable_idx >= {sp}
+            AND g.dlast - st.d >= {min_span_days}) AS ok,
+           g.adf
+    FROM sidx s
+    JOIN gg g USING (user_id)
+    JOIN fwd st ON st.user_id = s.user_id AND st.fq = s.stable_idx + 1
+),
+g1 AS (
+    SELECT w.user_id, avg(w.dd) AS ad, avg(w.y) AS av
+    FROM fwd w JOIN cond c USING (user_id)
+    WHERE c.ok AND w.fq >= c.stable_idx + 1
+    GROUP BY w.user_id
+),
+fit AS (
+    SELECT w.user_id,
+           any_value(g.av) AS av, any_value(g.ad) AS ad,
+           sum((w.dd - g.ad) * (w.y - g.av))
+               / sum((w.dd - g.ad) * (w.dd - g.ad)) AS b1
+    FROM fwd w JOIN cond c USING (user_id) JOIN g1 g USING (user_id)
+    WHERE c.ok AND w.fq >= c.stable_idx + 1
+    GROUP BY w.user_id
+)
+SELECT c.user_id,
+       {_lvl} AS level,
+       {_slp} AS slope,
+       c.ok AS stable,
+       CAST(CASE WHEN c.ok THEN c.start_d ELSE 0 END AS BIGINT)
+           AS fit_start
+FROM cond c LEFT JOIN fit f USING (user_id)
+"""

@@ -49,6 +49,39 @@ def round_away(arr, digits: int):
                         / scale)
 
 
+#: tolerance (in grid units) of :func:`round_away_tol` — values whose
+#: fractional part is within this of the .5 boundary round away on BOTH
+#: engines, making half-way-exact regression outputs deterministic
+ROUND_TOL = 1e-6
+
+
+def round_away_tol(arr, digits: int):
+    """Round half away from zero with a boundary tolerance: a value whose
+    scaled fraction is within ``ROUND_TOL`` *below* .5 still rounds away.
+    Used for regression outputs whose exact rational value can land
+    precisely on a decimal half-boundary (daily-composite cent means do),
+    where last-ulp solver noise would otherwise flip the rounding
+    direction between engines.  The SQL twin is
+    ``floor(abs(x)·10^d + 0.5 + 1e-6)`` with the sign reapplied."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    arr = np.asarray(arr, dtype=np.float64)
+    scale = 10.0 ** digits
+    with np.errstate(invalid="ignore"):
+        return np.where(np.isnan(arr), np.nan,
+                        np.sign(arr)
+                        * np.floor(np.abs(arr) * scale + 0.5 + ROUND_TOL)
+                        / scale)
+
+
+def round_away_tol_sql(expr: str, digits: int) -> str:
+    """SQL twin of :func:`round_away_tol` (same decision boundary)."""
+    scale = 10 ** digits
+    mag = (f"floor(abs({expr}) * {scale} + 0.5 + {ROUND_TOL!r}) "
+           f"/ {scale}.0")
+    return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+
+
 def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
                                  columns=columns)

@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from nrt_ray.pipelines.relational import pool_size, round_away
+from nrt_ray.pipelines.relational import (pool_size, round_away,
+                                          round_away_tol)
 
 
 def _read_emb(sf_dir: str):
@@ -182,7 +183,7 @@ def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.98,
             warnings.warn(f"LSH bucket of size {len(ids)} exceeds the "
                           f"{MAX_BUCKET} ceiling — skipped")
             return empty
-        M = np.stack(group["embedding"].to_numpy())
+        M = np.stack(group["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         Mn = M / np.where(norms == 0, 1.0, norms)[:, None]
         sims = Mn @ Mn.T
@@ -193,7 +194,9 @@ def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.98,
             .astype(np.int64),
             "vec_b": np.maximum(ids[a][keep], ids[b][keep])
             .astype(np.int64),
-            "cosine_sim": round_away(sims[a, b][keep], 5)})
+            # tolerance rounding: float32-quantized embeddings make some
+            # exact cosines land on decimal half-boundaries
+            "cosine_sim": round_away_tol(sims[a, b][keep], 5)})
 
     # the pair stream is small by construction (bucket-local, capped);
     # materialize it so the empty case keeps its schema through the dedup

@@ -189,3 +189,93 @@ JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE i.i / CAST(na.n + nb.n - i.i AS DOUBLE) >= {threshold!r}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-LSH oracles: the hyperplane matrix is the same seeded draw the
+# pipeline makes (HyperplaneHasher(dim, n_planes, seed)), inlined as DOUBLE[]
+# literals (repr() round-trips float64 exactly), so the SQL replays the
+# bucket assignment bit for bit.  dim=64 is part of the embeddings table
+# spec (TESTDATA.md) — constant across scale factors.
+
+EMB_DIM = 64
+
+
+def _round_tol(expr: str, digits: int) -> str:
+    from nrt_ray.pipelines.relational import round_away_tol_sql
+    return round_away_tol_sql(expr, digits)
+
+
+def _planes_sql(n_planes: int, seed: int = 13):
+    from nrt_ray.pipelines.similarity import HyperplaneHasher
+    h = HyperplaneHasher(dim=EMB_DIM, n_planes=n_planes, seed=seed)
+    cols = []
+    for j in range(n_planes):
+        vals = ", ".join(repr(float(v)) for v in h.planes[:, j])
+        cols.append(f"[{vals}]::DOUBLE[]")
+    return cols
+
+
+def _bucket_expr(ed: str, n_planes: int) -> str:
+    cols = _planes_sql(n_planes)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({ed}, {cols[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    return f"({terms})"
+
+
+def lsh_topk_sql(k: int = 10, n_planes: int = 6) -> str:
+    """LSH-bucketed approximate cosine top-k: score only vectors whose
+    hyperplane bucket equals the query's bucket or differs in one bit
+    (:func:`nrt_ray.pipelines.similarity.lsh_topk_cosine`)."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, ed, {_bucket_expr('ed', n_planes)} AS bucket FROM e
+),
+q AS (
+    SELECT ed AS qe, bucket AS qb FROM b ORDER BY vec_id LIMIT 1
+),
+nb AS (
+    SELECT (SELECT qb FROM q) AS bucket
+    UNION
+    SELECT xor((SELECT qb FROM q)::BIGINT, (1 << i)::BIGINT)
+    FROM generate_series(0, {n_planes - 1}) t(i)
+)
+SELECT vec_id,
+       round(list_cosine_similarity(ed, (SELECT qe FROM q)), 5)
+           AS cosine_sim
+FROM b WHERE bucket IN (SELECT bucket FROM nb)
+ORDER BY cosine_sim DESC, vec_id DESC LIMIT {k}
+"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.98,
+                           n_planes: int = 8,
+                           max_bucket: int = 5000) -> str:
+    """Bucket-local exact-cosine near-duplicate pairs
+    (:func:`nrt_ray.pipelines.similarity.near_dup_pairs_cosine`): each
+    vector lives in exactly one bucket, pairs inside buckets no larger
+    than the ceiling, cosine at or above the threshold."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, ed, {_bucket_expr('ed', n_planes)} AS bucket FROM e
+),
+bc AS (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM b
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_round_tol('list_cosine_similarity(a.ed, c.ed)', 5)}
+           AS cosine_sim
+FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE a.bsz <= {max_bucket} AND a.bsz >= 2
+  AND list_cosine_similarity(a.ed, c.ed) >= {threshold!r}
+"""

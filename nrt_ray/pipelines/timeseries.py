@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from nrt_ray.pipelines.monitor_pipeline import events_to_flat
-from nrt_ray.pipelines.relational import round_away
+from nrt_ray.pipelines.relational import round_away, round_away_tol
 from nrt_ray.stages import compress, rollup
 from nrt_ray.stages.assemble import (add_bucket_column, assemble_series,
                                      padded_matrices)
@@ -206,12 +206,45 @@ def monitor_events(sf_dir: str, strategy: str, monitor_start="2024-01-22",
     return _series_dataset(sf_dir).map_batches(run, batch_format="pyarrow")
 
 
+#: minimum number of daily composites for the ROC stable-history search
+#: (the Rec-CUSUM process needs n > span+1 points to be meaningful; both
+#: the pipeline and its SQL oracle filter identically)
+ROC_MIN_DAILY = 5
+
+#: minimum stable-history span for the ROC fit over the 30-day events
+#: table — the reference's half-year rule (kernels/fit.py MIN_SPAN_DAYS)
+#: is calibrated to multi-year satellite series and would mark every
+#: 30-day web series unstable; two weeks is the same "half the window"
+#: proportion at this cadence
+ROC_MIN_SPAN_DAYS = 14
+
+
+def _daily_composite(d: np.ndarray, v: np.ndarray):
+    """Collapse a (sorted-by-ts) series to per-day composite means using
+    exact integer cents, so the mean is the same correctly-rounded op
+    sequence (``(cents/100.0)/count``) in numpy and in DuckDB."""
+    d = np.asarray(d, dtype=np.int64)
+    cents = np.rint(np.asarray(v, dtype=np.float64) * 100.0) \
+        .astype(np.int64)
+    uniq, idx = np.unique(d, return_index=True)
+    sums = np.add.reduceat(cents, idx)
+    counts = np.diff(np.append(idx, len(d)))
+    y = (sums.astype(np.float64) / 100.0) / counts
+    return uniq, y
+
+
 def fit_events(sf_dir: str, fit_method: str):
     """Per-user history fit with the reference's robust / stable methods
     (RIRLS / ROC / CCDC-stable; ``/root/reference/nrt/fit_methods.py:74-323``)
-    over a trend design.  Emits intercept/slope plus the stability verdict
-    for the stable methods.  Iterative/sequential — no SQL oracle; the
-    kernels are golden-tested against statsmodels RLM / strucchange in
+    over a trend design.  Emits the fit level/slope plus the stability
+    verdict for the stable methods.
+
+    ROC fits over per-day composite means (the reference's native
+    granularity — a raster series has one observation per acquisition
+    date), which also keeps the Brown-Durbin-Evans initial span
+    nonsingular so the SQL oracle can replay the recursion in closed
+    form (``monitor_oracles.roc_sql``).  The kernels are additionally
+    golden-tested against statsmodels RLM / strucchange in
     ``tests/test_kernels.py``.
     """
     from nrt_ray.kernels import fit as fit_kernels
@@ -225,6 +258,8 @@ def fit_events(sf_dir: str, fit_method: str):
         beta = np.zeros((X3.shape[2], K))
         stable = np.ones(K, dtype=bool)
         mean_day = np.zeros(K)
+        fit_start = np.zeros(K, dtype=np.int64)
+        keep = np.ones(K, dtype=bool)
         for i in range(K):
             n = int(mats["length"][i])
             X = X3[:n, i, :]
@@ -234,9 +269,18 @@ def fit_events(sf_dir: str, fit_method: str):
             if fit_method == "RIRLS":
                 b = fit_kernels.rirls(X, y)[0]
             elif fit_method == "ROC":
-                b, _, st, _ = fit_kernels.roc_stable_fit(
-                    X, y, d, alpha=0.05, crit=crit)
+                dd, yy = _daily_composite(d, y[:, 0])
+                if len(dd) < ROC_MIN_DAILY:
+                    keep[i] = False
+                    continue
+                mean_day[i] = dd.astype(np.float64).mean()
+                Xd = np.column_stack([np.ones(len(dd), dtype=np.float64),
+                                      dd.astype(np.float64)])
+                b, _, st, fs = fit_kernels.roc_stable_fit(
+                    Xd, yy[:, None], dd, alpha=0.05, crit=crit,
+                    min_span_days=ROC_MIN_SPAN_DAYS)
                 stable[i] = bool(st[0])
+                fit_start[i] = int(fs[0])
             elif fit_method == "CCDC-stable":
                 b, _, st, _ = fit_kernels.ccdc_stable_fit(X, y, d,
                                                           threshold=3)
@@ -257,6 +301,21 @@ def fit_events(sf_dir: str, fit_method: str):
                                              5)),
                 "slope": pa.array(round_away(beta[1], 6)),
                 "stable": pa.array(stable),
+            })
+        if fit_method == "ROC":
+            # same level-at-mean-day reporting as RIRLS; fit_start pins
+            # the stable-history boundary the Rec-CUSUM search found.
+            # Tolerance rounding: daily-composite cent means make the
+            # exact fit level land *precisely* on decimal half-boundaries
+            # for some users, where plain rounding is a coin flip between
+            # engines.
+            lvl = beta[0] + beta[1] * mean_day
+            return pa.table({
+                "user_id": _user_col(series).filter(pa.array(keep)),
+                "level": pa.array(round_away_tol(lvl[keep], 5)),
+                "slope": pa.array(round_away_tol(beta[1][keep], 6)),
+                "stable": pa.array(stable[keep]),
+                "fit_start": pa.array(fit_start[keep], pa.int64()),
             })
         return pa.table({
             "user_id": _user_col(series),
