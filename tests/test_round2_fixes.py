@@ -218,3 +218,51 @@ def test_resume_preserves_high_water(ray_session, webtext64, tmp_path):
     assert summary["partitions_processed"] == 0
     hw2 = inc.read_run_config(out)["high_water_us"]
     assert hw2 == hw1
+
+
+def test_round_away_tol_half_boundary_deterministic():
+    """Values within the tolerance below a .5 boundary round away — on
+    both the numpy side and its SQL twin — so exact half-way rationals
+    cannot flip between engines on last-ulp solver noise."""
+    import duckdb
+    from nrt_ray.pipelines.relational import (round_away_tol,
+                                              round_away_tol_sql)
+    vals = [48.577625, 48.57762499999,   # at / just below the boundary
+            -0.4182950000001, -0.418295, 1.23, -1.23, 0.0]
+    got = list(round_away_tol(vals, 5))
+    exprs = ", ".join(
+        f"{round_away_tol_sql(repr(v), 5)} AS c{i}"
+        for i, v in enumerate(vals))
+    con = duckdb.connect()
+    sql = con.sql(f"SELECT {exprs}").fetchone()
+    assert got == list(sql)
+    assert got[0] == 48.57763 and got[1] == 48.57763
+    assert got[2] == -0.41830 and got[3] == -0.41830
+
+
+def test_roc_daily_composite_exact_cents():
+    """Per-day composite means use exact integer cents — identical to
+    DuckDB's (sum(cents)/100.0)/count op sequence."""
+    import numpy as np
+    from nrt_ray.pipelines.timeseries import _daily_composite
+    d = np.array([10, 10, 10, 11, 12, 12])
+    v = np.array([1.01, 2.02, 3.04, 5.0, 0.07, 0.08])
+    days, y = _daily_composite(d, v)
+    assert list(days) == [10, 11, 12]
+    assert y[0] == ((101 + 202 + 304) / 100.0) / 3
+    assert y[1] == 5.0
+    assert y[2] == ((7 + 8) / 100.0) / 2
+
+
+def test_roc_stable_fit_min_span_parameter():
+    """min_span_days gates stability: a 30-day stable series passes with
+    span 14 and fails with the reference default (183)."""
+    import numpy as np
+    from nrt_ray.kernels.fit import roc_stable_fit
+    rng = np.random.default_rng(7)
+    d = np.arange(19000, 19030)
+    y = (50 + 0.02 * (d - d.mean()) + rng.normal(0, 0.1, 30))[:, None]
+    X = np.column_stack([np.ones(30), d.astype(float)])
+    _, _, st14, _ = roc_stable_fit(X, y, d, min_span_days=14)
+    _, _, st183, _ = roc_stable_fit(X, y, d)
+    assert bool(st14[0]) and not bool(st183[0])
