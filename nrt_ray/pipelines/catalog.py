@@ -62,6 +62,7 @@ def queries() -> dict:
         "doc_lang_id": tx.lang_id,
         "minhash_near_dup_candidates": tx.minhash_candidates,
         "near_dup_jaccard_verified": tx.jaccard_verify,
+        "dedup_near_docs": tx.dedup_near_docs,
         "doc_simhashes": tx.simhashes,
         # ---- similarity search -----------------------------------------
         "embedding_topk_cosine": sim.topk_cosine,
@@ -324,6 +325,13 @@ def oracle_sql() -> dict:
         # sketch_oracles.py) — the full sketch replayed in SQL
         "minhash_near_dup_candidates": sk.minhash_candidates_sql(),
         "near_dup_jaccard_verified": sk.jaccard_verified_sql(),
+        # end-to-end near-dup dedup: survivors after dropping doc_b of
+        # every verified pair (the verification query as a subquery)
+        "dedup_near_docs": f"""
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_b FROM ({sk.jaccard_verified_sql()}))
+        """,
         # CCDC-stable fit over the 30-day events table: the shrink loop
         # exits on the half-year span rule after the first full-history
         # OLS, so the oracle is that OLS + the three stability conditions

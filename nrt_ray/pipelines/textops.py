@@ -452,3 +452,29 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 def simhashes(sf_dir: str):
     return _read_docs(sf_dir).map_batches(simhash_batch,
                                           batch_format="pyarrow")
+
+
+def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):
+    """End-to-end near-duplicate DEDUP: MinHash/LSH candidates → exact
+    Jaccard verification → greedy keep-first (for each verified pair
+    ``(a, b)`` with ``a < b`` the higher doc id is dropped).  Returns the
+    surviving doc ids as a Dataset.
+
+    The drop set is the pair list's ``doc_b`` column — small by
+    construction (LSH buckets are capped) — broadcast once; the corpus
+    itself streams through a single anti-membership filter."""
+    verified = jaccard_verify(sf_dir, threshold=threshold, **minhash_kw)
+    vt = verified if isinstance(verified, pa.Table) else \
+        pa.Table.from_pylist(verified.take_all(),
+                             schema=pa.schema([("doc_a", pa.int64()),
+                                               ("doc_b", pa.int64()),
+                                               ("jaccard", pa.float64())]))
+    drop = pc.unique(vt["doc_b"]) if vt.num_rows else \
+        pa.array([], pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.invert(pc.is_in(batch["doc_id"], value_set=drop))
+        return batch.filter(m)
+
+    return _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(keep, batch_format="pyarrow")
