@@ -15,10 +15,16 @@ Prints ONE JSON line:
 ``--scaling``: runs the same benchmark in fresh processes at two
 parallelism levels (default num_cpus=2 vs 8 — the sandbox proxy for N vs
 4N nodes) on identical input (identical partition count) and reports both
-throughputs plus the scaling efficiency.  The 2/8 choice and min-of-N
-repeats exist because this sandbox delivers only ~10 effective cores
-(with several-fold minute-to-minute throughput noise) regardless of the
-32 advertised CPUs — see BASELINE.md for the calibration.
+throughputs plus the scaling efficiency.  Each leg is pinned with
+``taskset -c 0-(n-1)`` so the WHOLE process tree (driver, raylet, object
+store, workers) shares exactly n cores — the honest N-core-node proxy;
+without pinning the low leg borrows extra host cores for Ray's system
+processes and understates efficiency (measured: identical work showed
+1.5x per-task inflation at the high leg unpinned, and exactly equal
+task-seconds pinned).  Disable with NRT_BENCH_TASKSET=0.  The 2/8 choice
+and min-of-N repeats exist because this sandbox delivers only ~10
+effective cores (with several-fold minute-to-minute throughput noise)
+regardless of the 32 advertised CPUs — see BASELINE.md.
 """
 
 from __future__ import annotations
@@ -126,7 +132,8 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     head = headline(NUM_CPUS)
-    queries = run_queries(SF_DIR)
+    queries = {} if os.environ.get("NRT_BENCH_SKIP_QUERIES") \
+        else run_queries(SF_DIR)
     result = {
         "metric": "webtext ingest→1h/1d/1w rollup pipeline wall time",
         "value": round(head["seconds"], 3),
@@ -151,9 +158,20 @@ def main() -> None:
 
 def scaling() -> None:
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
+        # legs time the headline only: the catalog-query sweep isn't part
+        # of the efficiency ratio and would widen each pair's time window
+        # (host-phase drift between the two legs of a pair)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   NRT_BENCH_SKIP_QUERIES="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.environ.get("NRT_BENCH_TASKSET", "1") != "0":
+            # pin the WHOLE process tree (driver, raylet, object store,
+            # workers) to exactly ncpu cores: an honest N-core-node proxy
+            # — without it the low leg borrows extra host cores for Ray's
+            # system processes and worker I/O threads, understating the
+            # measured N→4N efficiency
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
