@@ -68,6 +68,7 @@ def queries() -> dict:
         "embedding_topk_cosine": sim.topk_cosine,
         "embedding_norms": sim.embedding_norms,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
+        "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
         # threshold 0.4 for the driver check: the synthetic embeddings
         # are near-orthogonal (max pairwise cosine ~0.5), so the 0.98
         # production default would make the check vacuously empty
@@ -445,6 +446,9 @@ def oracle_sql() -> dict:
         # hyperplane-LSH embedding ops: the seeded plane matrix inlined
         # as DOUBLE[] literals replays the bucket assignment exactly
         "embedding_lsh_topk_cosine": sk.lsh_topk_sql(),
+        # IVF: spherical-k-means iterations unrolled relationally over
+        # exploded (vec_id, dim, value) rows — see sketch_oracles
+        "embedding_ivf_topk_cosine": sk.ivf_topk_sql(),
         "embedding_near_dup_pairs": sk.embedding_near_dup_sql(
             threshold=0.4),
     }

@@ -210,3 +210,96 @@ def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.98,
                          "cosine_sim": pa.array([], pa.float64())})
     return out.groupby(["vec_a", "vec_b"]) \
         .map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def _spherical_kmeans(Xn: np.ndarray, n_centroids: int, iters: int):
+    """Deterministic spherical k-means on a (sorted) sample: init =
+    first ``n_centroids`` rows, assign to argmax dot (ties → lowest j),
+    centroid = L2-normalized member mean, empty/degenerate clusters keep
+    their previous centroid.  Replayed exactly by the SQL oracle."""
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_centroids):
+            m = Xn[a == j]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ivf_centroids(sf_dir: str, n_centroids: int = 16,
+                  sample_size: int = 256, iters: int = 2) -> np.ndarray:
+    """IVF coarse quantizer trained on a fixed prefix sample (the
+    ``sample_size`` smallest vec_ids — a pruned filtered read, never the
+    full table).  Centroid training on a small sample is the standard
+    IVF recipe; the scale path is the inverted-list structure, which the
+    full table only ever streams through once for assignment."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", sample_size)])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    col = t["embedding"].combine_chunks()
+    X = col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(col), -1).astype(np.float64)[order]
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X / np.where(norms == 0, 1.0, norms)[:, None]
+    return _spherical_kmeans(Xn, n_centroids, iters)
+
+
+class IvfScorer:
+    """Fused IVF stage: assign each vector to its nearest centroid
+    (argmax dot on normalized vectors, ties to the lowest index), keep
+    only vectors in the probed inverted lists, score exact cosine to the
+    query, emit the batch-local top-k.  ONE actor-pool stage — stacking
+    separate assigner/scorer pools would reserve 2x pool_size CPUs and
+    can starve the upstream read tasks on small clusters."""
+
+    def __init__(self, centroids_ref, query_ref, probe, k: int):
+        self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.q = q / np.linalg.norm(q)
+        self.probe = np.asarray(sorted(probe), dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        norms = np.linalg.norm(M, axis=1)
+        safe = np.where(norms == 0, 1.0, norms)
+        Mn = M / safe[:, None]
+        a = np.argmax(Mn @ self.C.T, axis=1)
+        keep = np.isin(a, self.probe)
+        sims = (M[keep] @ self.q) / safe[keep]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        if len(sims) > self.k:
+            top = np.argpartition(-sims, self.k)[:self.k]
+            ids, sims = ids[top], sims[top]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cosine_sim": pa.array(sims, pa.float64())})
+
+
+def ivf_topk_cosine(sf_dir: str, k: int = 10, n_centroids: int = 16,
+                    n_probe: int = 4, sample_size: int = 256,
+                    iters: int = 2):
+    """IVF approximate cosine top-k: spherical-k-means coarse quantizer
+    (trained once on a prefix sample, broadcast via ``ray.put``), each
+    vector assigned to its nearest centroid's inverted list, exact cosine
+    only inside the ``n_probe`` lists nearest to the query."""
+    C = ivf_centroids(sf_dir, n_centroids, sample_size, iters)
+    q = query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    dots = C @ qn
+    # top n_probe centroids, ties to the lowest index
+    probe = [int(p) for p in np.argsort(-dots, kind="stable")[:n_probe]]
+    cref = ray.put(C)
+    qref = ray.put(q)
+
+    return _read_emb(sf_dir) \
+        .map_batches(IvfScorer, fn_constructor_args=(cref, qref, probe, k),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
+        .map_batches(_round_sims, batch_format="pyarrow")

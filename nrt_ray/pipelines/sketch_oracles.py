@@ -279,3 +279,88 @@ FROM bc a JOIN bc c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE a.bsz <= {max_bucket} AND a.bsz >= 2
   AND list_cosine_similarity(a.ed, c.ed) >= {threshold!r}
 """
+
+
+def ivf_topk_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                 sample_size: int = 256, iters: int = 2) -> str:
+    """IVF approximate cosine top-k replayed relationally
+    (:func:`nrt_ray.pipelines.similarity.ivf_topk_cosine`): embeddings
+    exploded to (vec_id, dim, value) rows, the spherical-k-means
+    iterations unrolled as CTE stages (assign = argmax dot with ties to
+    the lowest centroid index; centroid = normalized member mean; empty /
+    zero-norm clusters keep their previous centroid), the query's
+    ``n_probe`` nearest lists probed, exact cosine inside them."""
+    parts = [f"""
+WITH ev AS (
+    SELECT vec_id, unnest(generate_series(1, {EMB_DIM})) AS i,
+           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+    FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ev GROUP BY vec_id),
+evn AS MATERIALIZED (
+    SELECT e.vec_id, e.i,
+           e.val / CASE WHEN n.nv = 0 THEN 1.0 ELSE n.nv END AS v
+    FROM ev e JOIN nrm n USING (vec_id)
+),
+smp AS MATERIALIZED (
+    SELECT vec_id, i, v, dense_rank() OVER (ORDER BY vec_id) - 1 AS r
+    FROM evn WHERE vec_id < {sample_size}
+),
+c0 AS MATERIALIZED (
+    SELECT r AS j, i, v AS cv FROM smp WHERE r < {n_centroids}
+)"""]
+    for t in range(1, int(iters) + 1):
+        p = f"c{t - 1}"
+        parts.append(f""",
+d{t} AS (
+    SELECT s.r, c.j, sum(s.v * c.cv) AS dot
+    FROM smp s JOIN {p} c USING (i) GROUP BY s.r, c.j
+),
+a{t} AS (
+    SELECT r, j AS cl FROM d{t}
+    QUALIFY row_number() OVER (PARTITION BY r
+                               ORDER BY dot DESC, j ASC) = 1
+),
+m{t} AS (
+    SELECT a.cl AS j, s.i, avg(s.v) AS mv
+    FROM smp s JOIN a{t} a USING (r) GROUP BY a.cl, s.i
+),
+mn{t} AS (SELECT j, sqrt(sum(mv * mv)) AS nn FROM m{t} GROUP BY j),
+c{t} AS MATERIALIZED (
+    SELECT p.j, p.i,
+           CASE WHEN m.mv IS NOT NULL AND n.nn > 0 THEN m.mv / n.nn
+                ELSE p.cv END AS cv
+    FROM {p} p
+    LEFT JOIN m{t} m ON m.j = p.j AND m.i = p.i
+    LEFT JOIN mn{t} n ON n.j = p.j
+)""")
+    cf = f"c{int(iters)}"
+    parts.append(f""",
+asn AS (
+    SELECT e.vec_id, c.j, sum(e.v * c.cv) AS dot
+    FROM evn e JOIN {cf} c USING (i) GROUP BY e.vec_id, c.j
+),
+cl AS (
+    SELECT vec_id AS cvid, j AS cluster FROM asn
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot DESC, j ASC) = 1
+),
+q AS (SELECT min(vec_id) AS qid FROM embeddings),
+qp AS (
+    SELECT c.j, sum(e.v * c.cv) AS dot
+    FROM evn e JOIN q ON e.vec_id = q.qid
+    JOIN {cf} c USING (i) GROUP BY c.j
+    QUALIFY row_number() OVER (ORDER BY dot DESC, j ASC) <= {n_probe}
+)
+SELECT em.vec_id,
+       round(list_cosine_similarity(
+           list_transform(em.embedding, x -> x::DOUBLE),
+           (SELECT list_transform(e2.embedding, x -> x::DOUBLE)
+            FROM embeddings e2, q WHERE e2.vec_id = q.qid)), 5)
+           AS cosine_sim
+FROM embeddings em
+JOIN cl ON cl.cvid = em.vec_id
+WHERE cl.cluster IN (SELECT j FROM qp)
+ORDER BY cosine_sim DESC, vec_id DESC LIMIT {k}
+""")
+    return "".join(parts)

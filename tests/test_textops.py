@@ -134,3 +134,15 @@ def test_lsh_topk_recall_vs_bruteforce(ray_session, planted_dir):
     approx_ids = set(approx["vec_id"].to_pylist())
     # LSH with 1-bit neighbourhood should recover most of the true top-5
     assert len(exact_ids & approx_ids) >= 3
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session, planted_dir):
+    exact = _tbl(sim.topk_cosine(planted_dir, k=5))
+    approx = _tbl(sim.ivf_topk_cosine(planted_dir, k=5, n_centroids=8,
+                                      n_probe=4, sample_size=64))
+    exact_ids = set(exact["vec_id"].to_pylist())
+    approx_ids = set(approx["vec_id"].to_pylist())
+    # probing half the inverted lists should recover most of the top-5
+    # (the query's own list is always probed, so top-1 is guaranteed)
+    assert exact["vec_id"][0].as_py() in approx_ids
+    assert len(exact_ids & approx_ids) >= 3
