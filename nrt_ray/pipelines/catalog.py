@@ -21,6 +21,7 @@ from nrt_ray.pipelines import relational as rel
 from nrt_ray.pipelines import similarity as sim
 from nrt_ray.pipelines import textops as tx
 from nrt_ray.pipelines import timeseries as tsq
+from nrt_ray.pipelines import windows as win
 
 
 def queries() -> dict:
@@ -53,6 +54,10 @@ def queries() -> dict:
                                         strategy="MOSUM"),
         "monitor_ccdc_events": partial(tsq.monitor_events, strategy="CCDC"),
         "segments_1d_events": tsq.segments_events,
+        # ---- temporal windows / streaming joins -------------------------
+        "sessionize_events": win.sessionize_events,
+        "hopping_1h_15m_events": win.hopping_windows_events,
+        "asof_click_purchase": win.asof_join_events,
         # ---- text analysis / dedup -------------------------------------
         "doc_token_counts": tx.token_counts,
         "doc_token_counts_bpe": tx.bpe_token_counts,
@@ -252,6 +257,12 @@ def oracle_sql() -> dict:
                          floor(epoch(ts)/86400)), 8) AS slope
             FROM events GROUP BY user_id
         """,
+        # temporal windows: gap sessions, hop-k overlapping windows and
+        # the as-of (last-strictly-earlier) join — all window-function /
+        # inequality-join expressible
+        "sessionize_events": win.sessionize_sql(),
+        "hopping_1h_15m_events": win.hopping_windows_sql(),
+        "asof_click_purchase": win.asof_join_sql(),
         "doc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
