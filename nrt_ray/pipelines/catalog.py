@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from nrt_ray.pipelines import mmops as mm
 from nrt_ray.pipelines import monitor_oracles as mo
 from nrt_ray.pipelines import sketch_oracles as sk
 from nrt_ray.pipelines import relational as rel
@@ -69,6 +70,10 @@ def queries() -> dict:
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
         "doc_simhashes": tx.simhashes,
+        # ---- multimodal binary decode -----------------------------------
+        "image_decode_stats": mm.image_decode_stats,
+        "audio_decode_stats": mm.audio_decode_stats,
+        "frame_sample_stats": mm.frame_sample_stats,
         # ---- similarity search -----------------------------------------
         "embedding_topk_cosine": sim.topk_cosine,
         "embedding_norms": sim.embedding_norms,
@@ -307,6 +312,12 @@ def oracle_sql() -> dict:
                          END, 6) AS mean_token_len
             FROM documents
         """,
+        # multimodal: the payload formulas are replayed in closed form, so
+        # matching the decoded statistics checks BOTH codec directions
+        # (encode_bmp/decode_bmp, encode_wav/decode_wav, frame chunking)
+        "image_decode_stats": mm.image_stats_sql(),
+        "audio_decode_stats": mm.audio_stats_sql(),
+        "frame_sample_stats": mm.frame_stats_sql(),
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(embedding,

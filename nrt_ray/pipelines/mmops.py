@@ -1,0 +1,206 @@
+"""Multimodal decode pipelines over synthetic-but-REAL binary payloads.
+
+The container has no imaging/audio libraries, but uncompressed 24-bit BMP
+and PCM-16 WAV are pure byte arithmetic — so these queries exercise a
+genuine ``binary``-column decode path end-to-end: a synthesis stage
+renders a deterministic payload per ``doc_id`` (encode), an actor-pool
+stage parses the bytes back (header walk, stride/padding, bottom-up row
+order, RIFF chunk list) and emits exact integer statistics, and the
+DuckDB oracle replays the same statistics in closed form from the pixel /
+sample generating formula — any byte-level bug in either codec direction
+breaks the match.
+
+Pixel / sample formulas (all integer, so the oracle is exact):
+
+* image: ``w = 4 + id%5``, ``h = 3 + id%7``; channel ``c`` of flat
+  (row-major, top-down) pixel ``i`` = ``(id*7 + i*13 + c*29) % 256``
+* audio: ``n = 64 + id%64`` samples at 8 kHz; sample ``i`` =
+  ``(id*31 + i*17) % 4096 - 2048``
+* video: payload byte ``j`` = ``(id + j) % 256``, length
+  ``1000·(3 + id%13) + id%997`` (the tail exercises chunk truncation);
+  frames = 1000-byte chunks sampled with stride 10
+
+Scale shape: synthesis and decode are both per-batch ``map_batches``
+stages (decode as an actor pool, ``BINARY_BATCH_SIZE`` rows per batch so
+wide binary rows never blow a worker heap); only small stat rows leave
+the stage.  At 100 TB the synthesis stage is replaced by
+``read_parquet(columns=["doc_id", "payload"])`` — everything downstream
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from nrt_ray.pipelines.relational import pool_size
+from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpStats,
+                                       FrameSampler, WavStats, encode_bmp,
+                                       encode_wav)
+
+WAV_RATE = 8000
+FRAME_BYTES = 1000
+FRAME_STRIDE = 10
+
+
+def _read_ids(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+
+def synth_image(doc_id: int) -> bytes:
+    """Deterministic 24-bit BMP for one doc id (see module formula)."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 7
+    i = np.arange(w * h, dtype=np.int64)
+    px = (doc_id * 7 + i[:, None] * 13
+          + np.array([0, 29, 58], dtype=np.int64)) % 256
+    return encode_bmp(px.reshape(h, w, 3).astype(np.uint8))
+
+
+def synth_audio(doc_id: int) -> bytes:
+    """Deterministic PCM-16 mono WAV for one doc id."""
+    n = 64 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 31 + i * 17) % 4096 - 2048
+    return encode_wav(s.astype(np.int16), WAV_RATE)
+
+
+def synth_video(doc_id: int) -> bytes:
+    """Deterministic "video" byte stream for one doc id."""
+    n = FRAME_BYTES * (3 + doc_id % 13) + doc_id % 997
+    j = np.arange(n, dtype=np.int64)
+    return ((doc_id + j) % 256).astype(np.uint8).tobytes()
+
+
+def _synth_batch(batch: pa.Table, fn) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "payload": pa.array([fn(int(d)) for d in ids], pa.binary()),
+    })
+
+
+def image_decode_stats(sf_dir: str):
+    """doc ids → BMP payloads → REAL decode → exact per-channel sums."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_image),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(BmpStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def audio_decode_stats(sf_dir: str):
+    """doc ids → WAV payloads → REAL decode → amplitude/energy sums."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_audio),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(WavStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def frame_sample_stats(sf_dir: str):
+    """doc ids → "video" payloads → frame sampling (flat_map fan-out) →
+    per-doc sampled-frame count and byte checksum."""
+    sampler = FrameSampler(id_col="doc_id", frame_bytes=FRAME_BYTES,
+                           stride=FRAME_STRIDE)
+
+    def agg(frames: pa.Table) -> pa.Table:
+        ids = frames["doc_id"].to_numpy(zero_copy_only=False)
+        sums = np.array(
+            [int(np.frombuffer(f, dtype=np.uint8).sum())
+             for f in frames["frame"].to_pylist()], dtype=np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_frames": pa.array(np.bincount(inv), pa.int64()),
+            "frame_byte_sum": pa.array(
+                np.bincount(inv, weights=sums).astype(np.int64),
+                pa.int64()),
+        })
+
+    # frames of one doc never split across batches: the sampler fans out
+    # within a batch and agg runs on the sampler's own output batch
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: agg(sampler(_synth_batch(t, synth_video))),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE)
+
+
+def image_stats_sql() -> str:
+    """Closed-form replay of the pixel formula (exact integer sums)."""
+    return """
+        WITH d AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h - 1)) AS i
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(any_value(w) AS BIGINT) AS img_width,
+               CAST(any_value(h) AS BIGINT) AS img_height,
+               CAST(sum((doc_id * 7 + i * 13) % 256) AS BIGINT)
+                   AS px_sum_r,
+               CAST(sum((doc_id * 7 + i * 13 + 29) % 256) AS BIGINT)
+                   AS px_sum_g,
+               CAST(sum((doc_id * 7 + i * 13 + 58) % 256) AS BIGINT)
+                   AS px_sum_b
+        FROM px GROUP BY doc_id
+    """
+
+
+def audio_stats_sql() -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   (doc_id * 31 + unnest(generate_series(0, n - 1)) * 17)
+                       % 4096 - 2048 AS v
+            FROM d
+        )
+        SELECT doc_id,
+               CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+               CAST(any_value(n) AS BIGINT) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS amp_sum,
+               CAST(sum(v * v) AS BIGINT) AS energy
+        FROM s GROUP BY doc_id
+    """
+
+
+def frame_stats_sql() -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   ({FRAME_BYTES} * (3 + doc_id % 13) + doc_id % 997)
+                       // {FRAME_BYTES} AS n_chunks
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT),
+                                          {FRAME_STRIDE})) AS f
+            FROM d
+        ),
+        by_ AS (
+            SELECT doc_id, f,
+                   (doc_id + f * {FRAME_BYTES}
+                    + unnest(generate_series(0, {FRAME_BYTES - 1}))) % 256
+                       AS v
+            FROM fr
+        )
+        SELECT doc_id,
+               CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
+               CAST(sum(v) AS BIGINT) AS frame_byte_sum
+        FROM by_ GROUP BY doc_id
+    """

@@ -1,18 +1,28 @@
-"""Multimodal (binary-payload) columns: schema, actor-pool stages, stubs.
+"""Multimodal (binary-payload) columns: schema, codecs, actor-pool stages.
 
 Images / audio / video ride through the engine as opaque ``binary``
 columns plus typed metadata, exactly like ``html`` does in the webtext
-table.  The Ray-side plumbing here is real — batch schemas, actor-pool
-``map_batches`` signatures, bounded batch sizes for wide binary rows,
-output layouts — while the codec itself is stubbed: the decode libraries
-are not available in this container, so ``decode="stub"`` (default) uses a
-deterministic fake decoder and ``decode="real"`` raises
-``NotImplementedError`` at the exact point a real decoder would plug in.
+table.  Two codec tiers:
+
+* **Real, library-free codecs** — uncompressed 24-bit BMP
+  (:func:`encode_bmp` / :func:`decode_bmp`) and PCM-16 mono WAV
+  (:func:`encode_wav` / :func:`decode_wav`) are pure byte arithmetic, so
+  the decode → feature-extract path (:class:`BmpStats`,
+  :class:`WavStats`) is a genuine binary decode pipeline with no
+  container dependency; it is oracle-checked end-to-end in the driver
+  catalog (``pipelines/mmops.py``).
+* **Stubbed compressed codecs** — JPEG/PNG pixel decode and real video
+  demux need libraries absent from this container, so
+  :class:`ImageFeatures`/:class:`FrameSampler` keep ``decode="stub"``
+  deterministic fakes and ``decode="real"`` raises at the exact plug-in
+  point.
 
 Stages:
 
 * :class:`ImageMeta` — parse width/height/format from real magic bytes
-  (PNG/JPEG/GIF headers are plain byte arithmetic, no library needed).
+  (PNG/JPEG/GIF/BMP headers are plain byte arithmetic).
+* :class:`BmpStats` / :class:`WavStats` — REAL binary decode →
+  per-payload statistics (actor-pool ``map_batches`` shape).
 * :class:`ImageFeatures` — per-image feature vector (actor pool; the
   stub derives a deterministic float vector from a streaming hash of the
   payload, shaped like a real embedding head output).
@@ -23,6 +33,7 @@ Stages:
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -58,7 +69,139 @@ def parse_image_header(payload: bytes):
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return "bmp", w, h
     return None, 0, 0
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → uncompressed 24-bit BI_RGB BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, BGR channel order
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → (h, w, 3) uint8 RGB array.
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    layouts and row padding; rejects compressed / non-24-bit files.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (planes={planes}, bpp={bpp}, "
+                         f"compression={compression})")
+    top_down = h < 0
+    ah = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * ah,
+                         offset=offset).reshape(ah, stride)
+    rgb = rows[:, :w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → PCM-16 RIFF/WAVE bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """PCM-16 mono RIFF/WAVE bytes → (sample_rate, int16 sample array).
+
+    Walks the RIFF chunk list (tolerates extra chunks before/between
+    ``fmt `` and ``data``); rejects non-PCM / non-mono / non-16-bit.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            afmt, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH",
+                                                             body, 0)
+            if afmt != 1 or nch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={afmt}, ch={nch}, "
+                                 f"bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)          # chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+class BmpStats:
+    """Actor-pool stage: REAL BMP decode → per-image statistics
+    (dimensions + exact per-channel integer pixel sums)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, sr, sg, sb = [], [], [], [], []
+        for b in batch[self.col].to_pylist():
+            rgb = decode_bmp(b).astype(np.int64)
+            hs.append(rgb.shape[0])
+            ws.append(rgb.shape[1])
+            csum = rgb.sum(axis=(0, 1))
+            sr.append(int(csum[0]))
+            sg.append(int(csum[1]))
+            sb.append(int(csum[2]))
+        return batch.drop_columns([self.col]) \
+            .append_column("img_width", pa.array(ws, pa.int64())) \
+            .append_column("img_height", pa.array(hs, pa.int64())) \
+            .append_column("px_sum_r", pa.array(sr, pa.int64())) \
+            .append_column("px_sum_g", pa.array(sg, pa.int64())) \
+            .append_column("px_sum_b", pa.array(sb, pa.int64()))
+
+
+class WavStats:
+    """Actor-pool stage: REAL WAV decode → sample stats (rate, count,
+    exact integer amplitude sum and energy)."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, ns, amps, energies = [], [], [], []
+        for b in batch[self.col].to_pylist():
+            rate, s = decode_wav(b)
+            s64 = s.astype(np.int64)
+            rates.append(rate)
+            ns.append(len(s))
+            amps.append(int(s64.sum()))
+            energies.append(int((s64 * s64).sum()))
+        return batch.drop_columns([self.col]) \
+            .append_column("sample_rate", pa.array(rates, pa.int64())) \
+            .append_column("n_samples", pa.array(ns, pa.int64())) \
+            .append_column("amp_sum", pa.array(amps, pa.int64())) \
+            .append_column("energy", pa.array(energies, pa.int64()))
 
 
 class ImageMeta:

@@ -77,6 +77,76 @@ def test_frame_sampler_fanout():
     assert all(len(f) == 4096 for f in out.column("frame").to_pylist())
 
 
+def test_bmp_roundtrip_all_pad_widths():
+    """Row padding covers all four stride remainders (w%4 ∈ {0..3})."""
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 8):
+        for h in (1, 2, 5):
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(mm.decode_bmp(mm.encode_bmp(a)), a)
+
+
+def test_bmp_topdown_negative_height():
+    import struct
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    # flip rows at encode time, then mark the header top-down: decode
+    # must NOT re-flip, yielding the flipped array back
+    b = bytearray(mm.encode_bmp(a))
+    struct.pack_into("<i", b, 22, -4)
+    assert np.array_equal(mm.decode_bmp(bytes(b)), a[::-1])
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"notabmp")
+    import struct
+    b = bytearray(mm.encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", b, 28, 8)  # bpp=8
+    with pytest.raises(ValueError):
+        mm.decode_bmp(bytes(b))
+
+
+def test_wav_roundtrip_and_extra_chunk():
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 321).astype(np.int16)
+    payload = mm.encode_wav(s, 44100)
+    rate, out = mm.decode_wav(payload)
+    assert rate == 44100 and np.array_equal(out, s)
+    # tolerate an extra LIST chunk before fmt/data (odd size → padding)
+    import struct
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    body = payload[12:]
+    patched = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) \
+        + b"WAVE" + extra + body
+    rate2, out2 = mm.decode_wav(patched)
+    assert rate2 == 44100 and np.array_equal(out2, s)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_bmp_stats_stage():
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    batch = pa.table({"doc_id": pa.array([9], pa.int64()),
+                      "payload": pa.array([mm.encode_bmp(a)], pa.binary())})
+    out = mm.BmpStats()(batch)
+    assert out.column("img_width").to_pylist() == [4]
+    assert out.column("img_height").to_pylist() == [2]
+    assert out.column("px_sum_r").to_pylist() == [int(a[:, :, 0].sum())]
+    assert out.column("px_sum_b").to_pylist() == [int(a[:, :, 2].sum())]
+
+
+def test_wav_stats_stage():
+    s = np.array([-3, 0, 5], dtype=np.int16)
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([mm.encode_wav(s, 8000)],
+                                          pa.binary())})
+    out = mm.WavStats()(batch)
+    assert out.column("n_samples").to_pylist() == [3]
+    assert out.column("amp_sum").to_pylist() == [2]
+    assert out.column("energy").to_pylist() == [9 + 25]
+
+
 def test_distributed_feature_stage(ray_session):
     import ray.data
     rows = [{"id": i, "payload": bytes([i] * 100)} for i in range(50)]
