@@ -55,6 +55,8 @@ def queries() -> dict:
                                         strategy="MOSUM"),
         "monitor_ccdc_events": partial(tsq.monitor_events, strategy="CCDC"),
         "segments_1d_events": tsq.segments_events,
+        "active_users_1h": tsq.active_users_events,
+        "user_value_quantiles": tsq.user_value_quantiles,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -260,6 +262,23 @@ def oracle_sql() -> dict:
                          floor(epoch(ts)/86400)), 5) AS intercept,
                    round(regr_slope(value,
                          floor(epoch(ts)/86400)), 8) AS slope
+            FROM events GROUP BY user_id
+        """,
+        # cross-key distinct aggregate: distinctness pre-resolved in the
+        # per-series kernel, tiny pre-aggregated exchange
+        "active_users_1h": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS bucket_ts,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        # discrete quantiles (element selection — exact match by
+        # construction, no interpolation float noise)
+        "user_value_quantiles": """
+            SELECT user_id,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
             FROM events GROUP BY user_id
         """,
         # temporal windows: gap sessions, hop-k overlapping windows and

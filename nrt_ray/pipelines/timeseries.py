@@ -328,6 +328,87 @@ def fit_events(sf_dir: str, fit_method: str):
                                                batch_format="pyarrow")
 
 
+def active_users_events(sf_dir: str, width_s: int = 3600):
+    """Per time bucket: distinct active users + event count — the
+    cross-key aggregate complementing the per-key rollups.  Distinctness
+    is resolved inside the fused per-series kernel (each user's buckets
+    are runs of its sorted series → zero extra dedup work), so the final
+    shuffle only moves one tiny (bucket, 1, count) row per (user, bucket)
+    — a pre-aggregated exchange, never row-level."""
+    width_us = width_s * US
+
+    def per_batch(series: pa.Table) -> pa.Table:
+        n = series.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = series.column("ts").combine_chunks().flatten() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ts) == 0:
+            return pa.table({"bucket_ts": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.int64())})
+        starts = np.cumsum(n) - n
+        hb = ts // width_us
+        new = np.zeros(len(ts), dtype=bool)
+        new[starts] = True
+        new[1:] |= hb[1:] != hb[:-1]
+        b = np.flatnonzero(new)
+        counts = np.diff(np.append(b, len(ts)))
+        return pa.table({
+            "bucket_ts": pa.array(hb[b] * width_us, pa.int64()),
+            "u": pa.array(np.ones(len(b), dtype=np.int64)),
+            "e": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_ts": t["bucket_ts"].cast(pa.timestamp("us")),
+            "n_users": t["n_users"],
+            "n_events": t["n_events"],
+        })
+
+    return _series_dataset(sf_dir) \
+        .map_batches(per_batch, batch_format="pyarrow") \
+        .groupby("bucket_ts") \
+        .aggregate(Sum("u", alias_name="n_users"),
+                   Sum("e", alias_name="n_events")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+#: discrete quantiles reported by :func:`user_value_quantiles` as exact
+#: integer fractions (num, den) — integer rank arithmetic reproduces
+#: DuckDB's ``quantile_disc`` (sorted[ceil(n·q)−1]) with no float ceil
+QUANTILES = (("p50", 1, 2), ("p90", 9, 10))
+
+
+def user_value_quantiles(sf_dir: str):
+    """Per-user discrete p50/p90 of value — the engine's exact-quantile
+    aggregate (the IQR monitor's ``nan_percentile`` analog, reported as
+    a driver-checkable discrete quantile: element selection, no float
+    interpolation, so the oracle match is exact by construction)."""
+
+    def per_batch(series: pa.Table) -> pa.Table:
+        n = series.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        val = series.column("value").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.cumsum(n) - n
+        # values arrive ts-sorted, not magnitude-sorted: one vectorized
+        # segmented sort for the whole batch via lexsort on (series, val)
+        sidx = np.repeat(np.arange(len(n)), n)
+        sorted_val = val[np.lexsort((val, sidx))]
+        cols = {"user_id": _user_col(series)}
+        for name, num, den in QUANTILES:
+            idx = -((-n * num) // den) - 1          # ceil(n·q)−1, exact
+            idx = np.maximum(idx, 0)
+            cols[name] = pa.array(sorted_val[starts + idx])
+        return pa.table(cols)
+
+    return _series_dataset(sf_dir).map_batches(per_batch,
+                                               batch_format="pyarrow")
+
+
 def segments_events(sf_dir: str, tier_name: str = "1d"):
     """Compressed segment inventory + decode-roundtrip checksums.
 
