@@ -182,19 +182,22 @@ def join_orders_customers(sf_dir: str):
     ``customer`` is the small side → ``ray.put`` once, dict lookup inside
     every batch; no shuffle join.
     """
-    import pyarrow.parquet as pq
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    # sorted-key numpy lookup (Arrow-native broadcast join, no pandas map)
-    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys)
-    seg_ref = ray.put((keys[order],
-                       cust["c_mktsegment"].to_numpy(zero_copy_only=False)
-                       [order]))
-
     class AddSegment:
-        def __init__(self, ref):
-            self.keys, self.vals = ray.get(ref)
+        """Build-side loaded in ``__init__`` (once per actor, straight
+        from storage): restart-safe — the ctor arg is just a path, so a
+        restarted actor rebuilds its lookup instead of depending on a
+        driver-held ObjectRef (ray#53727) — and the small side is a
+        sorted-key numpy lookup, Arrow-native, no pandas map."""
+
+        def __init__(self, path):
+            import pyarrow.parquet as pq
+            cust = pq.read_table(path,
+                                 columns=["c_custkey", "c_mktsegment"])
+            keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.vals = cust["c_mktsegment"] \
+                .to_numpy(zero_copy_only=False)[order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch["o_custkey"].to_numpy(zero_copy_only=False)
@@ -203,7 +206,8 @@ def join_orders_customers(sf_dir: str):
                                        pa.array(segs, pa.string()))
 
     out = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
-        .map_batches(AddSegment, fn_constructor_args=(seg_ref,),
+        .map_batches(AddSegment,
+                     fn_constructor_args=(f"{sf_dir}/customer.parquet",),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .groupby("c_mktsegment") \
         .aggregate(Sum("o_totalprice", alias_name="revenue"),

@@ -74,8 +74,12 @@ class CosineScorer:
     """Batch transform: cosine similarity to a broadcast query vector,
     keeping only the batch-local top-k (k=None keeps all rows)."""
 
-    def __init__(self, query_ref, k: int | None = None):
-        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+    def __init__(self, query, k: int | None = None):
+        # plain ctor args, not ObjectRefs: an actor's constructor args ship
+        # once per actor either way, and plain values keep the pool
+        # restartable (ray#53727 — refs held only by the driver can be
+        # lost, failing actor restarts)
+        q = np.asarray(query, dtype=np.float64)
         self.q = q / np.linalg.norm(q)
         self.k = k
 
@@ -100,9 +104,9 @@ def _round_sims(batch: pa.Table) -> pa.Table:
 def topk_cosine(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k: numpy matmul + local top-k per batch,
     then a global sort over only the per-batch survivors."""
-    qref = ray.put(query_vector(sf_dir))
     return _read_emb(sf_dir) \
-        .map_batches(CosineScorer, fn_constructor_args=(qref, k),
+        .map_batches(CosineScorer,
+                     fn_constructor_args=(query_vector(sf_dir), k),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
         .map_batches(_round_sims, batch_format="pyarrow")
@@ -144,7 +148,6 @@ def lsh_topk_cosine(sf_dir: str, k: int = 10, n_planes: int = 6):
     target = int(hasher.bucket(q[None, :])[0])
     neighbours = {target} | {target ^ (1 << i) for i in range(n_planes)}
     nb = pa.array(sorted(neighbours), pa.int64())
-    qref = ray.put(q)
 
     def in_buckets(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["bucket"], value_set=nb))
@@ -152,7 +155,7 @@ def lsh_topk_cosine(sf_dir: str, k: int = 10, n_planes: int = 6):
     return _read_emb(sf_dir) \
         .map_batches(hasher, batch_format="pyarrow") \
         .map_batches(in_buckets, batch_format="pyarrow") \
-        .map_batches(CosineScorer, fn_constructor_args=(qref, k),
+        .map_batches(CosineScorer, fn_constructor_args=(q, k),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
         .map_batches(_round_sims, batch_format="pyarrow")
@@ -259,9 +262,10 @@ class IvfScorer:
     separate assigner/scorer pools would reserve 2x pool_size CPUs and
     can starve the upstream read tasks on small clusters."""
 
-    def __init__(self, centroids_ref, query_ref, probe, k: int):
-        self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
-        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+    def __init__(self, centroids, query, probe, k: int):
+        # plain ctor args (see CosineScorer note re ray#53727)
+        self.C = np.asarray(centroids, dtype=np.float64)
+        q = np.asarray(query, dtype=np.float64)
         self.q = q / np.linalg.norm(q)
         self.probe = np.asarray(sorted(probe), dtype=np.int64)
         self.k = k
@@ -295,11 +299,8 @@ def ivf_topk_cosine(sf_dir: str, k: int = 10, n_centroids: int = 16,
     dots = C @ qn
     # top n_probe centroids, ties to the lowest index
     probe = [int(p) for p in np.argsort(-dots, kind="stable")[:n_probe]]
-    cref = ray.put(C)
-    qref = ray.put(q)
-
     return _read_emb(sf_dir) \
-        .map_batches(IvfScorer, fn_constructor_args=(cref, qref, probe, k),
+        .map_batches(IvfScorer, fn_constructor_args=(C, q, probe, k),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
         .map_batches(_round_sims, batch_format="pyarrow")

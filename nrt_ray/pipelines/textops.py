@@ -376,12 +376,13 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     for pid, r in enumerate(cand):
         for d in (int(r["doc_a"]), int(r["doc_b"])):
             pairs_of.setdefault(d, []).append(pid)
-    pairs_ref = ray.put(pairs_of)
     needed = pa.array(sorted(pairs_of), pa.int64())
 
     class EmitShingles:
-        def __init__(self, ref):
-            self.pairs_of = ray.get(ref)
+        # plain ctor arg, not an ObjectRef: ships once per actor either
+        # way and keeps the pool restartable (ray#53727)
+        def __init__(self, pairs):
+            self.pairs_of = pairs
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             b = batch.filter(pc.is_in(batch["doc_id"], value_set=needed))
@@ -416,7 +417,7 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
                              "jaccard": round_away([j], 6)})
 
     return _read_docs(sf_dir) \
-        .map_batches(EmitShingles, fn_constructor_args=(pairs_ref,),
+        .map_batches(EmitShingles, fn_constructor_args=(pairs_of,),
                      batch_format="pyarrow", concurrency=pool_size()) \
         .groupby("pair_id").map_groups(verify, batch_format="pandas")
 
