@@ -72,6 +72,7 @@ def queries() -> dict:
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
         "doc_simhashes": tx.simhashes,
+        "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
         "audio_decode_stats": mm.audio_decode_stats,
@@ -470,6 +471,65 @@ def oracle_sql() -> dict:
                                    CAST(v.lo AS BIGINT)),
                             '0000000000000000') AS simhash
             FROM documents d LEFT JOIN val v USING (doc_id)
+        """,
+        # SimHash LSH near-dup pairs: same hi/lo SimHash rebuild, four
+        # 16-bit bands, bucket cap 1000 (mirrors MAX_BUCKET), Hamming via
+        # bit_count(xor) on each half — replays the Ray band scheme
+        # exactly, so even >3-Hamming approximation never diverges
+        "simhash_near_dup_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS tok
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, md5_number_lower(tok) AS h
+                   FROM t WHERE tok <> ''),
+            bb AS (SELECT unnest(generate_series(0, 63)) AS bit),
+            acc AS (
+                SELECT t2.doc_id, bb.bit,
+                       sum(CAST((t2.h >> bb.bit) & 1 AS BIGINT) * 2 - 1)
+                           AS s
+                FROM t2 CROSS JOIN bb GROUP BY t2.doc_id, bb.bit
+            ),
+            val AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 AND bit >= 32
+                                THEN (CAST(1 AS BIGINT) << (bit - 32))
+                                ELSE 0 END) AS hi,
+                       sum(CASE WHEN s > 0 AND bit < 32
+                                THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS lo
+                FROM acc GROUP BY doc_id
+            ),
+            val2 AS (
+                SELECT d.doc_id, CAST(coalesce(v.hi, 0) AS BIGINT) AS hi,
+                       CAST(coalesce(v.lo, 0) AS BIGINT) AS lo
+                FROM documents d LEFT JOIN val v USING (doc_id)
+            ),
+            bands AS (
+                SELECT doc_id, hi, lo, b,
+                       CASE b WHEN 0 THEN lo & 65535
+                              WHEN 1 THEN (lo >> 16) & 65535
+                              WHEN 2 THEN hi & 65535
+                              ELSE (hi >> 16) & 65535 END AS key
+                FROM val2
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+            ),
+            sized AS (
+                SELECT *, count(*) OVER (PARTITION BY b, key) AS n
+                FROM bands
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                       bit_count(xor(a.hi, c.hi))
+                           + bit_count(xor(a.lo, c.lo)) AS hamming
+                FROM sized a JOIN sized c
+                  ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+                WHERE a.n <= 1000
+            )
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+            FROM cand WHERE hamming <= 3
         """,
         "embedding_topk_cosine": """
             WITH q AS (

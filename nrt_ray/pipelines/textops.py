@@ -543,8 +543,8 @@ def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
 
 # ------------------------------------------------------------------ simhash
 
-def simhash_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → 64-bit SimHash (hex) over whitespace tokens.
+def _simhash_values(batch: pa.Table) -> np.ndarray:
+    """Per-doc 64-bit SimHash values over whitespace tokens.
 
     Vectorized: one md5 per unique token in the batch (md5-low-64 so the
     DuckDB oracle can reproduce the hash), the ±1 bit contributions of
@@ -562,8 +562,14 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         starts = (np.cumsum(counts) - counts)[nonzero]
         acc[nonzero] = np.add.reduceat(contrib, starts, axis=0)
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    vals = ((acc > 0).astype(np.uint64) * weights[None, :]) \
+    return ((acc > 0).astype(np.uint64) * weights[None, :]) \
         .sum(axis=1, dtype=np.uint64)
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → 64-bit SimHash as fixed-width hex (see
+    ``_simhash_values``)."""
+    vals = _simhash_values(batch)
     out = [f"{v:016x}" for v in vals]
     return pa.table({"doc_id": batch["doc_id"],
                      "simhash": pa.array(out, pa.string())})
@@ -572,6 +578,139 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 def simhashes(sf_dir: str):
     return _read_docs(sf_dir).map_batches(simhash_batch,
                                           batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    ``bitwise_count``): view as bytes, unpack bits, row-sum."""
+    if len(x) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)
+                         .reshape(-1, 8), axis=1).sum(axis=1) \
+        .astype(np.int64)
+
+
+#: 16-bit SimHash bands: any pair within Hamming distance 3 of each other
+#: shares at least one intact band (pigeonhole over 4 bands), so the
+#: banded candidate set is COMPLETE for max_hamming<=3; larger thresholds
+#: are approximate (classic SimHash LSH) — and the SQL oracle replays the
+#: same band scheme, so approximation never diverges from the oracle.
+_SIMHASH_BANDS = 4
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           max_bucket: int = MAX_BUCKET):
+    """SimHash near-duplicate pairs: 64-bit SimHash → four 16-bit LSH
+    bands → hash exchange on (band, key) → per-partition vectorized
+    bucket-run pair emission with popcount Hamming verification → tiny
+    second exchange for the global pair dedup.
+
+    Mirrors the reference's sketch-then-verify shape (MinHash family
+    above) with the SimHash sketch instead: candidates only ever form
+    inside a shared 16-bit band bucket (capped, like the MinHash
+    buckets), so no all-pairs step exists at any scale; verification is
+    one xor+popcount over each bucket's triu pairs.
+    """
+    from nrt_ray.stages.exchange import exchange_map_groups
+    nparts = max(2, pool_size())
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        vals = _simhash_values(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        band = np.repeat(np.arange(_SIMHASH_BANDS, dtype=np.int64), n)
+        key = np.concatenate([
+            (vals >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            for b in range(_SIMHASH_BANDS)]) if n else \
+            np.array([], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pid = (((key ^ band.astype(np.uint64) * _MIX_MULT)
+                    * _MIX_MULT) % np.uint64(nparts)).astype(np.int32)
+        return pa.table({
+            "band_id": pa.array(band),
+            "band_key": pa.array(key.astype(np.int64)),
+            "doc_id": pa.array(np.tile(ids, _SIMHASH_BANDS)),
+            "simhash": pa.array(np.tile(vals, _SIMHASH_BANDS)),
+            "pid": pa.array(pid),
+        })
+
+    def pairs_fn(tbl: pa.Table) -> pa.Table:
+        bid = tbl["band_id"].to_numpy(zero_copy_only=False)
+        key = tbl["band_key"].to_numpy(zero_copy_only=False)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sh = tbl["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.lexsort((doc, key, bid))
+        bid, key, doc, sh = bid[order], key[order], doc[order], sh[order]
+        new = np.empty(len(bid), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(bid)])
+        big = counts > max_bucket
+        if big.any():
+            warnings.warn(f"{int(big.sum())} SimHash band bucket(s) "
+                          f"exceed the {max_bucket} ceiling — skipped")
+        a_out, b_out, h_out = [], [], []
+        for g in np.flatnonzero((counts >= 2) & ~big):
+            s, c = starts[g], counts[g]
+            ids, hs = doc[s:s + c], sh[s:s + c]
+            ai, bi = np.triu_indices(int(c), k=1)
+            ham = _popcount64(hs[ai] ^ hs[bi])
+            keep = ham <= max_hamming
+            a_out.append(ids[ai[keep]])
+            b_out.append(ids[bi[keep]])
+            h_out.append(ham[keep])
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        h = np.concatenate(h_out)
+        # partition-local dedup (same pair via two bands in this
+        # partition); hamming is pair-determined so any copy wins
+        stacked = np.stack([a, b], axis=1)
+        uniq, idx = np.unique(stacked, axis=0, return_index=True)
+        return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64()),
+                         "hamming": pa.array(h[idx], pa.int64())})
+
+    bands_ds = _read_docs(sf_dir).map_batches(band_rows,
+                                              batch_format="pyarrow")
+    pair_tables = exchange_map_groups(bands_ds, nparts, pairs_fn)
+    pair_tables = [t for t in pair_tables if t.num_rows]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if not pair_tables:
+        return empty
+
+    def rekey(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            pid = ((t["doc_a"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64) * _MIX_MULT
+                    ^ t["doc_b"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)) % np.uint64(nparts)) \
+                .astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    def dedup_fn(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        h = t["hamming"].to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(np.stack([a, b], axis=1), axis=0,
+                              return_index=True)
+        return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64()),
+                         "hamming": pa.array(h[idx], pa.int64())})
+
+    pairs_ds = ray.data.from_arrow(pair_tables) \
+        .map_batches(rekey, batch_format="pyarrow")
+    deduped = [t for t in exchange_map_groups(pairs_ds, nparts, dedup_fn)
+               if t.num_rows]
+    return pa.concat_tables(deduped) if deduped else empty
 
 
 def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):
