@@ -160,6 +160,79 @@ pairs AS (
 )"""
 
 
+def winnow_sql(k: int | None = None, w: int | None = None) -> str:
+    """Oracle for the winnowing fingerprints: same md5-low-64 token
+    hashes and rolling-polynomial k-shingles as `_shingle_ctes`, but kept
+    POSITIONAL (no distinct), then the classic window-of-``w`` min
+    (Schleimer et al. 2003) via a ``ROWS BETWEEN`` frame; distinct
+    selected hashes per doc, reinterpreted signed to match the int64
+    view the pipeline emits."""
+    from nrt_ray.pipelines.textops import _WINNOW_W
+    k = _SHINGLE_K if k is None else k
+    w = _WINNOW_W if w is None else w
+    poly = int(_POLY_MULT)
+    empty_hash = md5_low64(b"")
+    folds = []
+    for j in range(1, k):
+        ref = "s1" if j == 1 else f"s{j}_v"
+        folds.append(f"s{j + 1} AS (SELECT *, CASE WHEN l{j} IS NULL "
+                     f"THEN NULL ELSE ({_mulmod_const(ref, poly)} "
+                     f"+ l{j}) % {M64} END AS s{j + 1}_v FROM s{j})")
+    leads = ", ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY idx) AS l{j}"
+        for j in range(1, k))
+    short_case = " ".join(
+        f"WHEN cnt = {c} THEN " + (f"s{c}_v" if c > 1 else "s1")
+        for c in range(1, k))
+    return rf"""WITH d0 AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+),
+tok0 AS (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(generate_series(1, len(arr))) AS pos
+    FROM d0
+),
+tok1 AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+           count(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM tok0 WHERE tok <> ''
+),
+s1 AS (
+    SELECT doc_id, idx, cnt,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS h,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS s1,
+           {leads}
+    FROM tok1
+),
+{", ".join(folds)},
+ordered AS (
+    SELECT doc_id, idx, cnt - {k - 1} AS m, s{k}_v AS s FROM s{k}
+    WHERE cnt >= {k} AND idx <= cnt - {k - 1}
+    UNION ALL
+    SELECT doc_id, 1 AS idx, 1 AS m, CASE {short_case} END AS s
+    FROM s{k} WHERE cnt < {k} AND idx = 1
+    UNION ALL
+    SELECT d.doc_id, 1 AS idx, 1 AS m, CAST({empty_hash} AS HUGEINT) AS s
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM tok1)
+),
+win AS (
+    SELECT doc_id, idx, m,
+           min(s) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS BETWEEN CURRENT ROW
+                        AND {w - 1} FOLLOWING) AS wm
+    FROM ordered
+)
+SELECT DISTINCT doc_id,
+       CAST(CASE WHEN wm >= {1 << 63} THEN wm - {M64} ELSE wm END
+            AS BIGINT) AS fp
+FROM win
+WHERE (m <= {w} AND idx = 1) OR (m > {w} AND idx <= m - {w} + 1)
+"""
+
+
 def minhash_candidates_sql(num_perm: int = 64, bands: int = 16,
                            seed: int = 7,
                            max_bucket: int = MAX_BUCKET) -> str:

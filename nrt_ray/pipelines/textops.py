@@ -257,6 +257,75 @@ def _shingles(text: str, k: int = _SHINGLE_K) -> np.ndarray:
     return _shingle_hashes(flat, counts, k)[0]
 
 
+#: winnowing window: guarantee = any shared token run of
+#: ``_SHINGLE_K + _WINNOW_W - 1`` tokens yields a shared fingerprint
+_WINNOW_W = 4
+
+
+def _ordered_shingles(flat: np.ndarray, counts: np.ndarray,
+                      k: int = _SHINGLE_K) -> list[np.ndarray]:
+    """Per-doc POSITIONAL k-token-shingle hashes (same rolling polynomial
+    as `_shingle_hashes` but order-preserving, duplicates kept) — the
+    input sequence winnowing slides its window over."""
+    out = []
+    pos = 0
+    empty = np.array([md5_low64(b"")], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in counts:
+            h = flat[pos:pos + c]
+            pos += c
+            if c == 0:
+                out.append(empty)
+            elif c < k:
+                s = np.uint64(0)
+                for v in h:
+                    s = s * _POLY_MULT + v
+                out.append(np.array([s], dtype=np.uint64))
+            else:
+                s = np.zeros(c - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    s = s * _POLY_MULT + h[j:c - k + 1 + j]
+                out.append(s)
+    return out
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → distinct winnowed fingerprints (MOSS-style rolling-hash
+    document fingerprinting: the min shingle hash of every window of
+    ``_WINNOW_W`` consecutive positional shingles; Schleimer et al. 2003).
+    Vectorized: the sliding-window min is a ``np.minimum.reduce`` over
+    ``w`` shifted views — no per-window loop."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, counts = _token_hash_segments(batch["text"].to_pylist())
+    seqs = _ordered_shingles(flat, counts)
+    w = _WINNOW_W
+    id_out, fp_out = [], []
+    for d, s in zip(ids, seqs):
+        m = len(s)
+        if m <= w:
+            sel = np.array([s.min()], dtype=np.uint64)
+        else:
+            sel = np.unique(np.minimum.reduce(
+                [s[i:m - w + 1 + i] for i in range(w)]))
+        id_out.append(np.full(len(sel), d, dtype=np.int64))
+        fp_out.append(sel)
+    fps = np.concatenate(fp_out) if fp_out else \
+        np.array([], dtype=np.uint64)
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(id_out) if id_out else
+                           np.array([], dtype=np.int64)),
+        # signed reinterpretation so BIGINT oracles compare exactly
+        "fp": pa.array(fps.view(np.int64)),
+    })
+
+
+def winnow_fingerprints(sf_dir: str):
+    """Distinct (doc_id, fingerprint) rows — the joinable fingerprint
+    table winnowing-based containment/plagiarism detection runs on."""
+    return _read_docs(sf_dir).map_batches(winnow_batch,
+                                          batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHasher:

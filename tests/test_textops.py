@@ -146,3 +146,46 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session, planted_dir):
     # (the query's own list is always probed, so top-1 is guaranteed)
     assert exact["vec_id"][0].as_py() in approx_ids
     assert len(exact_ids & approx_ids) >= 3
+
+
+def test_simhash_near_dup_pairs_planted(ray_session, planted_dir):
+    """The banded SimHash pipeline must surface the planted one-word-edit
+    copies (Hamming <= 3 guarantee regime) and the exact duplicate."""
+    t = _tbl(tx.simhash_near_dup_pairs(planted_dir))
+    pairs = {(a, b): h for a, b, h in zip(t["doc_a"].to_pylist(),
+                                          t["doc_b"].to_pylist(),
+                                          t["hamming"].to_pylist())}
+    assert (6, 200) in pairs and pairs[(6, 200)] == 0   # exact dup
+    found = [(j, 100 + j) in pairs for j in range(5)]
+    # one-word edits land within Hamming 3 for most planted copies
+    assert sum(found) >= 3, f"planted near-dups missed: {found}"
+    for (a, b), h in pairs.items():
+        assert h <= 3
+
+
+def test_winnow_shared_run_guarantee(ray_session, tmp_path):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a token
+    run of at least k + w - 1 tokens share at least one fingerprint;
+    disjoint-vocabulary docs share none."""
+    k, w = tx._SHINGLE_K, tx._WINNOW_W
+    rng = np.random.default_rng(11)
+    va = [f"a{i}" for i in range(50)]
+    vb = [f"b{i}" for i in range(50)]
+    run = " ".join(rng.choice(va, k + w - 1))
+    texts = [
+        " ".join(rng.choice(va, 40)) + " " + run,
+        run + " " + " ".join(rng.choice(va, 40)),
+        " ".join(rng.choice(vb, 60)),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    t = _tbl(tx.winnow_fingerprints(str(tmp_path)))
+    fps = {d: set() for d in (0, 1, 2)}
+    for d, f in zip(t["doc_id"].to_pylist(), t["fp"].to_pylist()):
+        fps[d].add(f)
+    assert fps[0] & fps[1], "shared k+w-1 run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # density: winnowing selects ~2/(w+1) of positions, never the whole set
+    assert 1 <= len(fps[2]) < 60 - k + 1
