@@ -66,6 +66,7 @@ def queries() -> dict:
         "doc_token_counts_bpe": tx.bpe_token_counts,
         "doc_fingerprints": tx.fingerprints,
         "doc_winnow_fingerprints": tx.winnow_fingerprints,
+        "doc_containment_pairs": tx.containment_pairs,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -309,6 +310,7 @@ def oracle_sql() -> dict:
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "doc_winnow_fingerprints": sk.winnow_sql(),
+        "doc_containment_pairs": sk.containment_sql(),
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,
                    min(doc_id) AS keep_id,

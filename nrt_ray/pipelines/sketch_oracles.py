@@ -233,6 +233,34 @@ WHERE (m <= {w} AND idx = 1) OR (m > {w} AND idx <= m - {w} + 1)
 """
 
 
+def containment_sql(min_shared: int = 2,
+                    max_bucket: int = MAX_BUCKET) -> str:
+    """Oracle for the winnow-fingerprint containment join: self-join the
+    winnowed fingerprint table on the fingerprint (buckets capped like
+    the pipeline), count shared fps per pair, score by the smaller doc's
+    fingerprint-set size."""
+    return f"""
+WITH W AS ({winnow_sql()}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n FROM W),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM sized a JOIN sized b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.n <= {max_bucket}
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
+),
+tot AS (SELECT doc_id, count(*) AS nf FROM W GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       round(p.n_shared / CAST(least(ta.nf, tb.nf) AS DOUBLE), 6)
+           AS containment
+FROM p
+JOIN tot ta ON ta.doc_id = p.doc_a
+JOIN tot tb ON tb.doc_id = p.doc_b
+"""
+
+
 def minhash_candidates_sql(num_perm: int = 64, bands: int = 16,
                            seed: int = 7,
                            max_bucket: int = MAX_BUCKET) -> str:

@@ -203,6 +203,11 @@ def md5_low64(b: bytes) -> int:
     return int.from_bytes(hashlib.md5(b).digest()[8:], "little")
 
 
+#: LSH buckets larger than this are skipped (a band key shared by this
+#: many docs is boilerplate, not near-duplication; emitting its O(b²)
+#: pairs would blow up on one hot key).  Skips are warned, never silent.
+MAX_BUCKET = 1000
+
 _MIX_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 _POLY_MULT = np.uint64(0x100000001B3)      # FNV-64 prime (odd)
 _SHINGLE_K = 5
@@ -326,6 +331,127 @@ def winnow_fingerprints(sf_dir: str):
                                           batch_format="pyarrow")
 
 
+def containment_pairs(sf_dir: str, min_shared: int = 2,
+                      max_bucket: int = MAX_BUCKET):
+    """Document containment via shared winnowed fingerprints (the MOSS
+    join): pairs of docs sharing ≥ ``min_shared`` fingerprints, scored
+    ``containment = n_shared / min(|fp(a)|, |fp(b)|)``.
+
+    Shape: fingerprint rows → hash exchange ON THE FINGERPRINT (each
+    fp's bucket lands whole in one partition; buckets capped like the
+    LSH ones) → vectorized bucket-run pair emission with per-partition
+    pair counts → second exchange on the pair key summing the counts
+    globally → the small surviving pair table joins per-doc fingerprint
+    totals via one broadcast lookup.  No all-pairs step at any scale."""
+    from nrt_ray.stages.exchange import exchange_map_groups
+    nparts = max(2, pool_size())
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            pid = ((t["fp"].to_numpy(zero_copy_only=False)
+                    .view(np.uint64) * _MIX_MULT)
+                   % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, fp))
+        fp, doc = fp[order], doc[order]
+        new = np.empty(len(fp), dtype=bool)
+        new[0] = True
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(fp)])
+        big = counts > max_bucket
+        if big.any():
+            warnings.warn(f"{int(big.sum())} fingerprint bucket(s) "
+                          f"exceed the {max_bucket} ceiling — skipped "
+                          f"(boilerplate fingerprint)")
+        a_out, b_out = [], []
+        for g in np.flatnonzero((counts >= 2) & ~big):
+            ids = doc[starts[g]:starts[g] + counts[g]]
+            ai, bi = np.triu_indices(int(counts[g]), k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bi])
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        stacked = np.stack([np.concatenate(a_out),
+                            np.concatenate(b_out)], axis=1)
+        uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
+        return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64()),
+                         "n_shared": pa.array(cnt.astype(np.int64))})
+
+    fp_ds = winnow_fingerprints(sf_dir).map_batches(
+        add_pid, batch_format="pyarrow")
+    partials = [t for t in exchange_map_groups(fp_ds, nparts, pair_counts)
+                if t.num_rows]
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "n_shared": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64())})
+    if not partials:
+        return empty
+
+    def rekey(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            pid = ((t["doc_a"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64) * _MIX_MULT
+                    ^ t["doc_b"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)) % np.uint64(nparts)) \
+                .astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    def sum_counts(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        n = t["n_shared"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.stack([a, b], axis=1), axis=0,
+                              return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        keep = tot >= min_shared
+        return pa.table({"doc_a": pa.array(uniq[keep, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[keep, 1], pa.int64()),
+                         "n_shared": pa.array(tot[keep])})
+
+    pairs_ds = ray.data.from_arrow(partials) \
+        .map_batches(rekey, batch_format="pyarrow")
+    summed = [t for t in exchange_map_groups(pairs_ds, nparts, sum_counts)
+              if t.num_rows]
+    if not summed:
+        return empty
+    pairs = pa.concat_tables(summed)
+    # per-doc fingerprint totals for ONLY the docs in surviving pairs:
+    # a distributed aggregate filtered to the (small, capped) pair-doc
+    # set, collected as the broadcast small side of the score join
+    need = np.unique(np.concatenate([
+        pairs["doc_a"].to_numpy(zero_copy_only=False),
+        pairs["doc_b"].to_numpy(zero_copy_only=False)]))
+    need_arr = pa.array(need, pa.int64())
+    totals = winnow_fingerprints(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need_arr)),
+        batch_format="pyarrow") \
+        .groupby("doc_id").count()
+    tt = pa.Table.from_pandas(totals.to_pandas(), preserve_index=False)
+    keys = tt["doc_id"].to_numpy(zero_copy_only=False)
+    vals = tt["count()"].to_numpy(zero_copy_only=False) \
+        if "count()" in tt.column_names else \
+        tt[tt.column_names[1]].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys, vals = keys[order], vals[order]
+    na = vals[np.searchsorted(keys, pairs["doc_a"]
+                              .to_numpy(zero_copy_only=False))]
+    nb = vals[np.searchsorted(keys, pairs["doc_b"]
+                              .to_numpy(zero_copy_only=False))]
+    cont = pairs["n_shared"].to_numpy(zero_copy_only=False) \
+        / np.minimum(na, nb)
+    return pairs.append_column("containment",
+                               pa.array(round_away(cont, 6)))
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHasher:
@@ -382,11 +508,6 @@ class MinHasher:
             "band_key": pa.array(keys.reshape(-1)),
         })
 
-
-#: LSH buckets larger than this are skipped (a band key shared by this
-#: many docs is boilerplate, not near-duplication; emitting its O(b²)
-#: pairs would blow up on one hot key).  Skips are warned, never silent.
-MAX_BUCKET = 1000
 
 _EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
