@@ -106,6 +106,8 @@ BENCH_QUERIES = (
     "monitor_cusum_events",
     "dedup_exact_docs",
     "minhash_near_dup_candidates",
+    "simhash_near_dup_pairs",
+    "doc_winnow_fingerprints",
     "embedding_topk_cosine",
 )
 
