@@ -67,6 +67,7 @@ def queries() -> dict:
         "doc_fingerprints": tx.fingerprints,
         "doc_winnow_fingerprints": tx.winnow_fingerprints,
         "doc_containment_pairs": tx.containment_pairs,
+        "vocab_top_tokens": tx.vocab_top_tokens,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -311,6 +312,16 @@ def oracle_sql() -> dict:
         """,
         "doc_winnow_fingerprints": sk.winnow_sql(),
         "doc_containment_pairs": sk.containment_sql(),
+        "vocab_top_tokens": r"""
+            SELECT tok AS token, count(*) AS n_total
+            FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                                                      '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n_total DESC, token ASC
+            LIMIT 100
+        """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,
                    min(doc_id) AS keep_id,

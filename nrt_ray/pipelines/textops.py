@@ -189,6 +189,34 @@ def lang_id(sf_dir: str):
                                           concurrency=pool_size())
 
 
+def _partial_vocab(batch: pa.Table) -> pa.Table:
+    """Per-batch token frequency (the COMBINER half of the aggregation):
+    one np.unique over the batch's flattened whitespace tokens, so the
+    shuffle moves one row per DISTINCT token per batch — not one row per
+    token occurrence."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+    flat = flat[flat != ""]
+    uniq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"token": pa.array(uniq, pa.string()),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 100):
+    """Corpus vocabulary statistics: the ``k`` most frequent whitespace
+    tokens.  Partial counts inside ``map_batches`` (one row per distinct
+    token per batch) → small ``groupby(token).sum`` shuffle → sort over
+    the aggregated vocabulary only.  Ties break alphabetically for a
+    deterministic result."""
+    from ray.data.aggregate import Sum
+    return _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_partial_vocab, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n_total")) \
+        .sort(["n_total", "token"], descending=[True, False]).limit(k)
+
+
 # ------------------------------------------------------------------ hashing
 
 def hash_bytes(b: bytes) -> int:
