@@ -68,6 +68,7 @@ def queries() -> dict:
         "doc_winnow_fingerprints": tx.winnow_fingerprints,
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
+        "sample_stratified_docs": tx.sample_stratified,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -321,6 +322,16 @@ def oracle_sql() -> dict:
             GROUP BY tok
             ORDER BY n_total DESC, token ASC
             LIMIT 100
+        """,
+        "sample_stratified_docs": """
+            SELECT doc_id, lang, sample_rank FROM (
+                SELECT doc_id, lang,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 20
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,

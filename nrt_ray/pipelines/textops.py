@@ -189,6 +189,55 @@ def lang_id(sf_dir: str):
                                           concurrency=pool_size())
 
 
+def _sample_batch(batch: pa.Table, n: int) -> pa.Table:
+    """Per-batch survivors of the stratified sample: the ``n`` smallest
+    (md5(doc_id), doc_id) keys per language in this batch.  Only these
+    ≤ n·n_langs rows move — the deterministic-hash analog of a
+    per-batch top-k before the tiny global merge."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+    keys = np.array([hashlib.md5(str(d).encode()).hexdigest()
+                     for d in ids], dtype=object)
+    keep = np.zeros(len(ids), dtype=bool)
+    for lg in np.unique(langs):
+        m = np.flatnonzero(langs == lg)
+        order = np.lexsort((ids[m], keys[m]))[:n]
+        keep[m[order]] = True
+    return pa.table({"doc_id": pa.array(ids[keep]),
+                     "lang": pa.array(langs[keep], pa.string()),
+                     "sample_key": pa.array(keys[keep], pa.string())})
+
+
+def sample_stratified(sf_dir: str, n_per_group: int = 20):
+    """Deterministic stratified sample: the ``n_per_group`` documents
+    with the smallest md5(doc_id) hash per language — reproducible
+    "random" sampling with no RNG state to ship (re-running over the
+    same corpus always selects the same docs, and adding documents only
+    perturbs the sample where new hashes displace old ones).
+
+    Per-batch local top-n per language inside ``map_batches`` (so the
+    survivors, not the corpus, leave each batch) → one tiny final
+    merge over ≤ n·n_langs·n_batches rows."""
+    surv = _read_docs(sf_dir, columns=("doc_id", "lang")) \
+        .map_batches(lambda b: _sample_batch(b, n_per_group),
+                     batch_format="pyarrow")
+    t = pa.Table.from_pandas(surv.to_pandas(), preserve_index=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+    keys = np.asarray(t["sample_key"].to_pylist(), dtype=object)
+    keep = np.zeros(len(ids), dtype=bool)
+    rank = np.zeros(len(ids), dtype=np.int64)
+    for lg in np.unique(langs):
+        m = np.flatnonzero(langs == lg)
+        order = np.lexsort((ids[m], keys[m]))[:n_per_group]
+        keep[m[order]] = True
+        rank[m[order]] = np.arange(1, len(order) + 1)
+    sel = np.flatnonzero(keep)
+    return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
+                     "lang": pa.array(langs[sel], pa.string()),
+                     "sample_rank": pa.array(rank[sel])})
+
+
 def _partial_vocab(batch: pa.Table) -> pa.Table:
     """Per-batch token frequency (the COMBINER half of the aggregation):
     one np.unique over the batch's flattened whitespace tokens, so the
