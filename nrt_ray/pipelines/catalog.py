@@ -69,6 +69,7 @@ def queries() -> dict:
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
         "sample_stratified_docs": tx.sample_stratified,
+        "doc_tfidf_scores": tx.tfidf_scores,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -332,6 +333,30 @@ def oracle_sql() -> dict:
                        ) AS BIGINT) AS sample_rank
                 FROM documents
             ) WHERE sample_rank <= 20
+        """,
+        "doc_tfidf_scores": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS t
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+            tf AS (SELECT doc_id, t, count(*) AS tf
+                   FROM tok2 GROUP BY doc_id, t),
+            df AS (SELECT t, count(DISTINCT doc_id) AS df
+                   FROM tok2 GROUP BY t),
+            w AS (
+                SELECT tf.doc_id,
+                       tf.tf * ln((SELECT count(*) FROM documents)
+                                  / CAST(df.df AS DOUBLE)) AS w
+                FROM tf JOIN df USING (t)
+            )
+            SELECT d.doc_id,
+                   round(coalesce(sum(w.w), 0), 6) AS tfidf_sum,
+                   round(coalesce(max(w.w), 0), 6) AS tfidf_max
+            FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,

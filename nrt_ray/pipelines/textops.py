@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -236,6 +237,103 @@ def sample_stratified(sf_dir: str, n_per_group: int = 20):
     return pa.table({"doc_id": pa.array(ids[sel], pa.int64()),
                      "lang": pa.array(langs[sel], pa.string()),
                      "sample_rank": pa.array(rank[sel])})
+
+
+def _doc_tokens(batch: pa.Table):
+    """(flat tokens, per-doc repeat index) of a batch — shared by the
+    tf-idf passes."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+    ok = flat != ""
+    return flat[ok], doc_idx[ok]
+
+
+def _pair_counts(flat: np.ndarray, doc_idx: np.ndarray):
+    """Distinct (doc, token) pairs of a batch with occurrence counts —
+    token strings interned to int ids so the pair key is one int64
+    ``np.unique`` (object arrays don't support axis=0 unique)."""
+    uniq_tok, inv = np.unique(flat, return_inverse=True)
+    key = doc_idx.astype(np.int64) * len(uniq_tok) + inv
+    pk, tf = np.unique(key, return_counts=True)
+    return uniq_tok, pk // len(uniq_tok), pk % len(uniq_tok), tf
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """Per-batch DOCUMENT frequency partials: one (token, n_docs) row
+    per distinct token of the batch (each doc counted once per token)."""
+    flat, doc_idx = _doc_tokens(batch)
+    if not len(flat):
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    uniq_tok, _, tok_of_pair, _ = _pair_counts(flat, doc_idx)
+    tid, cnt = np.unique(tok_of_pair, return_counts=True)
+    return pa.table({"token": pa.array(uniq_tok[tid].astype(object),
+                                       pa.string()),
+                     "df": pa.array(cnt.astype(np.int64))})
+
+
+class TfIdfScorer:
+    """Per-doc tf-idf summary against a broadcast idf table.
+
+    The idf lookup (vocabulary-sized — the output of an aggregate, much
+    smaller than the corpus) is spilled to a Parquet side file and loaded
+    once per actor in ``__init__`` (the path is a plain ctor arg — no
+    object-store refs held only by the driver, see ray#53727; on a real
+    cluster this is a shared-storage side table).  Scoring is one
+    np.unique over the batch's (doc, token) pairs + searchsorted against
+    the sorted vocabulary — no per-token Python."""
+
+    def __init__(self, idf_path: str):
+        t = pq.read_table(idf_path)
+        tokens = np.asarray(t["token"].to_pylist(), dtype=object)
+        idf = t["idf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        self.idf = idf[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _doc_tokens(batch)
+        ndocs = batch.num_rows
+        s = np.zeros(ndocs)
+        mx = np.zeros(ndocs)
+        if len(flat):
+            uniq_tok, d, tok_of_pair, tf = _pair_counts(flat, doc_idx)
+            pos = np.searchsorted(self.tokens, uniq_tok[tok_of_pair])
+            w = tf * self.idf[pos]
+            s = np.bincount(d, weights=w, minlength=ndocs)
+            mx = np.zeros(ndocs)
+            np.maximum.at(mx, d, w)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "tfidf_sum": pa.array(round_away(s, 6)),
+            "tfidf_max": pa.array(round_away(mx, 6)),
+        })
+
+
+def tfidf_scores(sf_dir: str):
+    """Two-pass distributed tf-idf: document frequencies via combiner
+    partials + one vocabulary-sized ``groupby(token).sum`` shuffle;
+    idf = ln(N/df) broadcast into an actor-pool scoring stage."""
+    import tempfile
+    from ray.data.aggregate import Sum
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    dft = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_partial_df, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df_total"))
+    dft = pa.Table.from_pandas(dft.to_pandas(), preserve_index=False)
+    idf = np.log(n_docs
+                 / dft["df_total"].to_numpy(zero_copy_only=False))
+    idf_path = tempfile.mktemp(prefix="nrt_ray_idf_", suffix=".parquet")
+    pq.write_table(pa.table({"token": dft["token"], "idf": idf}),
+                   idf_path)
+    return _read_docs(sf_dir).map_batches(
+        TfIdfScorer, fn_constructor_args=(idf_path,),
+        batch_format="pyarrow", concurrency=pool_size())
 
 
 def _partial_vocab(batch: pa.Table) -> pa.Table:
