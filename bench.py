@@ -105,6 +105,8 @@ BENCH_QUERIES = (
     "fit_ols_trend_events",
     "monitor_cusum_events",
     "dedup_exact_docs",
+    "doc_tfidf_scores",
+    "near_dup_clusters",
     "minhash_near_dup_candidates",
     "simhash_near_dup_pairs",
     "doc_winnow_fingerprints",

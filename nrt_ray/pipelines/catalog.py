@@ -76,6 +76,7 @@ def queries() -> dict:
         "minhash_near_dup_candidates": tx.minhash_candidates,
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
+        "near_dup_clusters": tx.near_dup_clusters,
         "doc_simhashes": tx.simhashes,
         "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
         # ---- multimodal binary decode -----------------------------------
@@ -425,6 +426,29 @@ def oracle_sql() -> dict:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (
                 SELECT doc_b FROM ({sk.jaccard_verified_sql()}))
+        """,
+        # duplicate clusters: transitive closure of the verified pair
+        # graph via a recursive CTE; cluster id = min reachable doc id
+        "near_dup_clusters": f"""
+            WITH RECURSIVE vp AS ({sk.jaccard_verified_sql()}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM vp
+                UNION
+                SELECT doc_b, doc_a FROM vp
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            lbl AS (
+                SELECT n AS doc_id, min(least(n, m)) AS cluster_id
+                FROM reach GROUP BY n
+            )
+            SELECT l.doc_id, l.cluster_id, cs.cluster_size
+            FROM lbl l
+            JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM lbl GROUP BY cluster_id) cs USING (cluster_id)
         """,
         # CCDC-stable fit over the 30-day events table: the shrink loop
         # exits on the half-year span rule after the first full-history

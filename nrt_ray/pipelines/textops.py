@@ -1078,6 +1078,36 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     return pa.concat_tables(deduped) if deduped else empty
 
 
+def near_dup_clusters(sf_dir: str, threshold: float = 0.6, **minhash_kw):
+    """Duplicate CLUSTER assignment: connected components over the
+    verified near-dup pair graph (alternating large-star/small-star
+    rounds, `nrt_ray.stages.concomp`).  One row per doc that appears in
+    any verified pair: ``(doc_id, cluster_id, cluster_size)`` with
+    ``cluster_id`` = min doc id of the component — the transitive
+    closure greedy keep-first (`dedup_near_docs`) deliberately skips.
+
+    The reference has no graph stage; this is §2.9 surface.  Edge state
+    stays in object-store refs across rounds; only the per-node label
+    table (graph-sized, not corpus-sized) lands on the driver."""
+    from nrt_ray.stages.concomp import connected_components
+    vt = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64()),
+                      "cluster_size": pa.array([], pa.int64())})
+    if vt.num_rows == 0:
+        return empty
+    edges = pa.table({"u": vt["doc_a"], "v": vt["doc_b"]})
+    labels = connected_components(edges, nparts=max(2, pool_size()))
+    node = labels["node"].to_numpy(zero_copy_only=False)
+    lbl = labels["label"].to_numpy(zero_copy_only=False)
+    uniq, inv, cnt = np.unique(lbl, return_inverse=True,
+                               return_counts=True)
+    out = pa.table({"doc_id": pa.array(node, pa.int64()),
+                    "cluster_id": pa.array(lbl, pa.int64()),
+                    "cluster_size": pa.array(cnt[inv], pa.int64())})
+    return ray.data.from_arrow(out)
+
+
 def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     """End-to-end near-duplicate DEDUP: MinHash/LSH candidates → exact
     Jaccard verification → greedy keep-first (for each verified pair
