@@ -57,6 +57,7 @@ def queries() -> dict:
         "segments_1d_events": tsq.segments_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
+        "value_percentiles_events": tsq.value_percentiles,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -77,6 +78,7 @@ def queries() -> dict:
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
         "near_dup_clusters": tx.near_dup_clusters,
+        "shingle_dup_stats": tx.shingle_dup_stats,
         "doc_simhashes": tx.simhashes,
         "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
         # ---- multimodal binary decode -----------------------------------
@@ -93,6 +95,8 @@ def queries() -> dict:
         # production default would make the check vacuously empty
         "embedding_near_dup_pairs": partial(sim.near_dup_pairs_cosine,
                                             threshold=0.4),
+        "embedding_dup_clusters": partial(sim.embedding_dup_clusters,
+                                          threshold=0.4),
     }
     return q
 
@@ -288,6 +292,18 @@ def oracle_sql() -> dict:
                    quantile_disc(value, 0.9) AS p90
             FROM events GROUP BY user_id
         """,
+        # global exact order statistics (distributed quickselect on the
+        # Ray side; quantile_disc = element at rank max(1, ceil(q*n)))
+        "value_percentiles_events": """
+            SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value
+            FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+        """,
         # temporal windows: gap sessions, hop-k overlapping windows and
         # the as-of (last-strictly-earlier) join — all window-function /
         # inequality-join expressible
@@ -419,6 +435,7 @@ def oracle_sql() -> dict:
         # xorshift-multiply permutations emulated on HUGEINT (see
         # sketch_oracles.py) — the full sketch replayed in SQL
         "minhash_near_dup_candidates": sk.minhash_candidates_sql(),
+        "shingle_dup_stats": sk.shingle_dup_stats_sql(),
         "near_dup_jaccard_verified": sk.jaccard_verified_sql(),
         # end-to-end near-dup dedup: survivors after dropping doc_b of
         # every verified pair (the verification query as a subquery)
@@ -627,4 +644,26 @@ def oracle_sql() -> dict:
         "embedding_ivf_topk_cosine": sk.ivf_topk_sql(),
         "embedding_near_dup_pairs": sk.embedding_near_dup_sql(
             threshold=0.4),
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE vp AS ({sk.embedding_near_dup_sql(
+                threshold=0.4)}),
+            edges AS (
+                SELECT vec_a AS a, vec_b AS b FROM vp
+                UNION
+                SELECT vec_b, vec_a FROM vp
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            lbl AS (
+                SELECT n AS vec_id, min(least(n, m)) AS cluster_id
+                FROM reach GROUP BY n
+            )
+            SELECT l.vec_id, l.cluster_id, cs.cluster_size
+            FROM lbl l
+            JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM lbl GROUP BY cluster_id) cs USING (cluster_id)
+        """,
     }

@@ -215,6 +215,30 @@ def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.98,
         .map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4,
+                           n_planes: int = 8):
+    """Semantic-dup clusters: connected components over the
+    embedding-cosine near-dup pair graph (same distributed star rounds
+    as the text-side `near_dup_clusters`; the pair list is the reduced,
+    bucket-capped output, so pulling it into the edge table is the
+    vocab-table pattern, not a corpus materialization)."""
+    from nrt_ray.stages.concomp import cluster_table, connected_components
+    from nrt_ray.pipelines.relational import pool_size
+    pairs = near_dup_pairs_cosine(sf_dir, threshold=threshold,
+                                  n_planes=n_planes)
+    if not isinstance(pairs, pa.Table):
+        pairs = pa.Table.from_pandas(pairs.to_pandas(),
+                                     preserve_index=False)
+    if pairs.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
+    edges = pa.table({"u": pairs["vec_a"].cast(pa.int64()),
+                      "v": pairs["vec_b"].cast(pa.int64())})
+    labels = connected_components(edges, nparts=max(2, pool_size()))
+    return ray.data.from_arrow(cluster_table(labels, "vec_id"))
+
+
 def _spherical_kmeans(Xn: np.ndarray, n_centroids: int, iters: int):
     """Deterministic spherical k-means on a (sorted) sample: init =
     first ``n_centroids`` rows, assign to argmax dot (ties → lowest j),

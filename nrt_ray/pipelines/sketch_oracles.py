@@ -261,6 +261,21 @@ JOIN tot tb ON tb.doc_id = p.doc_b
 """
 
 
+def shingle_dup_stats_sql() -> str:
+    """Corpus duplication profile over the same distinct per-doc shingle
+    sets the MinHash pipeline hashes."""
+    return ("WITH " + _shingle_ctes() + """,
+df AS (SELECT s, count(*) AS df FROM shingles GROUP BY s)
+SELECT count(*) AS n_shingles_distinct,
+       count(*) FILTER (df >= 2) AS n_shingles_duplicated,
+       round(count(*) FILTER (df >= 2)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_fraction,
+       CAST(sum(df) AS BIGINT) AS doc_shingle_pairs,
+       max(df) AS max_docs_per_shingle
+FROM df
+""")
+
+
 def minhash_candidates_sql(num_perm: int = 64, bands: int = 16,
                            seed: int = 7,
                            max_bucket: int = MAX_BUCKET) -> str:

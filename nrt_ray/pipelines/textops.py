@@ -1078,6 +1078,57 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     return pa.concat_tables(deduped) if deduped else empty
 
 
+def shingle_dup_stats(sf_dir: str):
+    """Corpus duplication profile: how much k-token shingle mass is
+    shared across documents (the aggregate the near-dup family's
+    sampling decisions hang off).
+
+    Per-batch partials emit each distinct (shingle, doc-count) — the
+    combiner — then ONE keyed ``groupby(shingle).sum`` shuffle builds
+    document frequencies, and a second combiner pass folds them to a
+    single stats row; the shingle table itself never lands on the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        sets = _shingle_hashes(flat, counts)
+        all_s = np.concatenate(sets) if sets else \
+            np.array([], dtype=np.uint64)
+        u, c = np.unique(all_s, return_counts=True)
+        # bit-cast the uint64 hash to int64: Ray Data's groupby pickles
+        # unsigned keys (arrow_pickled_object), int64 stays Arrow-native
+        return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64()),
+                         "df": pa.array(c.astype(np.int64))})
+
+    dft = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("shingle").aggregate(Sum("df", alias_name="df"))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(df)], pa.int64()),
+            "ndup": pa.array([int((df >= 2).sum())], pa.int64()),
+            "pairs": pa.array([int(df.sum())], pa.int64()),
+            "maxdf": pa.array([int(df.max()) if len(df) else 0],
+                              pa.int64()),
+        })
+
+    s = dft.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n = int(s["n"].sum())
+    ndup = int(s["ndup"].sum())
+    return pa.table({
+        "n_shingles_distinct": pa.array([n], pa.int64()),
+        "n_shingles_duplicated": pa.array([ndup], pa.int64()),
+        "dup_fraction": pa.array(round_away(
+            np.array([ndup / max(n, 1)]), 6)),
+        "doc_shingle_pairs": pa.array([int(s["pairs"].sum())], pa.int64()),
+        "max_docs_per_shingle": pa.array([int(s["maxdf"].max())],
+                                         pa.int64()),
+    })
+
+
 def near_dup_clusters(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     """Duplicate CLUSTER assignment: connected components over the
     verified near-dup pair graph (alternating large-star/small-star
@@ -1089,23 +1140,15 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     The reference has no graph stage; this is §2.9 surface.  Edge state
     stays in object-store refs across rounds; only the per-node label
     table (graph-sized, not corpus-sized) lands on the driver."""
-    from nrt_ray.stages.concomp import connected_components
+    from nrt_ray.stages.concomp import cluster_table, connected_components
     vt = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "cluster_id": pa.array([], pa.int64()),
-                      "cluster_size": pa.array([], pa.int64())})
     if vt.num_rows == 0:
-        return empty
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "cluster_size": pa.array([], pa.int64())})
     edges = pa.table({"u": vt["doc_a"], "v": vt["doc_b"]})
     labels = connected_components(edges, nparts=max(2, pool_size()))
-    node = labels["node"].to_numpy(zero_copy_only=False)
-    lbl = labels["label"].to_numpy(zero_copy_only=False)
-    uniq, inv, cnt = np.unique(lbl, return_inverse=True,
-                               return_counts=True)
-    out = pa.table({"doc_id": pa.array(node, pa.int64()),
-                    "cluster_id": pa.array(lbl, pa.int64()),
-                    "cluster_size": pa.array(cnt[inv], pa.int64())})
-    return ray.data.from_arrow(out)
+    return ray.data.from_arrow(cluster_table(labels, "doc_id"))
 
 
 def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):

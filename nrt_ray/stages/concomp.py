@@ -123,6 +123,16 @@ def _star_reduce(kind: str, *tables):
                      "v": pa.array(lo, pa.int64())}), _checksum(hi, lo)
 
 
+def cluster_table(labels: pa.Table, id_name: str = "doc_id") -> pa.Table:
+    """(node, label) → (<id_name>, cluster_id, cluster_size)."""
+    node = labels["node"].to_numpy(zero_copy_only=False)
+    lbl = labels["label"].to_numpy(zero_copy_only=False)
+    _, inv, cnt = np.unique(lbl, return_inverse=True, return_counts=True)
+    return pa.table({id_name: pa.array(node, pa.int64()),
+                     "cluster_id": pa.array(lbl, pa.int64()),
+                     "cluster_size": pa.array(cnt[inv], pa.int64())})
+
+
 def connected_components(edges: pa.Table, nparts: int = 8,
                          max_rounds: int = 100) -> pa.Table:
     """Label every node of ``edges`` (columns ``u``, ``v``, int64) with
