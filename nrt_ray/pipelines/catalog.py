@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from nrt_ray.pipelines import invindex as ivx
 from nrt_ray.pipelines import mmops as mm
 from nrt_ray.pipelines import monitor_oracles as mo
 from nrt_ray.pipelines import sketch_oracles as sk
@@ -79,6 +80,9 @@ def queries() -> dict:
         "dedup_near_docs": tx.dedup_near_docs,
         "near_dup_clusters": tx.near_dup_clusters,
         "shingle_dup_stats": tx.shingle_dup_stats,
+        "top_docs_per_lang": tx.top_docs_per_lang,
+        "docs_length_band": tx.docs_length_band,
+        "inverted_index_stats": ivx.inverted_index_stats,
         "doc_simhashes": tx.simhashes,
         "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
         # ---- multimodal binary decode -----------------------------------
@@ -436,6 +440,44 @@ def oracle_sql() -> dict:
         # sketch_oracles.py) — the full sketch replayed in SQL
         "minhash_near_dup_candidates": sk.minhash_candidates_sql(),
         "shingle_dup_stats": sk.shingle_dup_stats_sql(),
+        # inverted-index sink round-trip: the Ray side builds the
+        # partitioned postings parquet, reads it BACK and aggregates;
+        # the oracle recomputes the same stats straight from documents
+        "inverted_index_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS t
+                FROM documents
+            ),
+            tf AS (SELECT t, doc_id, count(*) AS c
+                   FROM tok WHERE t <> '' GROUP BY t, doc_id),
+            df AS (SELECT t, count(*) AS df, sum(c) AS occ
+                   FROM tf GROUP BY t)
+            SELECT count(*) AS n_tokens,
+                   CAST(sum(df) AS BIGINT) AS n_postings,
+                   max(df) AS max_df,
+                   CAST(sum(occ) AS BIGINT) AS total_occurrences
+            FROM df
+        """,
+        # filter by exact global percentile band (quality-filter shape)
+        "docs_length_band": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.05)
+                              FROM documents)
+              AND n_chars <= (SELECT quantile_disc(n_chars, 0.95)
+                              FROM documents)
+        """,
+        # per-group top-k (longest docs per language, doc_id tie-break)
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rank
+                FROM documents)
+            WHERE rank <= 3
+        """,
         "near_dup_jaccard_verified": sk.jaccard_verified_sql(),
         # end-to-end near-dup dedup: survivors after dropping doc_b of
         # every verified pair (the verification query as a subquery)

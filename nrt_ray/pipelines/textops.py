@@ -1078,6 +1078,64 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     return pa.concat_tables(deduped) if deduped else empty
 
 
+def docs_length_band(sf_dir: str, q_lo: float = 0.05,
+                     q_hi: float = 0.95):
+    """Quality-filter pattern: keep docs whose length sits inside the
+    corpus's exact [P05, P95] band.  Two-phase — the thresholds come
+    from the distributed quickselect (streaming, no sort), then ship as
+    plain scalars into a single filter pass over the corpus."""
+    from nrt_ray.stages.percentile import exact_percentiles
+    cols = ("doc_id", "lang", "n_chars")
+    pct = exact_percentiles(
+        _read_docs(sf_dir, columns=("n_chars",)), "n_chars",
+        (q_lo, q_hi))
+    lo, hi = (int(v) for v in pct["value"].to_pylist())
+
+    def band(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(
+            pc.greater_equal(batch["n_chars"], pa.scalar(lo)),
+            pc.less_equal(batch["n_chars"], pa.scalar(hi))))
+
+    return _read_docs(sf_dir, columns=cols) \
+        .map_batches(band, batch_format="pyarrow")
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Per-group top-k: the k longest docs per language (ties broken by
+    doc_id).  Per-batch partial top-k first — each block contributes at
+    most k rows per language — so the grouped final step sorts
+    ``k × n_blocks`` survivors per language, never the corpus."""
+
+    def _rank_within(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column("rank", pa.array([], pa.int64()))
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("lang", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        t = tbl.take(order)
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        new = np.empty(len(lang), dtype=bool)
+        new[0] = True
+        new[1:] = lang[1:] != lang[:-1]
+        gidx = np.cumsum(new) - 1
+        rank = np.arange(len(lang)) - np.flatnonzero(new)[gidx] + 1
+        return t.append_column("rank", pa.array(rank, pa.int64()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = _rank_within(batch)
+        return r.filter(pc.less_equal(r["rank"], k)) \
+            .drop_columns(["rank"])
+
+    def final(g: pa.Table) -> pa.Table:
+        r = _rank_within(g)
+        return r.filter(pc.less_equal(r["rank"], k))
+
+    return _read_docs(sf_dir, columns=("doc_id", "lang", "n_chars")) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang") \
+        .map_groups(final, batch_format="pyarrow")
+
+
 def shingle_dup_stats(sf_dir: str):
     """Corpus duplication profile: how much k-token shingle mass is
     shared across documents (the aggregate the near-dup family's
