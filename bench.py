@@ -58,6 +58,15 @@ BENCH_PARTITIONS = int(os.environ.get("NRT_BENCH_PARTITIONS",
 SCALING_LOW = int(os.environ.get("NRT_BENCH_SCALE_LOW", "2"))
 SCALING_HIGH = int(os.environ.get("NRT_BENCH_SCALE_HIGH", "8"))
 SCALING_REPEAT = int(os.environ.get("NRT_BENCH_REPEAT", "2"))
+# logical CPUs per fused reduce task (memory-bandwidth sizing): the
+# fit/monitor/rollup reduce is bandwidth-bound, so requesting >1 CPU
+# caps concurrency to what the memory system sustains.  Measured on
+# this host at num_cpus=32: 1.0 → 56.9 s wall / 1344 task-s,
+# 2.0 → 42.7 s / 415, 4.0 → 25.1 s / 135 (pinned-8 ground truth is
+# ~103 task-s, so 4.0 removes nearly all oversubscription inflation).
+# Scaling legs pin this to 1.0 — their methodology predates the knob
+# and a 2-CPU leg could not schedule a 4-CPU task.
+REDUCE_CPUS = float(os.environ.get("NRT_BENCH_REDUCE_CPUS", "4"))
 
 
 def ensure_webtext() -> str:
@@ -88,7 +97,8 @@ def headline(num_cpus: int) -> dict:
     summary = mp.run_pipeline(
         path, out_dir, strategy="EWMA", monitor_start="2021-01-01",
         monitor_params={"trend": False}, num_partitions=BENCH_PARTITIONS,
-        resume=False)
+        resume=False,
+        reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
     dt = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
     return {"seconds": dt, "rollup_points": summary["rollup_points"],
@@ -173,8 +183,11 @@ def scaling() -> None:
         # legs time the headline only: the catalog-query sweep isn't part
         # of the efficiency ratio and would widen each pair's time window
         # (host-phase drift between the two legs of a pair)
+        # both legs use identical per-task resources (1 CPU/reduce):
+        # the pair must differ ONLY in core budget
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   NRT_BENCH_SKIP_QUERIES="1")
+                   NRT_BENCH_SKIP_QUERIES="1",
+                   NRT_BENCH_REDUCE_CPUS="1")
         cmd = [sys.executable, os.path.abspath(__file__)]
         if os.environ.get("NRT_BENCH_TASKSET", "1") != "0":
             # pin the WHOLE process tree (driver, raylet, object store,

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--verify-extract", action="store_true")
     run.add_argument("--num-cpus", type=int, default=None)
+    run.add_argument("--reduce-cpus", type=float, default=1.0,
+                     help="logical CPUs per fused reduce task "
+                          "(memory-bandwidth sizing; results identical)")
 
     inc = sub.add_parser("increment", help="apply new snapshots to an "
                                            "existing output")
@@ -87,7 +90,8 @@ def main(argv=None) -> int:
                 monitor_start=args.monitor_start,
                 num_partitions=args.partitions,
                 resume=not args.no_resume,
-                verify_extract=args.verify_extract)
+                verify_extract=args.verify_extract,
+                reduce_num_cpus=args.reduce_cpus)
             print(json.dumps(summary))
         elif args.cmd == "increment":
             from nrt_ray.pipelines.incremental import run_increment

@@ -288,7 +288,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                  shuffle: str = "exchange",
                  salt_threshold: int | None = None,
                  hot_urls=None,
-                 salt_slice_us: int = DEFAULT_SALT_SLICE_US) -> dict:
+                 salt_slice_us: int = DEFAULT_SALT_SLICE_US,
+                 reduce_num_cpus: float = 1.0) -> dict:
     """Run the flagship pipeline; returns a summary dict (tiny).
 
     Args:
@@ -311,6 +312,14 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
             Off by default (the detection pass costs one url-column scan).
         hot_urls: explicit hot-url set (skips detection) — e.g. from a
             previous run's lineage.
+        reduce_num_cpus: logical CPUs each fused fit/monitor/rollup
+            reduce task requests.  The reduce is memory-bandwidth-bound
+            (large padded matrices + segment reductions), so on hosts
+            where cores outnumber memory bandwidth, >1 here caps
+            concurrency to what the memory system sustains — measured on
+            the 32-slot sandbox: 4.0 cut headline wall 2.3× (56.9 s →
+            25.1 s) with task-seconds deflating to the pinned-run ground
+            truth.  Results are identical at any value (scheduling only).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest.check_partitioning(out_dir, num_partitions)
@@ -363,7 +372,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
 
     if shuffle == "exchange":
         from nrt_ray.stages.exchange import exchange_map_groups
-        tables = exchange_map_groups(ds, num_partitions, process_partition)
+        tables = exchange_map_groups(ds, num_partitions, process_partition,
+                                     num_cpus_per_reduce=reduce_num_cpus)
         rows = [row for t in tables for row in t.to_pylist()]
     else:
         lineage = ds.groupby("pid").map_groups(process_partition,
