@@ -78,8 +78,12 @@ def queries() -> dict:
         "minhash_near_dup_candidates": tx.minhash_candidates,
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
+        "dedup_near_keep_best": tx.dedup_near_keep_best,
         "near_dup_clusters": tx.near_dup_clusters,
         "shingle_dup_stats": tx.shingle_dup_stats,
+        "doc_repetition_stats": tx.repetition_stats,
+        "decontaminate_docs": tx.decontaminate_docs,
+        "pack_sequences_docs": tx.pack_sequences,
         "top_docs_per_lang": tx.top_docs_per_lang,
         "docs_length_band": tx.docs_length_band,
         "inverted_index_stats": ivx.inverted_index_stats,
@@ -485,6 +489,67 @@ def oracle_sql() -> dict:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (
                 SELECT doc_b FROM ({sk.jaccard_verified_sql()}))
+        """,
+        # within-doc repetition profile over positional 5-gram shingles
+        "doc_repetition_stats": sk.repetition_stats_sql(),
+        # benchmark decontamination: distinct-shingle overlap vs the
+        # doc_id % 31 == 0 benchmark subset
+        "decontaminate_docs": sk.decontaminate_sql(31),
+        # sequence packing: concatenate docs in doc_id order, chunk into
+        # 256-token bins; bin range per doc = window cumsum replay of
+        # the distributed ordered prefix-scan
+        "pack_sequences_docs": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM n
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cb // 256 AS BIGINT) AS start_bin,
+                   CAST(CASE WHEN n_tokens = 0 THEN cb // 256
+                             ELSE (cb + n_tokens - 1) // 256
+                        END AS BIGINT) AS end_bin
+            FROM c
+        """,
+        # keep-best near-dup dedup: survivors after dropping every
+        # cluster member except the longest (doc_id tie-break)
+        "dedup_near_keep_best": f"""
+            WITH RECURSIVE vp AS ({sk.jaccard_verified_sql()}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM vp
+                UNION
+                SELECT doc_b, doc_a FROM vp
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            lbl AS (
+                SELECT n AS doc_id, min(least(n, m)) AS cluster_id
+                FROM reach GROUP BY n
+            ),
+            ranked AS (
+                SELECT l.doc_id,
+                       row_number() OVER (
+                           PARTITION BY l.cluster_id
+                           ORDER BY d.n_chars DESC, l.doc_id) AS rk
+                FROM lbl l JOIN documents d USING (doc_id)
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM ranked WHERE rk > 1)
         """,
         # duplicate clusters: transitive closure of the verified pair
         # graph via a recursive CTE; cluster id = min reachable doc id

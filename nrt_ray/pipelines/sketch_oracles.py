@@ -44,11 +44,13 @@ def _xorshr(a: str, bits: int = 29) -> str:
             f">> {bits}) AS HUGEINT)")
 
 
-def _shingle_ctes(k: int = _SHINGLE_K) -> str:
-    """CTEs building the distinct shingle-hash set per document:
-    whitespace tokens → md5-low-64 per occurrence → rolling polynomial
-    over windows of ``k`` token hashes (single fold of all tokens for
-    docs shorter than ``k``; md5('') for empty docs)."""
+def _shingle_ctes(k: int = _SHINGLE_K, distinct: bool = True) -> str:
+    """CTEs building the shingle-hash set per document: whitespace tokens
+    → md5-low-64 per occurrence → rolling polynomial over windows of
+    ``k`` token hashes (single fold of all tokens for docs shorter than
+    ``k``; md5('') for empty docs).  ``distinct=False`` keeps one row per
+    POSITIONAL window (duplicates preserved) — the form the repetition
+    statistics are computed over."""
     poly = int(_POLY_MULT)
     empty_hash = md5_low64(b"")
     # chained fold stages: s1 = h, s_{j+1} = (s_j * POLY + lead_j) mod 2^64
@@ -89,7 +91,7 @@ s1 AS (
 ),
 {", ".join(folds)},
 shingles AS (
-    SELECT DISTINCT doc_id, s FROM (
+    SELECT {"DISTINCT" if distinct else ""} doc_id, s FROM (
         SELECT doc_id, s{k}_v AS s FROM s{k}
         WHERE cnt >= {k} AND idx <= cnt - {k - 1}
         UNION ALL
@@ -273,6 +275,43 @@ SELECT count(*) AS n_shingles_distinct,
        CAST(sum(df) AS BIGINT) AS doc_shingle_pairs,
        max(df) AS max_docs_per_shingle
 FROM df
+""")
+
+
+def repetition_stats_sql() -> str:
+    """Within-document repetition profile over the POSITIONAL k-token
+    shingle stream (duplicates preserved): total vs distinct window
+    count, duplicated-window ratio, and the multiplicity of the most
+    repeated window (the Gopher-style top-n-gram signal)."""
+    return ("WITH " + _shingle_ctes(distinct=False) + """,
+per AS (SELECT doc_id, s, count(*) AS c FROM shingles
+        GROUP BY doc_id, s)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       count(*) AS n_grams_distinct,
+       round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6)
+           AS dup_gram_ratio,
+       CAST(max(c) AS BIGINT) AS top_gram_count
+FROM per GROUP BY doc_id
+""")
+
+
+def decontaminate_sql(bench_mod: int) -> str:
+    """Benchmark decontamination: distinct-shingle overlap of every
+    non-benchmark document against the union of the benchmark docs'
+    shingle sets (benchmark membership: ``doc_id % bench_mod == 0``)."""
+    return ("WITH " + _shingle_ctes() + f""",
+bench AS (SELECT DISTINCT s FROM shingles
+          WHERE doc_id % {bench_mod} = 0),
+eval AS (SELECT doc_id, s FROM shingles
+         WHERE doc_id % {bench_mod} <> 0)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       count(b.s) AS n_overlap,
+       round(count(b.s) / CAST(count(*) AS DOUBLE), 6)
+           AS contamination
+FROM eval e LEFT JOIN bench b ON b.s = e.s
+GROUP BY e.doc_id
 """)
 
 

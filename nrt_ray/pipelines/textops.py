@@ -1188,6 +1188,192 @@ def shingle_dup_stats(sf_dir: str):
     })
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Within-document repetition profile (Gopher-style duplicate-n-gram
+    signals) over the POSITIONAL k-token shingle stream: total windows,
+    distinct windows, duplicated-window ratio, and the multiplicity of
+    the most repeated window.  One rolling-polynomial pass per batch
+    (shared with the MinHash family) + one ``np.unique`` per doc."""
+    flat, counts = _token_hash_segments(batch["text"].to_pylist())
+    grams = _ordered_shingles(flat, counts)
+    total = np.array([len(g) for g in grams], dtype=np.int64)
+    distinct = np.empty(len(grams), dtype=np.int64)
+    top = np.empty(len(grams), dtype=np.int64)
+    for i, g in enumerate(grams):
+        _, c = np.unique(g, return_counts=True)
+        distinct[i] = len(c)
+        top[i] = c.max() if len(c) else 0
+    ratio = round_away(1.0 - distinct / np.maximum(total, 1), 6)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_grams": pa.array(total),
+        "n_grams_distinct": pa.array(distinct),
+        "dup_gram_ratio": pa.array(ratio),
+        "top_gram_count": pa.array(top),
+    })
+
+
+def repetition_stats(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(repetition_batch,
+                                          batch_format="pyarrow")
+
+
+def decontaminate_docs(sf_dir: str, bench_mod: int = 31):
+    """Benchmark decontamination: for every non-benchmark document, the
+    distinct-shingle overlap against the union of the benchmark docs'
+    shingle sets (benchmark membership here: ``doc_id % bench_mod == 0``
+    — in production the benchmark corpus is its own small table).
+
+    Scale shape: the benchmark side is tiny by assumption (eval suites
+    are thousands of docs, not billions), so its distinct shingle set is
+    reduced per batch, unioned once, and shipped to an actor pool as a
+    sorted array (plain ctor arg — ray#53727-safe); the corpus streams
+    through one vectorized membership pass (searchsorted + reduceat),
+    never collected."""
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % bench_mod) == 0
+        if not m.any():
+            return pa.table({"shingle": pa.array([], pa.int64())})
+        texts = [t for t, keep
+                 in zip(batch["text"].to_pylist(), m) if keep]
+        flat, counts = _token_hash_segments(texts)
+        sets = _shingle_hashes(flat, counts)
+        u = np.unique(np.concatenate(sets))
+        return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64())})
+
+    parts = _read_docs(sf_dir).map_batches(
+        bench_partial, batch_format="pyarrow").to_pandas()
+    bench = np.unique(parts["shingle"].to_numpy(dtype=np.int64))
+
+    class Contaminator:
+        def __init__(self, bench_sorted):
+            self.bench = bench_sorted
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % bench_mod) != 0
+            if not m.any():
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_overlap": pa.array([], pa.int64()),
+                    "contamination": pa.array([], pa.float64())})
+            texts = [t for t, keep
+                     in zip(batch["text"].to_pylist(), m) if keep]
+            flat, counts = _token_hash_segments(texts)
+            sets = _shingle_hashes(flat, counts)
+            sizes = np.array([len(s) for s in sets], dtype=np.int64)
+            flatg = np.concatenate(sets).view(np.int64)
+            if len(self.bench):
+                idx = np.minimum(np.searchsorted(self.bench, flatg),
+                                 len(self.bench) - 1)
+                hit = (self.bench[idx] == flatg).astype(np.int64)
+            else:
+                hit = np.zeros(len(flatg), dtype=np.int64)
+            bounds = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            n_over = np.add.reduceat(hit, bounds)
+            return pa.table({
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "n_shingles": pa.array(sizes),
+                "n_overlap": pa.array(n_over),
+                "contamination": pa.array(
+                    round_away(n_over / np.maximum(sizes, 1), 6)),
+            })
+
+    return _read_docs(sf_dir).map_batches(
+        Contaminator, fn_constructor_args=(bench,),
+        batch_format="pyarrow", concurrency=pool_size())
+
+
+def pack_sequences(sf_dir: str, capacity: int = 256,
+                   num_partitions: int | None = None):
+    """Sequence packing for pretraining: documents are concatenated in
+    ``doc_id`` order and chunked into fixed ``capacity``-token bins;
+    each doc reports the bin range its tokens land in.  The running
+    token offset is a distributed ordered prefix-scan
+    (``stages.scan.ordered_prefix_scan``): range-partition on the key,
+    one in-partition cumsum task per partition, a P-scalar exclusive
+    scan on the driver, one offset-add task per partition — the corpus
+    itself never leaves the object store."""
+    from nrt_ray.stages.scan import ordered_prefix_scan
+    nparts = num_partitions or max(2, pool_size())
+    counts = _read_docs(sf_dir).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(_count_re(t["text"], r"\S+"))}),
+        batch_format="pyarrow")
+    # key bound from parquet column statistics — no extra dataset pass
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    col = md.schema.to_arrow_schema().get_field_index("doc_id")
+    key_bound = max(md.row_group(i).column(col).statistics.max
+                    for i in range(md.num_row_groups)) + 1
+    scanned = ordered_prefix_scan(counts, key="doc_id", value="n_tokens",
+                                  num_partitions=nparts,
+                                  key_bound=key_bound,
+                                  out_name="cum_before")
+
+    def bins(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        cb = t["cum_before"].to_numpy(zero_copy_only=False)
+        start = cb // capacity
+        end = np.where(n > 0, (cb + np.maximum(n, 1) - 1) // capacity,
+                       start)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "start_bin": pa.array(start.astype(np.int64)),
+            "end_bin": pa.array(end.astype(np.int64)),
+        })
+
+    return scanned.map_batches(bins, batch_format="pyarrow")
+
+
+def dedup_near_keep_best(sf_dir: str, threshold: float = 0.6,
+                         **minhash_kw):
+    """Near-dup dedup keeping the BEST doc per duplicate cluster (longest
+    text, doc_id tie-break) instead of greedy keep-first: connected
+    components over the verified pair graph pick the clusters, the
+    winner is the cluster arg-max of ``n_chars``.  Only the graph-sized
+    member table is ever on the driver; the corpus streams through one
+    anti-membership filter."""
+    from nrt_ray.stages.concomp import connected_components
+    vt = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
+    if vt.num_rows == 0:
+        return _read_docs(sf_dir, columns=("doc_id",))
+    edges = pa.table({"u": vt["doc_a"], "v": vt["doc_b"]})
+    labels = connected_components(edges, nparts=max(2, pool_size()))
+    node = labels["node"].to_numpy(zero_copy_only=False)
+    root = labels["label"].to_numpy(zero_copy_only=False)
+    members = pa.array(np.sort(node), pa.int64())
+
+    mem = _read_docs(sf_dir, columns=("doc_id", "n_chars")) \
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=members)),
+            batch_format="pyarrow").to_pandas()
+    order = np.argsort(node)
+    cluster = root[order][np.searchsorted(node[order],
+                                          mem["doc_id"].to_numpy())]
+    # winner per cluster: max n_chars, then min doc_id
+    rank = np.lexsort((mem["doc_id"].to_numpy(),
+                       -mem["n_chars"].to_numpy(), cluster))
+    cl_sorted = cluster[rank]
+    first = np.empty(len(rank), dtype=bool)
+    if len(rank):
+        first[0] = True
+        first[1:] = cl_sorted[1:] != cl_sorted[:-1]
+    winners = mem["doc_id"].to_numpy()[rank][first]
+    drop = pa.array(np.setdiff1d(mem["doc_id"].to_numpy(), winners),
+                    pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch["doc_id"], value_set=drop)))
+
+    return _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
 def near_dup_clusters(sf_dir: str, threshold: float = 0.6, **minhash_kw):
     """Duplicate CLUSTER assignment: connected components over the
     verified near-dup pair graph (alternating large-star/small-star
