@@ -84,6 +84,8 @@ def queries() -> dict:
         "doc_repetition_stats": tx.repetition_stats,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
+        "doc_unigram_lm_scores": tx.unigram_lm_scores,
+        "doc_boilerplate_ratio": tx.boilerplate_ratio,
         "top_docs_per_lang": tx.top_docs_per_lang,
         "docs_length_band": tx.docs_length_band,
         "inverted_index_stats": ivx.inverted_index_stats,
@@ -492,6 +494,33 @@ def oracle_sql() -> dict:
         """,
         # within-doc repetition profile over positional 5-gram shingles
         "doc_repetition_stats": sk.repetition_stats_sql(),
+        # per-doc shared-shingle fraction vs corpus-wide shingle DF
+        "doc_boilerplate_ratio": sk.boilerplate_sql(),
+        # unigram LM scoring: mean token log-prob + pseudo-perplexity
+        # against the corpus unigram distribution
+        "doc_unigram_lm_scores": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS t
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+            freq AS (SELECT t, count(*) AS c FROM tok2 GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+            d AS (
+                SELECT t2.doc_id, count(*) AS n_tokens,
+                       avg(ln(f.c / (SELECT n FROM tot))) AS mlp
+                FROM tok2 t2 JOIN freq f ON f.t = t2.t
+                GROUP BY t2.doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(d.n_tokens, 0) AS n_tokens,
+                   round(coalesce(d.mlp, 0), 6) AS mean_logprob,
+                   round(exp(-coalesce(d.mlp, 0)), 6)
+                       AS pseudo_perplexity
+            FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
         # benchmark decontamination: distinct-shingle overlap vs the
         # doc_id % 31 == 0 benchmark subset
         "decontaminate_docs": sk.decontaminate_sql(31),

@@ -315,6 +315,20 @@ GROUP BY e.doc_id
 """)
 
 
+def boilerplate_sql() -> str:
+    """Per-doc shared-shingle fraction: distinct shingles joined to the
+    corpus-wide shingle document frequencies."""
+    return ("WITH " + _shingle_ctes() + """,
+df AS (SELECT s, count(*) AS c FROM shingles GROUP BY s)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       count(*) FILTER (d.c >= 2) AS n_shared,
+       round(count(*) FILTER (d.c >= 2)
+             / CAST(count(*) AS DOUBLE), 6) AS boilerplate_ratio
+FROM shingles sh JOIN df d ON d.s = sh.s
+GROUP BY sh.doc_id
+""")
+
+
 def minhash_candidates_sql(num_perm: int = 64, bands: int = 16,
                            seed: int = 7,
                            max_bucket: int = MAX_BUCKET) -> str:

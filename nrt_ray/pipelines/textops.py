@@ -1415,3 +1415,132 @@ def dedup_near_docs(sf_dir: str, threshold: float = 0.6, **minhash_kw):
 
     return _read_docs(sf_dir, columns=("doc_id",)) \
         .map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- LM quality scoring
+
+class UnigramScorer:
+    """Per-doc unigram language-model score against a broadcast frequency
+    table: mean token log-probability and the implied pseudo-perplexity
+    (the CCNet-style quality signal, with the LM reduced to corpus
+    unigrams so the oracle is exact SQL).  Same side-file broadcast
+    pattern as :class:`TfIdfScorer` — the vocabulary is the small
+    aggregate side; at web scale the table would be top-K + an OOV
+    floor, here the corpus vocabulary is complete so no OOV exists."""
+
+    def __init__(self, lp_path: str):
+        t = pq.read_table(lp_path)
+        tokens = np.asarray(t["token"].to_pylist(), dtype=object)
+        lp = t["logp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        self.logp = lp[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _doc_tokens(batch)
+        ndocs = batch.num_rows
+        n = np.zeros(ndocs, dtype=np.int64)
+        s = np.zeros(ndocs)
+        if len(flat):
+            pos = np.searchsorted(self.tokens, flat)
+            w = self.logp[pos]
+            n = np.bincount(doc_idx, minlength=ndocs)
+            s = np.bincount(doc_idx, weights=w, minlength=ndocs)
+        mean_lp = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n),
+            "mean_logprob": pa.array(round_away(mean_lp, 6)),
+            "pseudo_perplexity": pa.array(round_away(np.exp(-mean_lp), 6)),
+        })
+
+
+def unigram_lm_scores(sf_dir: str):
+    """Two-pass distributed unigram LM scoring: corpus token frequencies
+    via combiner partials + one vocabulary-sized ``groupby(token).sum``
+    shuffle; ``logp = ln(count/total)`` broadcast into an actor-pool
+    scoring stage (side-file, plain ctor arg — ray#53727-safe)."""
+    import tempfile
+    from ray.data.aggregate import Sum
+    vt = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_partial_vocab, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n_total"))
+    vt = pa.Table.from_pandas(vt.to_pandas(), preserve_index=False)
+    cnt = vt["n_total"].to_numpy(zero_copy_only=False).astype(np.float64)
+    logp = np.log(cnt / cnt.sum())
+    lp_path = tempfile.mktemp(prefix="nrt_ray_unigram_", suffix=".parquet")
+    pq.write_table(pa.table({"token": vt["token"], "logp": logp}), lp_path)
+    return _read_docs(sf_dir).map_batches(
+        UnigramScorer, fn_constructor_args=(lp_path,),
+        batch_format="pyarrow", concurrency=pool_size())
+
+
+# ------------------------------------------------------- boilerplate ratio
+
+def boilerplate_ratio(sf_dir: str):
+    """Per-document boilerplate signal: the fraction of the doc's
+    DISTINCT k-token shingles that are shared with at least one other
+    document (corpus-wide document frequency ≥ 2).
+
+    This is the genuinely wide text op — per-doc shingles must meet the
+    corpus-wide shingle DF — expressed as ONE keyed exchange: (shingle,
+    doc) pairs hash-partition on the shingle, each partition computes
+    its shingles' DFs and folds straight down to per-doc partials
+    (``doc_id, n_shingles, n_shared``) before anything is re-shuffled,
+    and a doc-keyed ``groupby().sum`` finishes.  The reduce outputs
+    travel as object refs (``exchange_dataset``) — the shingle table
+    never exists on the driver."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        sets = _shingle_hashes(flat, counts)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        sh = (np.concatenate(sets) if sets
+              else np.array([], dtype=np.uint64))
+        doc = np.repeat(ids, sizes)
+        return pa.table({
+            "shingle": pa.array(sh.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "pid": pa.array((sh % np.uint64(nparts)).astype(np.int64)),
+        })
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl["shingle"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(s, return_inverse=True,
+                                return_counts=True)
+        shared = (cnt[inv] >= 2).astype(np.int64)
+        ud, dinv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(ud, pa.int64()),
+            "n_shingles": pa.array(np.bincount(dinv).astype(np.int64)),
+            "n_shared": pa.array(
+                np.bincount(dinv, weights=shared).astype(np.int64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_shingles": pa.array([], pa.int64()),
+                         "n_shared": pa.array([], pa.int64())})
+
+    pairs = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+    partials = exchange_dataset(pairs, nparts, partial, empty)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n_shingles)"].to_numpy(zero_copy_only=False)
+        sh = t["sum(n_shared)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pa.array(n.astype(np.int64)),
+            "n_shared": pa.array(sh.astype(np.int64)),
+            "boilerplate_ratio": pa.array(
+                round_away(sh / np.maximum(n, 1), 6)),
+        })
+
+    return partials.groupby("doc_id") \
+        .aggregate(Sum("n_shingles"), Sum("n_shared")) \
+        .map_batches(finish, batch_format="pyarrow")

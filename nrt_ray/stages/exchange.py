@@ -107,3 +107,38 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
         if r is not None:
             results.append(r)
     return results
+
+
+def exchange_dataset(ds, num_partitions: int, process_fn, empty_fn,
+                     num_cpus_per_reduce: float = 1.0):
+    """Like :func:`exchange_map_groups`, but hands the reduce outputs
+    back as a DATASET built from the object-store refs — the reduced
+    tables never touch the driver, so downstream Dataset stages
+    (groupby, map_batches, write) keep streaming.
+
+    ``empty_fn() -> pa.Table`` supplies the (empty) output schema for
+    partitions that received no rows — ``from_arrow_refs`` requires a
+    table per ref.
+    """
+    import ray.data
+
+    def _reduce(pid: int, *tables):
+        parts = [t for t in tables if t is not None and t.num_rows]
+        if not parts:
+            return empty_fn()
+        return process_fn(pa.concat_tables(parts))
+
+    reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
+
+    if num_partitions == 1:
+        block_refs = list(_iter_block_refs(ds))
+        out_refs = [reduce_remote.remote(0, *block_refs)]
+    else:
+        split_remote = ray.remote(num_returns=num_partitions)(_split_block)
+        split_refs = [split_remote.remote(ref, num_partitions)
+                      for ref in _iter_block_refs(ds)]
+        out_refs = [reduce_remote.remote(p,
+                                         *[split_refs[b][p]
+                                           for b in range(len(split_refs))])
+                    for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(out_refs)
