@@ -33,6 +33,7 @@ def queries() -> dict:
         "filter_project_events": rel.filter_project_events,
         "topk_orders": rel.topk_orders,
         "join_orders_customers": rel.join_orders_customers,
+        "join_orders_customers_shuffle": rel.join_orders_customers_shuffle,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -163,7 +164,7 @@ def _rollup_sql(width_s: int) -> str:
 
 
 def oracle_sql() -> dict:
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -803,3 +804,7 @@ def oracle_sql() -> dict:
                   FROM lbl GROUP BY cluster_id) cs USING (cluster_id)
         """,
     }
+    # the shuffle-join strategy computes the same relation as the
+    # broadcast join — one oracle, two physical plans
+    out["join_orders_customers_shuffle"] = out["join_orders_customers"]
+    return out

@@ -221,6 +221,36 @@ def join_orders_customers(sf_dir: str):
     return out.map_batches(round_cols, batch_format="pyarrow")
 
 
+def join_orders_customers_shuffle(sf_dir: str):
+    """The same relation as :func:`join_orders_customers`, but via the
+    two-sided SHUFFLE hash join (`stages.shuffle_join`) — the physical
+    plan for when neither side fits a broadcast.  Per-partition
+    sort-merge with vectorized one-to-many expansion, then the same
+    partial-aggregated revenue rollup."""
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    def empty() -> pa.Table:
+        return pa.table({"o_custkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.float64()),
+                         "c_mktsegment": pa.array([], pa.string())})
+
+    joined = shuffle_hash_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        on_left="o_custkey", on_right="c_custkey",
+        num_partitions=max(2, pool_size()), empty_fn=empty)
+    out = joined.groupby("c_mktsegment") \
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "revenue": round_away(t["revenue"], 2),
+                         "n_orders": t["n_orders"]})
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
 def customers_per_region(sf_dir: str):
     """Two chained broadcast joins (nation, region are tiny)."""
     import pyarrow.parquet as pq

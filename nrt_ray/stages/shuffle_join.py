@@ -1,0 +1,106 @@
+"""Two-sided shuffle hash join (large ⋈ large).
+
+The broadcast join (`pipelines.relational`) covers the small-side case;
+this stage covers the case where BOTH sides are too big to broadcast:
+each side is hash-partitioned on its join key with the same partitioner
+(split tasks pipelined off ``iter_internal_ref_bundles``, zero-copy
+slicing — the ``stages.exchange`` machinery), and one reduce task per
+partition performs a vectorized sort-merge of its co-partitioned pair:
+sort the right side once, ``searchsorted`` the left keys against it,
+expand one-to-many matches with a repeat/cumsum gather — no per-row
+Python, no driver data.  Outputs travel as object refs into a Dataset
+(``from_arrow_refs``).
+
+Skew note: a single mega-key lands its whole group in one partition —
+the same caveat as any hash join; salt the hot key upstream (SURVEY §4)
+if a key's row count rivals a partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from nrt_ray.stages.exchange import _iter_block_refs, _split_block
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _tag(block: pa.Table, key: str, num_partitions: int) -> pa.Table:
+    if block.num_rows == 0 or key not in block.column_names:
+        return block
+    k = block.column(key).to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = k * _MIX
+    h ^= h >> np.uint64(29)
+    pid = (h % np.uint64(num_partitions)).astype(np.int64)
+    return block.append_column("pid", pa.array(pid))
+
+
+def _join_partition(n_left: int, on_left: str, on_right: str, empty_fn,
+                    *tables):
+    lparts = [t for t in tables[:n_left] if t is not None and t.num_rows]
+    rparts = [t for t in tables[n_left:] if t is not None and t.num_rows]
+    if not lparts or not rparts:
+        return empty_fn()
+    lt = pa.concat_tables(lparts).drop_columns(["pid"])
+    rt = pa.concat_tables(rparts).drop_columns(["pid"])
+    lk = lt.column(on_left).to_numpy(zero_copy_only=False)
+    rk = rt.column(on_right).to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    rt = rt.take(pa.array(order))
+    rk = rk[order]
+    lo = np.searchsorted(rk, lk, side="left")
+    hi = np.searchsorted(rk, lk, side="right")
+    cnt = hi - lo
+    # expand one-to-many: left row i repeats cnt[i] times; right row
+    # indices are the concatenated ranges [lo[i], hi[i]) — built with
+    # the classic repeat/cumsum trick, no Python loop
+    l_idx = np.repeat(np.arange(len(lk)), cnt)
+    total = int(cnt.sum())
+    if total == 0:
+        return empty_fn()
+    starts = np.repeat(lo, cnt)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+    r_idx = starts + within
+    out = lt.take(pa.array(l_idx))
+    rsel = rt.drop_columns([on_right]).take(pa.array(r_idx))
+    for name in rsel.column_names:
+        out = out.append_column(name, rsel.column(name))
+    return out
+
+
+def shuffle_hash_join(left, right, *, on_left: str, on_right: str,
+                      num_partitions: int, empty_fn):
+    """Inner-join two Datasets on int64 keys via a two-sided hash
+    exchange.  Returns the joined rows as a Dataset (left columns +
+    right columns minus the right key); ``empty_fn() -> pa.Table``
+    supplies the output schema for empty partitions."""
+    ltag = left.map_batches(lambda t: _tag(t, on_left, num_partitions),
+                            batch_format="pyarrow")
+    rtag = right.map_batches(lambda t: _tag(t, on_right, num_partitions),
+                             batch_format="pyarrow")
+    split = ray.remote(num_returns=num_partitions)(_split_block) \
+        if num_partitions > 1 else None
+    join_remote = ray.remote(_join_partition)
+    if num_partitions == 1:
+        lrefs = list(_iter_block_refs(ltag))
+        rrefs = list(_iter_block_refs(rtag))
+        out = [join_remote.remote(len(lrefs), on_left, on_right, empty_fn,
+                                  *(lrefs + rrefs))]
+    else:
+        lsplit = [split.remote(r, num_partitions)
+                  for r in _iter_block_refs(ltag)]
+        rsplit = [split.remote(r, num_partitions)
+                  for r in _iter_block_refs(rtag)]
+        out = [join_remote.remote(
+                   len(lsplit), on_left, on_right, empty_fn,
+                   *([lsplit[b][p] for b in range(len(lsplit))]
+                     + [rsplit[b][p] for b in range(len(rsplit))]))
+               for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(out)

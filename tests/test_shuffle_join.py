@@ -1,0 +1,65 @@
+"""Two-sided shuffle hash join vs a pandas merge reference: one-to-many
+expansion, keys missing on either side, empty partitions, P=1."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+
+def _run(left, right, nparts):
+    import ray.data
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64()),
+                         "rv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(left)).repartition(3)
+    rds = ray.data.from_arrow(pa.table(right)).repartition(2)
+    out = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=nparts, empty_fn=empty)
+    return out.to_pandas().sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_join_matches_pandas_merge(ray_session, nparts):
+    rng = np.random.default_rng(3)
+    left = {"k": pa.array(rng.integers(0, 30, 200), pa.int64()),
+            "lv": pa.array(np.arange(200), pa.int64())}
+    right = {"rk": pa.array(rng.integers(10, 40, 60), pa.int64()),
+             "rv": pa.array(np.arange(60), pa.int64())}
+    got = _run(left, right, nparts)
+    exp = pd.merge(pd.DataFrame({"k": left["k"], "lv": left["lv"]}),
+                   pd.DataFrame({"rk": right["rk"], "rv": right["rv"]}),
+                   left_on="k", right_on="rk") \
+        .drop(columns=["rk"]) \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_join_no_matches(ray_session):
+    import ray.data
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64()),
+                         "rv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "lv": pa.array([1, 2, 3], pa.int64())}))
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([10, 11], pa.int64()),
+         "rv": pa.array([0, 1], pa.int64())}))
+    out = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=4, empty_fn=empty)
+    assert out.count() == 0
+    # schema survives on the blocks (pandas conversion of an all-empty
+    # dataset drops columns — a Ray Data quirk, not a join property)
+    assert [f.name for f in out.schema().base_schema] == ["k", "lv", "rv"]
