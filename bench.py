@@ -121,6 +121,10 @@ BENCH_QUERIES = (
     "simhash_near_dup_pairs",
     "doc_winnow_fingerprints",
     "embedding_topk_cosine",
+    "doc_boilerplate_ratio",
+    "doc_unigram_lm_scores",
+    "join_orders_customers_shuffle",
+    "pack_sequences_docs",
 )
 
 

@@ -36,9 +36,9 @@ import pyarrow as pa
 import ray.data
 
 from nrt_ray.pipelines.relational import pool_size
-from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpStats,
-                                       FrameSampler, WavStats, encode_bmp,
-                                       encode_wav)
+from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
+                                       BmpStats, FrameSampler, WavStats,
+                                       encode_bmp, encode_wav)
 
 WAV_RATE = 8000
 FRAME_BYTES = 1000
@@ -90,6 +90,18 @@ def image_decode_stats(sf_dir: str):
                      batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE) \
         .map_batches(BmpStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def image_resize_stats(sf_dir: str):
+    """doc ids → BMP payloads → REAL decode → nearest-neighbor resize to
+    8×6 → encode/decode roundtrip → exact per-channel sums."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_image),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(BmpResizeStats, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE,
                      concurrency=pool_size())
 
@@ -155,6 +167,37 @@ def image_stats_sql() -> str:
                CAST(sum((doc_id * 7 + i * 13 + 58) % 256) AS BIGINT)
                    AS px_sum_b
         FROM px GROUP BY doc_id
+    """
+
+
+def resize_stats_sql() -> str:
+    """Closed-form replay of the nearest-neighbor index map over the
+    pixel formula: output pixel (y2, x2) reads source flat index
+    ``(y2*h//6)*w + (x2*w//8)``."""
+    return """
+        WITH d AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, w, h, unnest(generate_series(0, 47)) AS p
+            FROM d
+        ),
+        m AS (
+            SELECT doc_id,
+                   ((p // 8) * h // 6) * w + ((p % 8) * w // 8) AS i
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS out_width,
+               CAST(6 AS BIGINT) AS out_height,
+               CAST(sum((doc_id * 7 + i * 13) % 256) AS BIGINT)
+                   AS px_sum_r,
+               CAST(sum((doc_id * 7 + i * 13 + 29) % 256) AS BIGINT)
+                   AS px_sum_g,
+               CAST(sum((doc_id * 7 + i * 13 + 58) % 256) AS BIGINT)
+                   AS px_sum_b
+        FROM m GROUP BY doc_id
     """
 
 

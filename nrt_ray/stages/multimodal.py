@@ -181,6 +181,47 @@ class BmpStats:
             .append_column("px_sum_b", pa.array(sb, pa.int64()))
 
 
+def resize_nn(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array — the standard
+    ``src = floor(dst * src_size / dst_size)`` index map, pure numpy."""
+    h, w, _ = rgb.shape
+    sy = (np.arange(out_h) * h) // out_h
+    sx = (np.arange(out_w) * w) // out_w
+    return rgb[sy][:, sx]
+
+
+class BmpResizeStats:
+    """Actor-pool stage: REAL BMP decode → nearest-neighbor resize →
+    re-encode → re-decode → exact per-channel sums of the resized image.
+    The encode/decode roundtrip on the resized pixels exercises BOTH
+    codec directions inside the transform."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 6,
+                 payload_col: str = "payload"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sr, sg, sb = [], [], []
+        for b in batch[self.col].to_pylist():
+            small = resize_nn(decode_bmp(b), self.out_w, self.out_h)
+            rt = decode_bmp(encode_bmp(small)).astype(np.int64)
+            csum = rt.sum(axis=(0, 1))
+            sr.append(int(csum[0]))
+            sg.append(int(csum[1]))
+            sb.append(int(csum[2]))
+        n = batch.num_rows
+        return batch.drop_columns([self.col]) \
+            .append_column("out_width",
+                           pa.array([self.out_w] * n, pa.int64())) \
+            .append_column("out_height",
+                           pa.array([self.out_h] * n, pa.int64())) \
+            .append_column("px_sum_r", pa.array(sr, pa.int64())) \
+            .append_column("px_sum_g", pa.array(sg, pa.int64())) \
+            .append_column("px_sum_b", pa.array(sb, pa.int64()))
+
+
 class WavStats:
     """Actor-pool stage: REAL WAV decode → sample stats (rate, count,
     exact integer amplitude sum and energy)."""

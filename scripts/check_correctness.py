@@ -95,6 +95,8 @@ def main() -> int:
             if got[c].dtype == np.float64:
                 eq = (a == b) | (np.isnan(a.astype(float))
                                  & np.isnan(b.astype(float)))
+            elif np.issubdtype(got[c].dtype, np.datetime64):
+                eq = (a == b) | (np.isnat(a) & np.isnat(b))
             else:
                 eq = a == b
             if not eq.all():

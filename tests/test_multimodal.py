@@ -158,3 +158,34 @@ def test_distributed_feature_stage(ray_session):
     t = out.to_pandas()
     assert len(t) == 50
     assert len(t["features"].iloc[0]) == 16
+
+
+def test_resize_nn_identity_and_downsample():
+    from nrt_ray.stages.multimodal import resize_nn
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    # identity resize returns the same pixels
+    assert np.array_equal(resize_nn(img, 8, 6), img)
+    # 2x downsample picks every second row/col (floor index map)
+    half = resize_nn(img, 4, 3)
+    assert np.array_equal(half, img[::2, ::2])
+
+
+def test_bmp_resize_stats_stage():
+    from nrt_ray.pipelines.mmops import synth_image
+    from nrt_ray.stages.multimodal import (BmpResizeStats, decode_bmp,
+                                           resize_nn)
+    ids = [0, 3, 11, 40]
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_image(i) for i in ids], pa.binary()),
+    })
+    out = BmpResizeStats()(batch)
+    assert out.column_names == ["doc_id", "out_width", "out_height",
+                                "px_sum_r", "px_sum_g", "px_sum_b"]
+    for row, i in zip(out.to_pylist(), ids):
+        small = resize_nn(decode_bmp(synth_image(i)), 8, 6) \
+            .astype(np.int64)
+        s = small.sum(axis=(0, 1))
+        assert (row["px_sum_r"], row["px_sum_g"], row["px_sum_b"]) \
+            == (int(s[0]), int(s[1]), int(s[2]))
