@@ -95,6 +95,7 @@ def queries() -> dict:
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
+        "audio_resample_stats": mm.audio_resample_stats,
         "audio_decode_stats": mm.audio_decode_stats,
         "frame_sample_stats": mm.frame_sample_stats,
         # ---- similarity search -----------------------------------------
@@ -417,6 +418,7 @@ def oracle_sql() -> dict:
         # (encode_bmp/decode_bmp, encode_wav/decode_wav, frame chunking)
         "image_decode_stats": mm.image_stats_sql(),
         "image_resize_stats": mm.resize_stats_sql(),
+        "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),
         "frame_sample_stats": mm.frame_stats_sql(),
         "embedding_norms": """

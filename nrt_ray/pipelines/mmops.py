@@ -37,7 +37,8 @@ import ray.data
 
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
-                                       BmpStats, FrameSampler, WavStats,
+                                       BmpStats, FrameSampler,
+                                       WavResampleStats, WavStats,
                                        encode_bmp, encode_wav)
 
 WAV_RATE = 8000
@@ -113,6 +114,18 @@ def audio_decode_stats(sf_dir: str):
                      batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE) \
         .map_batches(WavStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def audio_resample_stats(sf_dir: str):
+    """doc ids → WAV payloads → REAL decode → NN resample 8 kHz→3 kHz →
+    encode/decode roundtrip → exact integer stats."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_audio),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(WavResampleStats, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE,
                      concurrency=pool_size())
 
@@ -215,6 +228,35 @@ def audio_stats_sql() -> str:
         SELECT doc_id,
                CAST({WAV_RATE} AS BIGINT) AS sample_rate,
                CAST(any_value(n) AS BIGINT) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS amp_sum,
+               CAST(sum(v * v) AS BIGINT) AS energy
+        FROM s GROUP BY doc_id
+    """
+
+
+def resample_stats_sql() -> str:
+    """Closed-form replay of the NN resample index map over the sample
+    formula: output length ``n*3000//8000``, output sample ``i`` reads
+    source index ``i*8000//3000``."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(
+                       0, n * 3000 // {WAV_RATE} - 1)) AS i
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id,
+                   (doc_id * 31 + (i * {WAV_RATE} // 3000) * 17)
+                       % 4096 - 2048 AS v
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(3000 AS BIGINT) AS dst_rate,
+               CAST(count(*) AS BIGINT) AS n_samples,
                CAST(sum(v) AS BIGINT) AS amp_sum,
                CAST(sum(v * v) AS BIGINT) AS energy
         FROM s GROUP BY doc_id

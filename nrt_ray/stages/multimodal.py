@@ -245,6 +245,45 @@ class WavStats:
             .append_column("energy", pa.array(energies, pa.int64()))
 
 
+def resample_nn(samples: np.ndarray, src_rate: int,
+                dst_rate: int) -> np.ndarray:
+    """Nearest-neighbor (zero-order-hold) resample of a 1-D sample
+    array: output length ``n*dst//src``, sample ``i`` reads source
+    index ``i*src//dst`` — the audio analog of :func:`resize_nn`."""
+    n = len(samples)
+    out_n = (n * dst_rate) // src_rate
+    idx = (np.arange(out_n, dtype=np.int64) * src_rate) // dst_rate
+    return samples[idx]
+
+
+class WavResampleStats:
+    """Actor-pool stage: REAL WAV decode → NN resample to ``dst_rate``
+    → re-encode → re-decode → exact integer stats of the resampled
+    signal (both codec directions exercised per payload)."""
+
+    def __init__(self, dst_rate: int = 3000, payload_col: str = "payload"):
+        self.dst_rate = dst_rate
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, amps, energies = [], [], []
+        for b in batch[self.col].to_pylist():
+            rate, s = decode_wav(b)
+            r = resample_nn(s, rate, self.dst_rate)
+            _, rt = decode_wav(encode_wav(r, self.dst_rate))
+            r64 = rt.astype(np.int64)
+            ns.append(len(r64))
+            amps.append(int(r64.sum()))
+            energies.append(int((r64 * r64).sum()))
+        n = batch.num_rows
+        return batch.drop_columns([self.col]) \
+            .append_column("dst_rate",
+                           pa.array([self.dst_rate] * n, pa.int64())) \
+            .append_column("n_samples", pa.array(ns, pa.int64())) \
+            .append_column("amp_sum", pa.array(amps, pa.int64())) \
+            .append_column("energy", pa.array(energies, pa.int64()))
+
+
 class ImageMeta:
     """Batch transform: binary image column → typed metadata columns."""
 

@@ -189,3 +189,24 @@ def test_bmp_resize_stats_stage():
         s = small.sum(axis=(0, 1))
         assert (row["px_sum_r"], row["px_sum_g"], row["px_sum_b"]) \
             == (int(s[0]), int(s[1]), int(s[2]))
+
+
+def test_resample_nn_and_stage():
+    from nrt_ray.pipelines.mmops import synth_audio
+    from nrt_ray.stages.multimodal import (WavResampleStats, decode_wav,
+                                           resample_nn)
+    s = np.arange(100, dtype=np.int16)
+    # factor-2 decimation picks every second sample
+    assert np.array_equal(resample_nn(s, 8000, 4000), s[::2])
+    ids = [0, 7, 63, 200]
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_audio(i) for i in ids], pa.binary()),
+    })
+    out = WavResampleStats()(batch)
+    for row, i in zip(out.to_pylist(), ids):
+        _, src = decode_wav(synth_audio(i))
+        r = resample_nn(src, 8000, 3000).astype(np.int64)
+        assert row["n_samples"] == len(r)
+        assert row["amp_sum"] == int(r.sum())
+        assert row["energy"] == int((r * r).sum())
