@@ -266,3 +266,32 @@ def test_roc_stable_fit_min_span_parameter():
     _, _, st14, _ = roc_stable_fit(X, y, d, min_span_days=14)
     _, _, st183, _ = roc_stable_fit(X, y, d)
     assert bool(st14[0]) and not bool(st183[0])
+
+
+def test_exchange_dataset_refs_out(ray_session):
+    """exchange_dataset: same partition semantics as exchange_map_groups,
+    results as a Dataset (empty partitions get the empty_fn schema)."""
+    import numpy as np
+    import ray.data
+    from nrt_ray.stages.exchange import exchange_dataset
+
+    tbl = pa.table({
+        "pid": pa.array([0, 0, 1, 1, 1, 3], pa.int64()),
+        "v": pa.array([1, 2, 10, 20, 30, 7], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    def proc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pid": pa.array([int(t["pid"][0].as_py())], pa.int64()),
+            "total": pa.array([int(pa.compute.sum(t["v"]).as_py())],
+                              pa.int64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"pid": pa.array([], pa.int64()),
+                         "total": pa.array([], pa.int64())})
+
+    out = exchange_dataset(ds, 4, proc, empty).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    assert out["pid"].tolist() == [0, 1, 3]       # pid 2 empty → dropped
+    assert out["total"].tolist() == [3, 60, 7]
