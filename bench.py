@@ -206,14 +206,25 @@ def scaling() -> None:
 
     # The sandbox's delivered CPU throughput varies several-fold minute to
     # minute (shared host).  Measure the legs in adjacent pairs so each
-    # pair sees (approximately) the same machine phase, and report the
-    # pair from the fastest phase; all raw pairs are included.
+    # pair sees (approximately) the same machine phase; all raw pairs are
+    # included.  A pair's wall ratio is only meaningful when BOTH legs
+    # saw the same effective machine — the machine-speed-independent
+    # check is the wide stage's task-seconds (identical work → identical
+    # task-seconds unless a leg was stolen from), so report the pair
+    # with the LEAST cross-leg task-second inflation.  (Selecting on raw
+    # wall sums anti-selects: it favors pairs whose low leg hit a fast
+    # phase and whose high leg was stolen from, biasing the ratio down.)
     pairs = []
     for _ in range(SCALING_REPEAT):
         lo = run_once(SCALING_LOW)
         hi = run_once(SCALING_HIGH)
         pairs.append((lo, hi))
-    lo, hi = min(pairs, key=lambda p: p[0]["value"] + p[1]["value"])
+
+    def inflation(p) -> float:
+        a, b = p[0]["pp_task_seconds"], p[1]["pp_task_seconds"]
+        return abs(b / a - 1.0) if a else float("inf")
+
+    lo, hi = min(pairs, key=inflation)
     eff = (lo["value"] / hi["value"]) / (SCALING_HIGH / SCALING_LOW)
     print(json.dumps({
         "num_cpus_low": SCALING_LOW, "num_cpus_high": SCALING_HIGH,
@@ -225,6 +236,11 @@ def scaling() -> None:
         "rollup_points": hi["rollup_points"],
         "scaling_efficiency": round(eff, 3),
         "all_pairs_sec": [[p[0]["value"], p[1]["value"]] for p in pairs],
+        "all_pairs_task_sec": [[p[0]["pp_task_seconds"],
+                                p[1]["pp_task_seconds"]] for p in pairs],
+        "all_pairs_efficiency": [
+            round((p[0]["value"] / p[1]["value"])
+                  / (SCALING_HIGH / SCALING_LOW), 3) for p in pairs],
         "parallel_utilization_low": lo.get("parallel_utilization"),
         "parallel_utilization_high": hi.get("parallel_utilization"),
         "pp_task_seconds_low": lo.get("pp_task_seconds"),
