@@ -82,6 +82,7 @@ def queries() -> dict:
         "dedup_near_keep_best": tx.dedup_near_keep_best,
         "near_dup_clusters": tx.near_dup_clusters,
         "shingle_dup_stats": tx.shingle_dup_stats,
+        "shingle_hll_estimate": tx.shingle_hll_estimate,
         "doc_repetition_stats": tx.repetition_stats,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
@@ -451,6 +452,8 @@ def oracle_sql() -> dict:
         # sketch_oracles.py) — the full sketch replayed in SQL
         "minhash_near_dup_candidates": sk.minhash_candidates_sql(),
         "shingle_dup_stats": sk.shingle_dup_stats_sql(),
+        # HyperLogLog distinct-shingle estimate, bit-exact replay
+        "shingle_hll_estimate": sk.hll_sql(),
         # inverted-index sink round-trip: the Ray side builds the
         # partitioned postings parquet, reads it BACK and aggregates;
         # the oracle recomputes the same stats straight from documents

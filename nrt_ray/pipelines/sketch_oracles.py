@@ -315,6 +315,61 @@ GROUP BY e.doc_id
 """)
 
 
+def hll_sql(p: int = 10) -> str:
+    """Exact replay of the HyperLogLog shingle-distinct estimator: the
+    register max-rho table is integer arithmetic (bit-length via a
+    generated comparison ladder — float log2 misrounds above 2^53), and
+    the register sum is accumulated as the exact integer ``Σ 2^(55-ρ)``
+    so the one double division matches the pipeline bit for bit."""
+    m = 1 << p
+    rem_bits = 64 - p
+    two_rem = 1 << rem_bits          # 2^54
+    two_top = 1 << (rem_bits + 1)    # 2^55
+    bl_ladder = " ".join(
+        f"WHEN rem >= {1 << (k - 1)} THEN {k}"
+        for k in range(rem_bits, 0, -1))
+    pow_ladder = " ".join(
+        f"WHEN rho = {r} THEN CAST({1 << (rem_bits + 1 - r)} AS HUGEINT)"
+        for r in range(1, rem_bits + 2))
+    return ("WITH " + _shingle_ctes() + f""",
+corpus AS (SELECT DISTINCT s FROM shingles),
+reg AS (
+    SELECT s // {two_rem} AS r,
+           max({rem_bits + 1} - (CASE {bl_ladder} ELSE 0 END)) AS rho
+    FROM (SELECT s, s % {two_rem} AS rem FROM corpus)
+    GROUP BY r
+),
+agg AS (
+    SELECT count(*) AS n_present,
+           sum(CASE {pow_ladder} END) AS s_present
+    FROM reg
+),
+est AS (
+    SELECT {m} - n_present AS n_zero,
+           s_present + ({m} - n_present)
+               * CAST({two_top} AS HUGEINT) AS s_total,
+           (SELECT count(*) FROM corpus) AS exact
+    FROM agg
+),
+e AS (
+    SELECT n_zero, exact,
+           0.7213 / (1.0 + 1.079 / {m}.0) * {m} * {m}
+               * {float(two_top)} / CAST(s_total AS DOUBLE) AS e_raw
+    FROM est
+)
+SELECT CAST({m} AS BIGINT) AS n_registers,
+       CAST(n_zero AS BIGINT) AS n_zero_registers,
+       round(CASE WHEN e_raw <= 2.5 * {m} AND n_zero > 0
+                  THEN {m} * ln({m}.0 / n_zero) ELSE e_raw END, 4)
+           AS hll_estimate,
+       CAST(exact AS BIGINT) AS n_distinct_exact,
+       round((CASE WHEN e_raw <= 2.5 * {m} AND n_zero > 0
+                   THEN {m} * ln({m}.0 / n_zero) ELSE e_raw END - exact)
+             / greatest(exact, 1), 6) AS rel_error
+FROM e
+""")
+
+
 def boilerplate_sql() -> str:
     """Per-doc shared-shingle fraction: distinct shingles joined to the
     corpus-wide shingle document frequencies."""

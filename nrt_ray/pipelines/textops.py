@@ -1544,3 +1544,93 @@ def boilerplate_ratio(sf_dir: str):
     return partials.groupby("doc_id") \
         .aggregate(Sum("n_shingles"), Sum("n_shared")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+_HLL_P = 10                      # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_REM_BITS = 64 - _HLL_P      # 54-bit remainder per hash
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (no float log2 — values exceed 2^53)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[x > 0] += 1
+    return bl
+
+
+def _hll_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL register partials over the doc's distinct 5-token
+    shingle hashes: (register, max rho) rows — the combiner, so the
+    shuffle moves ≤1024 rows per batch regardless of batch size."""
+    flat, counts = _token_hash_segments(batch["text"].to_pylist())
+    sets = _shingle_hashes(flat, counts)
+    if not sets:
+        return pa.table({"register": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.int64())})
+    h = np.unique(np.concatenate(sets))
+    idx = (h >> np.uint64(_HLL_REM_BITS)).astype(np.int64)
+    rem = h & np.uint64((1 << _HLL_REM_BITS) - 1)
+    rho = _HLL_REM_BITS + 1 - _bit_length_u64(rem)
+    reg = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(reg, idx, rho)
+    nz = np.flatnonzero(reg)
+    return pa.table({"register": pa.array(nz, pa.int64()),
+                     "rho": pa.array(reg[nz], pa.int64())})
+
+
+def shingle_hll_estimate(sf_dir: str):
+    """HyperLogLog distinct-count estimate of the corpus's 5-token
+    shingle set vs the exact count (Flajolet et al. 2007, p=10).
+
+    The sketch is the classic scale shape: per-batch register partials
+    (≤1024 rows each) → one ≤1024-group ``groupby(register).max`` —
+    constant-size state no matter the corpus.  The estimator is made
+    bit-deterministic (and therefore SQL-replayable) by accumulating
+    ``Σ 2^(55-ρ)`` as an exact integer before one double division, so
+    float summation order never matters; the exact count reuses the
+    distinct-shingle DF machinery."""
+    from ray.data.aggregate import Max
+
+    regs = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_hll_partial, batch_format="pyarrow") \
+        .groupby("register").aggregate(Max("rho", alias_name="rho")) \
+        .to_pandas()                   # ≤1024 rows — the sketch itself
+    rho = regs["rho"].to_numpy(dtype=np.int64)
+    n_zero = _HLL_M - len(rho)
+    # exact integer register sum: Σ 2^(55-ρ) over all registers
+    s = sum(1 << int(_HLL_REM_BITS + 1 - r) for r in rho) \
+        + n_zero * (1 << (_HLL_REM_BITS + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    e_raw = alpha * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1)) / s
+    if e_raw <= 2.5 * _HLL_M and n_zero > 0:
+        est = _HLL_M * np.log(_HLL_M / n_zero)
+    else:
+        est = e_raw
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        sets = _shingle_hashes(flat, counts)
+        u = (np.unique(np.concatenate(sets)) if sets
+             else np.array([], dtype=np.uint64))
+        return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Count
+    exact = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby("shingle").aggregate(Count(alias_name="n")) \
+        .count()
+    return pa.table({
+        "n_registers": pa.array([_HLL_M], pa.int64()),
+        "n_zero_registers": pa.array([n_zero], pa.int64()),
+        "hll_estimate": pa.array(round_away(np.array([est]), 4)),
+        "n_distinct_exact": pa.array([int(exact)], pa.int64()),
+        "rel_error": pa.array(round_away(
+            np.array([(est - exact) / max(exact, 1)]), 6)),
+    })
