@@ -83,6 +83,7 @@ def queries() -> dict:
         "near_dup_clusters": tx.near_dup_clusters,
         "shingle_dup_stats": tx.shingle_dup_stats,
         "shingle_hll_estimate": tx.shingle_hll_estimate,
+        "token_cms_heavy_hitters": tx.token_cms_heavy_hitters,
         "doc_repetition_stats": tx.repetition_stats,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
@@ -454,6 +455,8 @@ def oracle_sql() -> dict:
         "shingle_dup_stats": sk.shingle_dup_stats_sql(),
         # HyperLogLog distinct-shingle estimate, bit-exact replay
         "shingle_hll_estimate": sk.hll_sql(),
+        # count-min sketch heavy hitters, integer-exact hash replay
+        "token_cms_heavy_hitters": sk.cms_sql(),
         # inverted-index sink round-trip: the Ray side builds the
         # partitioned postings parquet, reads it BACK and aggregates;
         # the oracle recomputes the same stats straight from documents

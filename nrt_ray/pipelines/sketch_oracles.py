@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from nrt_ray.pipelines.textops import (MAX_BUCKET, MinHasher, _MIX_MULT,
-                                       _POLY_MULT, _SHINGLE_K, md5_low64)
+from nrt_ray.pipelines.textops import (MAX_BUCKET, MinHasher, _CMS_D,
+                                       _CMS_W, _MIX_MULT, _POLY_MULT,
+                                       _SHINGLE_K, _cms_seeds, md5_low64)
 
 M64 = 1 << 64
 M32 = 1 << 32
@@ -368,6 +369,55 @@ SELECT CAST({m} AS BIGINT) AS n_registers,
              / greatest(exact, 1), 6) AS rel_error
 FROM e
 """)
+
+
+def cms_sql(k: int = 20) -> str:
+    """Exact replay of the count-min sketch: the xorshift-multiply hash
+    family on HUGEINT (as in the MinHash oracle), per-row counter cells
+    as integer sums, estimate = least() over the rows."""
+    mult = int(_MIX_MULT)
+    seeds = [int(s) for s in _cms_seeds()]
+
+    def col_expr(h: str, seed: int) -> str:
+        x0 = _xor64(h, f"CAST({seed} AS HUGEINT)")
+        m1 = _mulmod_const(x0, mult)
+        x1 = _xorshr(m1)
+        m2 = _mulmod_const(x1, mult)
+        return f"({m2}) % {_CMS_W}"
+
+    col_sel = ", ".join(
+        f"{col_expr('h0', s)} AS c{r}" for r, s in enumerate(seeds))
+    cell_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, c{r} AS col, n FROM hashed"
+        for r in range(_CMS_D))
+    est = "least(" + ", ".join(f"e{r}.cn" for r in range(_CMS_D)) + ")"
+    joins = " ".join(
+        f"JOIN cells e{r} ON e{r}.r = {r} AND e{r}.col = t.c{r}"
+        for r in range(_CMS_D))
+    return rf"""
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+),
+freq AS (SELECT t, count(*) AS n FROM tok WHERE t <> '' GROUP BY t),
+hashed AS (
+    SELECT t, n, {col_sel}
+    FROM (SELECT t, n,
+                 CAST(md5_number_lower(t) AS HUGEINT) AS h0 FROM freq)
+),
+cells AS (
+    SELECT r, col, CAST(sum(n) AS BIGINT) AS cn
+    FROM ({cell_union}) GROUP BY r, col
+),
+top AS (
+    SELECT * FROM hashed ORDER BY n DESC, t ASC LIMIT {k}
+)
+SELECT t.t AS token,
+       CAST(t.n AS BIGINT) AS n_true,
+       {est} AS n_est,
+       {est} - CAST(t.n AS BIGINT) AS overcount
+FROM top t {joins}
+"""
 
 
 def boilerplate_sql() -> str:

@@ -1634,3 +1634,85 @@ def shingle_hll_estimate(sf_dir: str):
         "rel_error": pa.array(round_away(
             np.array([(est - exact) / max(exact, 1)]), 6)),
     })
+
+
+# ------------------------------------------------------- count-min sketch
+
+_CMS_D = 4                       # hash rows
+_CMS_W = 512                     # counters per row
+_CMS_SEED = 11
+
+
+def _cms_seeds() -> np.ndarray:
+    return np.random.default_rng(_CMS_SEED) \
+        .integers(0, 2 ** 63, _CMS_D, dtype=np.uint64)
+
+
+def _cms_cols(tok_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """(d, n) counter columns via the engine's xorshift-multiply family
+    (same permutation the MinHash signatures use)."""
+    with np.errstate(over="ignore"):
+        h = (tok_hashes[None, :] ^ seeds[:, None]) * _MIX_MULT
+        h ^= h >> np.uint64(29)
+        h *= _MIX_MULT
+    return (h % np.uint64(_CMS_W)).astype(np.int64)
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch count-min partials: counters are additive, so each
+    batch contributes (cell, n) rows — ≤ d·w rows per batch no matter
+    the batch size (the combiner)."""
+    toks = pc.utf8_split_whitespace(batch["text"])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+    flat = flat[flat != ""]
+    if not len(flat):
+        return pa.table({"cell": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    uniq, cnt = np.unique(flat, return_counts=True)
+    th = np.fromiter((md5_low64(w.encode()) for w in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    cols = _cms_cols(th, _cms_seeds())
+    cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for r in range(_CMS_D):
+        np.add.at(cms[r], cols[r], cnt)
+    cell = np.flatnonzero(cms.ravel())
+    return pa.table({"cell": pa.array(cell, pa.int64()),
+                     "n": pa.array(cms.ravel()[cell], pa.int64())})
+
+
+def token_cms_heavy_hitters(sf_dir: str, k: int = 20):
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan
+    2005, d=4 × w=512) for the corpus's top-``k`` tokens, against their
+    exact counts.  Two constant-size aggregations: the sketch is a
+    ≤2048-group ``groupby(cell).sum`` of per-batch combiner partials;
+    the exact side reuses the vocabulary combiner.  Estimates are pure
+    integer mins — the oracle replays the hash family on HUGEINT."""
+    from ray.data.aggregate import Sum
+
+    cells = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_cms_partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")).to_pandas()
+    cms = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+    cms[cells["cell"].to_numpy()] = cells["n"].to_numpy()
+    cms = cms.reshape(_CMS_D, _CMS_W)
+
+    vocab = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_partial_vocab, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n_true")) \
+        .to_pandas()                     # vocabulary-sized — small side
+    vocab = vocab.sort_values(["n_true", "token"],
+                              ascending=[False, True]).head(k)
+    toks = vocab["token"].to_numpy(dtype=object)
+    th = np.fromiter((md5_low64(w.encode()) for w in toks),
+                     dtype=np.uint64, count=len(toks))
+    cols = _cms_cols(th, _cms_seeds())
+    est = cms[np.arange(_CMS_D)[:, None], cols].min(axis=0)
+    true = vocab["n_true"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "n_true": pa.array(true),
+        "n_est": pa.array(est.astype(np.int64)),
+        "overcount": pa.array((est - true).astype(np.int64)),
+    })
