@@ -63,3 +63,21 @@ def test_join_no_matches(ray_session):
     # schema survives on the blocks (pandas conversion of an all-empty
     # dataset drops columns — a Ray Data quirk, not a join property)
     assert [f.name for f in out.schema().base_schema] == ["k", "lv", "rv"]
+
+
+def test_join_skewed_hot_key(ray_session):
+    """One key carrying half of both sides: correctness holds (the hot
+    group simply lands in one partition — the documented skew caveat)."""
+    rng = np.random.default_rng(11)
+    lk = np.where(rng.random(300) < 0.5, 7, rng.integers(0, 50, 300))
+    rk = np.where(rng.random(40) < 0.5, 7, rng.integers(0, 50, 40))
+    left = {"k": pa.array(lk, pa.int64()),
+            "lv": pa.array(np.arange(300), pa.int64())}
+    right = {"rk": pa.array(rk, pa.int64()),
+             "rv": pa.array(np.arange(40), pa.int64())}
+    got = _run(left, right, 4)
+    exp = pd.merge(pd.DataFrame({"k": lk, "lv": np.arange(300)}),
+                   pd.DataFrame({"rk": rk, "rv": np.arange(40)}),
+                   left_on="k", right_on="rk").drop(columns=["rk"]) \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
