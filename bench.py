@@ -125,6 +125,7 @@ BENCH_QUERIES = (
     "doc_unigram_lm_scores",
     "join_orders_customers_shuffle",
     "pack_sequences_docs",
+    "curate_corpus_docs",
 )
 
 

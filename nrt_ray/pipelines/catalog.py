@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from nrt_ray.pipelines import curate as cu
 from nrt_ray.pipelines import invindex as ivx
 from nrt_ray.pipelines import mmops as mm
 from nrt_ray.pipelines import monitor_oracles as mo
@@ -87,6 +88,7 @@ def queries() -> dict:
         "doc_repetition_stats": tx.repetition_stats,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
+        "curate_corpus_docs": cu.curate_corpus,
         "doc_unigram_lm_scores": tx.unigram_lm_scores,
         "doc_boilerplate_ratio": tx.boilerplate_ratio,
         "top_docs_per_lang": tx.top_docs_per_lang,
@@ -457,6 +459,9 @@ def oracle_sql() -> dict:
         "shingle_hll_estimate": sk.hll_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
+        # flagship curation composition: band ∧ exact-dedup ∧ near-dedup
+        # ∧ decontaminate, then sequence packing of the survivors
+        "curate_corpus_docs": cu.curate_sql(),
         # inverted-index sink round-trip: the Ray side builds the
         # partitioned postings parquet, reads it BACK and aggregates;
         # the oracle recomputes the same stats straight from documents
