@@ -105,6 +105,7 @@ def queries() -> dict:
         # ---- similarity search -----------------------------------------
         "embedding_topk_cosine": sim.topk_cosine,
         "embedding_norms": sim.embedding_norms,
+        "embedding_label_centroids": sim.label_centroids,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
         "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
         # threshold 0.4 for the driver check: the synthetic embeddings
@@ -791,6 +792,20 @@ def oracle_sql() -> dict:
         # hyperplane-LSH embedding ops: the seeded plane matrix inlined
         # as DOUBLE[] literals replays the bucket assignment exactly
         "embedding_lsh_topk_cosine": sk.lsh_topk_sql(),
+        # per-label centroid: unnest-with-position mean per dimension
+        "embedding_label_centroids": f"""
+            WITH e AS (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       unnest(generate_series(
+                           0, len(embedding) - 1)) AS dim
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   {rel.round_away_tol_sql('avg(v)', 6)} AS centroid
+            FROM e GROUP BY label, dim
+        """,
         # IVF: spherical-k-means iterations unrolled relationally over
         # exploded (vec_id, dim, value) rows — see sketch_oracles
         "embedding_ivf_topk_cosine": sk.ivf_topk_sql(),

@@ -328,3 +328,43 @@ def ivf_topk_cosine(sf_dir: str, k: int = 10, n_centroids: int = 16,
                      batch_format="pyarrow", concurrency=pool_size()) \
         .sort(["cosine_sim", "vec_id"], descending=[True, True]).limit(k) \
         .map_batches(_round_sims, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the class-prototype aggregate a
+    curation pipeline clusters against): per-batch partial (label, dim,
+    sum, count) rows — 64·L rows per batch, the combiner — then one
+    small keyed ``groupby((label, dim)).sum`` and a vectorized fold to
+    per-dimension means.  The embedding matrix never leaves the batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        nl, d = len(uniq), m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), nl)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": t["label"], "dim": t["dim"],
+            "centroid": pa.array(round_away_tol(
+                t["sum(s)"].to_numpy(zero_copy_only=False)
+                / t["sum(n)"].to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["embedding", "label"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("s"), Sum("n")) \
+        .map_batches(finish, batch_format="pyarrow")
