@@ -73,6 +73,17 @@ def main(argv=None) -> int:
     gen.add_argument("--urls", type=int, default=512)
     gen.add_argument("--seed", type=int, default=42)
 
+    cur = sub.add_parser("curate", help="corpus curation: quality band + "
+                                        "exact/near dedup + decontaminate "
+                                        "+ sequence packing")
+    cur.add_argument("--sf-dir", required=True,
+                     help="directory containing documents.parquet")
+    cur.add_argument("--out", required=True,
+                     help="output directory (partitioned parquet)")
+    cur.add_argument("--capacity", type=int, default=256,
+                     help="tokens per packed bin")
+    cur.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -103,6 +114,17 @@ def main(argv=None) -> int:
             ds = top_recent_breaks(args.out, k=args.k)
             for row in ds.take_all():
                 print(json.dumps(row, default=str))
+        elif args.cmd == "curate":
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pds
+            from nrt_ray.pipelines.curate import curate_corpus
+            ds = curate_corpus(args.sf_dir, capacity=args.capacity)
+            ds.write_parquet(args.out)
+            t = pds.dataset(args.out).to_table(columns=["end_bin"])
+            n_bins = (int(pc.max(t["end_bin"]).as_py()) + 1
+                      if t.num_rows else 0)
+            print(json.dumps({"survivors": t.num_rows,
+                              "bins": n_bins, "out": args.out}))
     finally:
         ray.shutdown()
     return 0
