@@ -17,13 +17,17 @@ streaming pipeline — what an LLM-data team actually runs:
                    into ``capacity``-token bins via the distributed
                    ordered prefix-scan.
 
-Scale shape: every artifact the filters need is either two scalars
-(the band), a verified-pair drop list (LSH-capped, small), a per-
-partition-emitted exact-dup drop list, or the benchmark shingle union
-(eval suites are small) — all broadcast as plain ctor args into ONE
-actor-pool filter pass over the corpus; the only other moves are the
-fingerprint exchange and the prefix-scan's P-scalar barrier.  The
-corpus itself streams end to end and never lands on the driver.
+Scale shape: the small artifacts — two band scalars, the verified-pair
+drop list (LSH-capped), the benchmark shingle union (eval suites are
+small) — broadcast as plain ctor args into ONE actor-pool filter pass
+over the corpus that also counts tokens and drops the text column.
+The exact-dup drop set is NOT small at web scale (duplicate fractions
+of 30%+ are normal), so it stays a distributed Dataset (fingerprint-
+keyed exchange emitting refs) and is applied as a doc_id-keyed
+shuffle ANTI-join against the filtered (doc_id, n_tokens) rows —
+16-byte rows on both sides of that exchange.  The only driver-side
+values anywhere are scalars (band, partition totals for the
+prefix-scan).  The corpus streams end to end.
 
 All predicates are computed against the FULL corpus (thresholds, dup
 sets and overlaps don't drift as filters apply), so the composition is
@@ -42,10 +46,13 @@ from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.pipelines import textops as tx
 
 
-def _exact_dup_drops(sf_dir: str, nparts: int) -> np.ndarray:
-    """doc_ids to drop for exact dedup: every doc whose fingerprint has
-    a smaller-doc_id twin.  Fingerprint-keyed exchange; each partition
-    holds complete fingerprint groups and emits its non-first ids."""
+def _exact_dup_drops_ds(sf_dir: str, nparts: int):
+    """doc_ids to drop for exact dedup — every doc whose fingerprint has
+    a smaller-doc_id twin — as a DATASET of object refs (never on the
+    driver: at web scale the duplicate fraction is large, so the drop
+    set is corpus-sized and must stay distributed).  Fingerprint-keyed
+    exchange; each partition holds complete fingerprint groups and
+    emits its non-first ids."""
     from nrt_ray.stages.exchange import exchange_dataset
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -70,9 +77,7 @@ def _exact_dup_drops(sf_dir: str, nparts: int) -> np.ndarray:
         return pa.table({"doc_id": pa.array([], pa.int64())})
 
     ds = tx._read_docs(sf_dir).map_batches(tag, batch_format="pyarrow")
-    out = exchange_dataset(ds, nparts, drops, empty).to_pandas()
-    return (out["doc_id"].to_numpy(dtype=np.int64) if len(out)
-            else np.array([], dtype=np.int64))
+    return exchange_dataset(ds, nparts, drops, empty)
 
 
 def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
@@ -90,11 +95,10 @@ def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
         (q_lo, q_hi))
     lo, hi = (int(v) for v in pct["value"].to_pylist())
 
-    drop_exact = _exact_dup_drops(sf_dir, nparts)
+    drops_ds = _exact_dup_drops_ds(sf_dir, nparts)
     vt = tx._verified_pairs_table(sf_dir, threshold=threshold)
-    drop_near = (np.unique(vt["doc_b"].to_numpy(zero_copy_only=False))
-                 if vt.num_rows else np.array([], dtype=np.int64))
-    drop = np.union1d(drop_exact, drop_near)
+    drop = (np.unique(vt["doc_b"].to_numpy(zero_copy_only=False))
+            if vt.num_rows else np.array([], dtype=np.int64))
 
     bench_parts = tx._read_docs(sf_dir).map_batches(
         lambda b, _m=bench_mod: _bench_shingles(b, _m),
@@ -143,9 +147,22 @@ def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
                 "n_tokens": pa.array(tx._count_re(sub["text"], r"\S+")),
             })
 
-    counts = tx._read_docs(sf_dir, columns=("doc_id", "text", "n_chars")) \
+    filtered = tx._read_docs(sf_dir, columns=("doc_id", "text",
+                                              "n_chars")) \
         .map_batches(Curator, fn_constructor_args=(lo, hi, drop, bench),
                      batch_format="pyarrow", concurrency=pool_size())
+    # exact dedup as a distributed ANTI-join: both sides are (doc_id,…)
+    # datasets; only 16-byte rows move, nothing lands on the driver
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    def _counts_empty() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+
+    counts = shuffle_hash_join(filtered, drops_ds, on_left="doc_id",
+                               on_right="doc_id",
+                               num_partitions=nparts,
+                               empty_fn=_counts_empty, how="anti")
 
     md = pq.read_metadata(f"{sf_dir}/documents.parquet")
     col = md.schema.to_arrow_schema().get_field_index("doc_id")

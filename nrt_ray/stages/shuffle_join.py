@@ -42,15 +42,25 @@ def _tag(block: pa.Table, key: str, num_partitions: int) -> pa.Table:
 
 
 def _join_partition(n_left: int, on_left: str, on_right: str, empty_fn,
-                    *tables):
+                    how, *tables):
     lparts = [t for t in tables[:n_left] if t is not None and t.num_rows]
     rparts = [t for t in tables[n_left:] if t is not None and t.num_rows]
-    if not lparts or not rparts:
+    if not lparts:
+        return empty_fn()
+    if not rparts:
+        if how == "anti":       # nothing to exclude: keep the left side
+            return pa.concat_tables(lparts).drop_columns(["pid"])
         return empty_fn()
     lt = pa.concat_tables(lparts).drop_columns(["pid"])
     rt = pa.concat_tables(rparts).drop_columns(["pid"])
     lk = lt.column(on_left).to_numpy(zero_copy_only=False)
     rk = rt.column(on_right).to_numpy(zero_copy_only=False)
+    if how == "anti":
+        rs = np.sort(rk)
+        if not len(rs):
+            return lt
+        idx = np.minimum(np.searchsorted(rs, lk), len(rs) - 1)
+        return lt.filter(pa.array(rs[idx] != lk))
     order = np.argsort(rk, kind="stable")
     rt = rt.take(pa.array(order))
     rk = rk[order]
@@ -76,11 +86,18 @@ def _join_partition(n_left: int, on_left: str, on_right: str, empty_fn,
 
 
 def shuffle_hash_join(left, right, *, on_left: str, on_right: str,
-                      num_partitions: int, empty_fn):
-    """Inner-join two Datasets on int64 keys via a two-sided hash
-    exchange.  Returns the joined rows as a Dataset (left columns +
-    right columns minus the right key); ``empty_fn() -> pa.Table``
-    supplies the output schema for empty partitions."""
+                      num_partitions: int, empty_fn, how: str = "inner"):
+    """Join two Datasets on int64 keys via a two-sided hash exchange.
+
+    ``how='inner'`` returns matched rows (left columns + right columns
+    minus the right key, one-to-many expanded); ``how='anti'`` returns
+    the left rows with NO key match on the right (left columns only) —
+    the dedup/filter shape: the exclusion side stays a distributed
+    Dataset instead of a driver-broadcast set.  ``empty_fn() ->
+    pa.Table`` supplies the output schema for empty partitions.
+    """
+    if how not in ("inner", "anti"):
+        raise ValueError(f"unknown join mode {how!r}")
     ltag = left.map_batches(lambda t: _tag(t, on_left, num_partitions),
                             batch_format="pyarrow")
     rtag = right.map_batches(lambda t: _tag(t, on_right, num_partitions),
@@ -92,14 +109,14 @@ def shuffle_hash_join(left, right, *, on_left: str, on_right: str,
         lrefs = list(_iter_block_refs(ltag))
         rrefs = list(_iter_block_refs(rtag))
         out = [join_remote.remote(len(lrefs), on_left, on_right, empty_fn,
-                                  *(lrefs + rrefs))]
+                                  how, *(lrefs + rrefs))]
     else:
         lsplit = [split.remote(r, num_partitions)
                   for r in _iter_block_refs(ltag)]
         rsplit = [split.remote(r, num_partitions)
                   for r in _iter_block_refs(rtag)]
         out = [join_remote.remote(
-                   len(lsplit), on_left, on_right, empty_fn,
+                   len(lsplit), on_left, on_right, empty_fn, how,
                    *([lsplit[b][p] for b in range(len(lsplit))]
                      + [rsplit[b][p] for b in range(len(rsplit))]))
                for p in range(num_partitions)]

@@ -81,3 +81,26 @@ def test_join_skewed_hot_key(ray_session):
                    left_on="k", right_on="rk").drop(columns=["rk"]) \
         .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_anti_join(ray_session):
+    import ray.data
+    rng = np.random.default_rng(21)
+    lk = rng.integers(0, 30, 150)
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(np.arange(150), pa.int64())})).repartition(3)
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([3, 7, 11, 29, 99], pa.int64())}))
+    got = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=4, empty_fn=empty,
+                            how="anti").to_pandas() \
+        .sort_values("lv").reset_index(drop=True)
+    keep = ~np.isin(lk, [3, 7, 11, 29, 99])
+    assert got["lv"].tolist() == np.arange(150)[keep].tolist()
+    assert got["k"].tolist() == lk[keep].tolist()
