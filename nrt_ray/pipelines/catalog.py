@@ -89,6 +89,7 @@ def queries() -> dict:
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
         "curate_corpus_docs": cu.curate_corpus,
+        "global_shuffle_docs": tx.global_shuffle_order,
         "doc_unigram_lm_scores": tx.unigram_lm_scores,
         "doc_boilerplate_ratio": tx.boilerplate_ratio,
         "top_docs_per_lang": tx.top_docs_per_lang,
@@ -463,6 +464,19 @@ def oracle_sql() -> dict:
         # flagship curation composition: band ∧ exact-dedup ∧ near-dedup
         # ∧ decontaminate, then sequence packing of the survivors
         "curate_corpus_docs": cu.curate_sql(),
+        # deterministic shuffle: rank in md5(doc_id) order + shard
+        "global_shuffle_docs": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5_number_lower(
+                           CAST(doc_id AS VARCHAR))) - 1
+                       AS BIGINT) AS shuffle_rank,
+                   CAST((row_number() OVER (
+                       ORDER BY md5_number_lower(
+                           CAST(doc_id AS VARCHAR))) - 1) // 64
+                       AS BIGINT) AS shard
+            FROM documents
+        """,
         # inverted-index sink round-trip: the Ray side builds the
         # partitioned postings parquet, reads it BACK and aggregates;
         # the oracle recomputes the same stats straight from documents

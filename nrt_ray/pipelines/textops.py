@@ -1716,3 +1716,45 @@ def token_cms_heavy_hitters(sf_dir: str, k: int = 20):
         "n_est": pa.array(est.astype(np.int64)),
         "overcount": pa.array((est - true).astype(np.int64)),
     })
+
+
+# --------------------------------------------------- deterministic shuffle
+
+def global_shuffle_order(sf_dir: str, shard_size: int = 64):
+    """Deterministic global shuffle for training-data ordering: each doc
+    gets its rank in md5-of-doc_id order plus a shard assignment —
+    reproducible across runs and engines, no RNG state.
+
+    The rank is the distributed ordered prefix-scan over the hash key
+    domain (count of smaller keys = exclusive sum of ones): hash keys
+    range-partition monotonically, each partition sorts locally, and
+    only P scalars synchronize — the classic way to shuffle a corpus
+    you cannot hold anywhere."""
+    from nrt_ray.stages.scan import ordered_prefix_scan
+    from nrt_ray.pipelines.relational import pool_size
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter((md5_low64(str(int(i)).encode()) for i in ids),
+                        dtype=np.uint64, count=len(ids))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "skey": pa.array(h, pa.uint64()),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+        })
+
+    ds = _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(keyed, batch_format="pyarrow")
+    scanned = ordered_prefix_scan(ds, key="skey", value="one",
+                                  num_partitions=max(2, pool_size()),
+                                  key_bound=None, out_name="rank")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shuffle_rank": pa.array(rank.astype(np.int64)),
+            "shard": pa.array((rank // shard_size).astype(np.int64)),
+        })
+
+    return scanned.map_batches(finish, batch_format="pyarrow")

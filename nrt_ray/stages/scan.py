@@ -32,11 +32,19 @@ from nrt_ray.stages.exchange import _iter_block_refs, _split_block
 
 
 def _tag_pid(block: pa.Table, key: str, num_partitions: int,
-             key_bound: int) -> pa.Table:
+             key_bound: int | None) -> pa.Table:
     if block.num_rows == 0 or key not in block.column_names:
         return block
-    k = block.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-    pid = (k * num_partitions) // max(key_bound, 1)
+    k = block.column(key).to_numpy(zero_copy_only=False)
+    if key_bound is None:
+        # full-uint64 key domain (hash keys): any deterministic
+        # MONOTONIC map works as a range partitioner — float conversion
+        # is monotonic, and boundary rounding only shifts the cut
+        # points, never reorders keys across them
+        pid = np.floor(k.astype(np.float64)
+                       / 2.0 ** 64 * num_partitions).astype(np.int64)
+    else:
+        pid = (k.astype(np.int64) * num_partitions) // max(key_bound, 1)
     pid = np.clip(pid, 0, num_partitions - 1)
     return block.append_column("pid", pa.array(pid.astype(np.int64)))
 
