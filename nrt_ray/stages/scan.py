@@ -79,16 +79,18 @@ def _add_offset(tbl: pa.Table, offset: int, out_name: str) -> pa.Table:
 
 
 def ordered_prefix_scan(ds, *, key: str, value: str, num_partitions: int,
-                        key_bound: int, out_name: str = "cum_before"):
+                        key_bound: int | None,
+                        out_name: str = "cum_before"):
     """Append to each row the sum of ``value`` over all rows with a
     strictly smaller ``key`` (exclusive prefix sum in global key order).
 
     Args:
-        ds: Dataset with an int64 ``key`` column in ``[0, key_bound)``
+        ds: Dataset with a ``key`` column — int64 in ``[0, key_bound)``,
+            or uint64 over the full hash domain with ``key_bound=None``
             (keys must be unique — ties would make "before" ambiguous)
-            and an int64-castable ``value`` column.
-        key_bound: exclusive upper bound of the key domain (drives the
-            range partitioner).
+            — and an int64-castable ``value`` column.
+        key_bound: exclusive upper bound of an int64 key domain (drives
+            the range partitioner), or None for uint64 hash keys.
 
     Returns:
         Dataset with the input columns plus ``out_name``, rows
