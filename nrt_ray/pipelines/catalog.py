@@ -60,6 +60,7 @@ def queries() -> dict:
         "segments_1d_events": tsq.segments_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
+        "top_users_per_day": tsq.top_users_per_day,
         "value_percentiles_events": tsq.value_percentiles,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
@@ -326,6 +327,26 @@ def oracle_sql() -> dict:
         # temporal windows: gap sessions, hop-k overlapping windows and
         # the as-of (last-strictly-earlier) join — all window-function /
         # inequality-join expressible
+        # per-day top-k users: exact-cent sums so ranking is order-free
+        "top_users_per_day": """
+            WITH s AS (
+                SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       user_id,
+                       sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS cents
+                FROM events GROUP BY day, user_id
+            ),
+            r AS (
+                SELECT day, user_id, cents,
+                       CAST(row_number() OVER (
+                           PARTITION BY day
+                           ORDER BY cents DESC, user_id) AS BIGINT)
+                           AS rank
+                FROM s
+            )
+            SELECT day, user_id, cents / 100.0 AS v_total, rank
+            FROM r WHERE rank <= 5
+        """,
         "sessionize_events": win.sessionize_sql(),
         "hopping_1h_15m_events": win.hopping_windows_sql(),
         "asof_click_purchase": win.asof_join_sql(),

@@ -470,3 +470,72 @@ def segments_events(sf_dir: str, tier_name: str = "1d"):
 
     return _series_dataset(sf_dir).map_batches(seg_batch,
                                                batch_format="pyarrow")
+
+
+def top_users_per_day(sf_dir: str, k: int = 5):
+    """Windowed per-group top-k: the ``k`` users with the highest total
+    value per day (tie-break by user id).  Per-batch (day, user)
+    partial sums — in exact integer cents, so summation order can never
+    perturb the ranking — then one keyed groupby, a per-batch partial
+    top-k, and a per-day final over ``k × blocks`` survivors."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import round_away
+
+    day_us = 86400 * US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        day = ts // day_us
+        key = day * (uid.max() + 1 if len(uid) else 1) + uid
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)) \
+            .astype(np.int64)
+        mod = uid.max() + 1 if len(uid) else 1
+        return pa.table({
+            "day": pa.array(uk // mod, pa.int64()),
+            "user_id": pa.array(uk % mod, pa.int64()),
+            "cents": pa.array(s),
+        })
+
+    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["ts", "user_id", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]) \
+        .aggregate(Sum("cents", alias_name="cents"))
+
+    def _rank(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column("rank", pa.array([], pa.int64()))
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("day", "ascending"), ("cents", "descending"),
+            ("user_id", "ascending")])
+        t = tbl.take(order)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(day), dtype=bool)
+        new[0] = True
+        new[1:] = day[1:] != day[:-1]
+        gidx = np.cumsum(new) - 1
+        rank = np.arange(len(day)) - np.flatnonzero(new)[gidx] + 1
+        return t.append_column("rank", pa.array(rank, pa.int64()))
+
+    def part_topk(batch: pa.Table) -> pa.Table:
+        r = _rank(batch)
+        return r.filter(pc.less_equal(r["rank"], k)) \
+            .drop_columns(["rank"])
+
+    def final(g: pa.Table) -> pa.Table:
+        r = _rank(g)
+        r = r.filter(pc.less_equal(r["rank"], k))
+        return pa.table({
+            "day": r["day"], "user_id": r["user_id"],
+            "v_total": pa.array(
+                r["cents"].to_numpy(zero_copy_only=False) / 100.0),
+            "rank": r["rank"],
+        })
+
+    return agg.map_batches(part_topk, batch_format="pyarrow") \
+        .groupby("day").map_groups(final, batch_format="pyarrow")
