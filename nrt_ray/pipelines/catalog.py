@@ -74,6 +74,7 @@ def queries() -> dict:
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
         "sample_stratified_docs": tx.sample_stratified,
+        "sample_weighted_docs": tx.sample_weighted_docs,
         "doc_tfidf_scores": tx.tfidf_scores,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
@@ -364,6 +365,21 @@ def oracle_sql() -> dict:
                         '{tx.BpeishTokenCounter.PATTERN.replace("'", "''")}'
                         )) AS BIGINT) AS n_bpe_pieces
             FROM documents
+        """,
+        # Efraimidis-Spirakis weighted sample: key = u^(1/w), u from the
+        # doc-id hash — same double arithmetic as the pipeline
+        "sample_weighted_docs": """
+            WITH k AS (
+                SELECT doc_id,
+                       greatest(n_chars, 1) AS weight,
+                       pow((CAST(md5_number_lower(
+                                CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                            + 1.0) / 18446744073709551616.0,
+                           1.0 / greatest(n_chars, 1)) AS skey
+                FROM documents
+            )
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight
+            FROM k ORDER BY skey DESC, doc_id LIMIT 25
         """,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprints": """

@@ -1758,3 +1758,38 @@ def global_shuffle_order(sf_dir: str, shard_size: int = 64):
         })
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def sample_weighted_docs(sf_dir: str, n: int = 25):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis 2006): doc ``i`` gets key ``u_i^(1/w_i)`` with ``u_i`` a
+    hash-derived uniform and weight ``w_i = n_chars``; the global top-n
+    keys are the sample.  No RNG state — reproducible across runs,
+    cluster sizes and engines (the oracle replays the same double
+    arithmetic).  Per-batch partial top-n, tiny final merge."""
+    def key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            batch["n_chars"].to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        h = np.fromiter((md5_low64(str(int(i)).encode()) for i in ids),
+                        dtype=np.uint64, count=len(ids))
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+        key = u ** (1.0 / w)
+        order = np.argsort(-key, kind="stable")[:n]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "weight": pa.array(w[order].astype(np.int64)),
+            "skey": pa.array(key[order]),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("skey", "descending"),
+                                              ("doc_id", "ascending")])
+        return t.take(order[:n]).drop_columns(["skey"])
+
+    parts = _read_docs(sf_dir, columns=("doc_id", "n_chars")) \
+        .map_batches(key_batch, batch_format="pyarrow")
+    # survivors are ≤ n per block — the final merge is tiny by design
+    return final(pa.Table.from_pandas(parts.to_pandas(),
+                                      preserve_index=False))
