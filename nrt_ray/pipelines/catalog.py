@@ -87,6 +87,7 @@ def queries() -> dict:
         "shingle_dup_stats": tx.shingle_dup_stats,
         "shingle_hll_estimate": tx.shingle_hll_estimate,
         "token_cms_heavy_hitters": tx.token_cms_heavy_hitters,
+        "bloom_semijoin_docs": tx.bloom_semijoin_docs,
         "doc_repetition_stats": tx.repetition_stats,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
@@ -498,6 +499,8 @@ def oracle_sql() -> dict:
         "shingle_hll_estimate": sk.hll_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
+        # bloom semi-join prefilter with exact false-positive accounting
+        "bloom_semijoin_docs": sk.bloom_sql(),
         # flagship curation composition: band ∧ exact-dedup ∧ near-dedup
         # ∧ decontaminate, then sequence packing of the survivors
         "curate_corpus_docs": cu.curate_sql(),

@@ -420,6 +420,43 @@ FROM top t {joins}
 """
 
 
+def bloom_sql(bench_mod: int = 31) -> str:
+    """Exact replay of the Bloom semi-join: bit positions from the
+    xorshift-multiply family on HUGEINT, membership = all k positions
+    present in the benchmark position set."""
+    from nrt_ray.pipelines.textops import _BLOOM_M, _bloom_seeds
+    mult = int(_MIX_MULT)
+    seeds = [int(s) for s in _bloom_seeds()]
+
+    def pos_expr(h: str, seed: int) -> str:
+        x0 = _xor64(h, f"CAST({seed} AS HUGEINT)")
+        m1 = _mulmod_const(x0, mult)
+        x1 = _xorshr(m1)
+        m2 = _mulmod_const(x1, mult)
+        return f"({m2}) % {_BLOOM_M}"
+
+    psel = ", ".join(f"{pos_expr('h0', s)} AS p{j}"
+                     for j, s in enumerate(seeds))
+    pos_union = " UNION ALL ".join(
+        f"SELECT p{j} AS p FROM hp WHERE doc_id % {bench_mod} = 0"
+        for j in range(len(seeds)))
+    hit = " AND ".join(f"(p{j} IN (SELECT p FROM pos))"
+                       for j in range(len(seeds)))
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, CAST(md5_number_lower(text) AS HUGEINT) AS h0
+    FROM documents
+),
+hp AS (SELECT doc_id, h0, {psel} FROM hashed),
+bset AS (SELECT DISTINCT h0 FROM hp WHERE doc_id % {bench_mod} = 0),
+pos AS (SELECT DISTINCT p FROM ({pos_union}))
+SELECT doc_id,
+       CAST({hit} AS BIGINT) AS bloom_hit,
+       CAST(h0 IN (SELECT h0 FROM bset) AS BIGINT) AS exact_hit
+FROM hp WHERE doc_id % {bench_mod} <> 0
+"""
+
+
 def boilerplate_sql() -> str:
     """Per-doc shared-shingle fraction: distinct shingles joined to the
     corpus-wide shingle document frequencies."""

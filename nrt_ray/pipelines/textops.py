@@ -1793,3 +1793,106 @@ def sample_weighted_docs(sf_dir: str, n: int = 25):
     # survivors are ≤ n per block — the final merge is tiny by design
     return final(pa.Table.from_pandas(parts.to_pandas(),
                                       preserve_index=False))
+
+
+# ----------------------------------------------------------- bloom filter
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_SEED = 17
+
+
+def _bloom_seeds() -> np.ndarray:
+    return np.random.default_rng(_BLOOM_SEED) \
+        .integers(0, 2 ** 63, _BLOOM_K, dtype=np.uint64)
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions via the engine's xorshift-multiply family."""
+    seeds = _bloom_seeds()
+    with np.errstate(over="ignore"):
+        x = (h[None, :] ^ seeds[:, None]) * _MIX_MULT
+        x ^= x >> np.uint64(29)
+        x *= _MIX_MULT
+    return (x % np.uint64(_BLOOM_M)).astype(np.int64)
+
+
+def bloom_semijoin_docs(sf_dir: str, bench_mod: int = 31):
+    """Bloom-filter semi-join prefilter — the classic shuffle-avoidance
+    pattern: a 4096-bit Bloom filter over the benchmark docs' content
+    hashes (``doc_id % bench_mod == 0``) is built once (constant-size,
+    broadcastable to any cluster) and every other doc probes it; the
+    output also carries the EXACT membership so the false-positive cost
+    of skipping the real join is measurable per run.
+
+    Build side: per-batch position partials → one ≤4096-group distinct
+    shuffle.  Probe side: one vectorized batch pass against the
+    broadcast bit array."""
+    def build_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % bench_mod) == 0
+        if not m.any():
+            return pa.table({"p": pa.array([], pa.int64())})
+        texts = [t for t, keep
+                 in zip(batch["text"].to_pylist(), m) if keep]
+        h = np.fromiter((md5_low64(t.encode()) for t in texts),
+                        dtype=np.uint64, count=len(texts))
+        pos = np.unique(_bloom_positions(h).ravel())
+        return pa.table({"p": pa.array(pos, pa.int64())})
+
+    parts = _read_docs(sf_dir).map_batches(
+        build_partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    if len(parts):
+        bits[np.unique(parts["p"].to_numpy(dtype=np.int64))] = True
+
+    bench_hashes = None  # exact side: the benchmark hash set (small)
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % bench_mod) == 0
+        texts = [t for t, keep
+                 in zip(batch["text"].to_pylist(), m) if keep]
+        h = np.fromiter((md5_low64(t.encode()) for t in texts),
+                        dtype=np.uint64, count=len(texts))
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64),
+                                       pa.int64())})
+
+    bparts = _read_docs(sf_dir).map_batches(
+        bench_partial, batch_format="pyarrow").to_pandas()
+    bench_hashes = np.unique(bparts["h"].to_numpy(dtype=np.int64))
+
+    class Probe:
+        def __init__(self, bits_arr, bench_sorted):
+            self.bits = bits_arr
+            self.bench = bench_sorted
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % bench_mod) != 0
+            sub = batch.filter(pa.array(m))
+            if sub.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "bloom_hit": pa.array([], pa.int64()),
+                                 "exact_hit": pa.array([], pa.int64())})
+            h = np.fromiter(
+                (md5_low64(t.encode()) for t in sub["text"].to_pylist()),
+                dtype=np.uint64, count=sub.num_rows)
+            pos = _bloom_positions(h)
+            hit = self.bits[pos].all(axis=0).astype(np.int64)
+            hs = h.view(np.int64)
+            if len(self.bench):
+                idx = np.minimum(np.searchsorted(self.bench, hs),
+                                 len(self.bench) - 1)
+                exact = (self.bench[idx] == hs).astype(np.int64)
+            else:
+                exact = np.zeros(len(hs), dtype=np.int64)
+            return pa.table({
+                "doc_id": sub["doc_id"],
+                "bloom_hit": pa.array(hit),
+                "exact_hit": pa.array(exact),
+            })
+
+    return _read_docs(sf_dir).map_batches(
+        Probe, fn_constructor_args=(bits, bench_hashes),
+        batch_format="pyarrow", concurrency=pool_size())
