@@ -66,6 +66,7 @@ def queries() -> dict:
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
         "asof_click_purchase": win.asof_join_events,
+        "funnel_click_purchase": win.funnel_events,
         # ---- text analysis / dedup -------------------------------------
         "doc_token_counts": tx.token_counts,
         "doc_token_counts_bpe": tx.bpe_token_counts,
@@ -352,6 +353,30 @@ def oracle_sql() -> dict:
         "sessionize_events": win.sessionize_sql(),
         "hopping_1h_15m_events": win.hopping_windows_sql(),
         "asof_click_purchase": win.asof_join_sql(),
+        # forward-looking funnel: click followed by purchase within 1h
+        "funnel_click_purchase": """
+            WITH c AS (
+                SELECT user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            conv AS (
+                SELECT CAST(floor(epoch(c.ts) / 86400) AS BIGINT) AS day,
+                       CAST(EXISTS(
+                           SELECT 1 FROM events p
+                           WHERE p.event_type = 'purchase'
+                             AND p.user_id = c.user_id
+                             AND p.ts >= c.ts
+                             AND p.ts <= c.ts + INTERVAL 1 HOUR)
+                           AS BIGINT) AS conv
+                FROM c
+            )
+            SELECT day,
+                   count(*) AS n_first,
+                   CAST(sum(conv) AS BIGINT) AS n_converted,
+                   round(sum(conv) / CAST(count(*) AS DOUBLE), 6)
+                       AS conversion_rate
+            FROM conv GROUP BY day
+        """,
         "doc_token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -278,3 +278,79 @@ def asof_join_sql(left_type: str = "click",
           ON r.user_id = l.user_id AND r.ts < l.ts
         GROUP BY l.event_id, l.user_id
     """
+
+
+def funnel_events(sf_dir: str, first_type: str = "click",
+                  second_type: str = "purchase", within_s: int = 3600,
+                  num_partitions: int = 8):
+    """Funnel conversion: per day, how many ``first_type`` events were
+    followed by a ``second_type`` event from the same user within
+    ``within_s`` seconds — the sequential-pattern complement of the
+    as-of join (forward-looking instead of backward-looking).
+
+    Same big-big co-partitioned shape: hash-bucket on user, one
+    vectorized composite-key ``searchsorted`` per bucket, then a tiny
+    per-day groupby of (clicks, conversions) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    within_us = within_s * US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array([first_type, second_type]))
+        b = batch.filter(m)
+        b = b.append_column(
+            "is_second", pc.equal(b["event_type"], pa.scalar(second_type)))
+        b = b.append_column("url", pc.cast(b["user_id"], pa.string()))
+        b = b.append_column("warc_ts", b["ts"])
+        return add_bucket_column(b, num_partitions)
+
+    def match_bucket(bucket: pa.Table) -> pa.Table:
+        u = bucket["user_id"].to_numpy(zero_copy_only=False)
+        ts = bucket["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        second = bucket["is_second"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(u, return_inverse=True)
+        tmin = ts.min() if len(ts) else 0
+        # span covers the window so user boundaries can't be crossed
+        span = int(ts.max() - tmin) + within_us + 2 if len(ts) else 1
+        key = codes.astype(np.int64) * span + (ts - tmin)
+
+        sk = np.sort(key[second])
+        ck = key[~second]
+        idx = np.searchsorted(sk, ck, side="left")
+        idx_c = np.minimum(idx, max(len(sk) - 1, 0))
+        conv = np.zeros(len(ck), dtype=np.int64)
+        if len(sk):
+            conv = ((idx < len(sk))
+                    & (sk[idx_c] <= ck + within_us)).astype(np.int64)
+        day = ts[~second] // (86400 * US)
+        ud, dinv = np.unique(day, return_inverse=True)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "n_first": pa.array(np.bincount(dinv).astype(np.int64)),
+            "n_converted": pa.array(
+                np.bincount(dinv, weights=conv).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("pid") \
+        .map_groups(match_bucket, batch_format="pyarrow") \
+        .groupby("day") \
+        .aggregate(Sum("n_first", alias_name="n_first"),
+                   Sum("n_converted", alias_name="n_converted"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nf = t["n_first"].to_numpy(zero_copy_only=False)
+        nc = t["n_converted"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t["day"], "n_first": t["n_first"],
+            "n_converted": t["n_converted"],
+            "conversion_rate": pa.array(
+                round_away(nc / np.maximum(nf, 1), 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
