@@ -62,6 +62,7 @@ def queries() -> dict:
         "user_value_quantiles": tsq.user_value_quantiles,
         "top_users_per_day": tsq.top_users_per_day,
         "value_percentiles_events": tsq.value_percentiles,
+        "value_histogram_events": tsq.value_histogram,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -330,6 +331,17 @@ def oracle_sql() -> dict:
         # temporal windows: gap sessions, hop-k overlapping windows and
         # the as-of (last-strictly-earlier) join — all window-function /
         # inequality-join expressible
+        # fixed-bin histogram: same floor expression as the kernel so
+        # boundary rounding is identical on both sides
+        "value_histogram_events": """
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT CASE WHEN value < 0.0 THEN 0
+                            WHEN value >= 200.0 THEN 41
+                            ELSE CAST(floor(value / 5.0) AS BIGINT) + 1
+                       END AS bucket
+                FROM events)
+            GROUP BY bucket
+        """,
         # per-day top-k users: exact-cent sums so ranking is order-free
         "top_users_per_day": """
             WITH s AS (

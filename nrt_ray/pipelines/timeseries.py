@@ -539,3 +539,30 @@ def top_users_per_day(sf_dir: str, k: int = 5):
 
     return agg.map_batches(part_topk, batch_format="pyarrow") \
         .groupby("day").map_groups(final, batch_format="pyarrow")
+
+
+def value_histogram(sf_dir: str, n_bins: int = 40, lo: float = 0.0,
+                    hi: float = 200.0):
+    """Fixed-bin histogram of the event values (the telemetry-dashboard
+    aggregate): per-batch ``np.bincount`` partials — ≤ ``n_bins+2``
+    rows per batch including underflow/overflow — then one tiny keyed
+    sum.  Bin rule matches SQL ``width_bucket`` (right-open bins,
+    bucket 0 = underflow, ``n_bins+1`` = overflow)."""
+    from ray.data.aggregate import Sum
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64) + 1,
+                    0, n_bins + 1)
+        b[v < lo] = 0
+        b[v >= hi] = n_bins + 1
+        cnt = np.bincount(b, minlength=n_bins + 2)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
