@@ -75,6 +75,7 @@ def queries() -> dict:
         "doc_winnow_fingerprints": tx.winnow_fingerprints,
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
+        "vocab_zipf_fit": tx.vocab_zipf_fit,
         "sample_stratified_docs": tx.sample_stratified,
         "sample_weighted_docs": tx.sample_weighted_docs,
         "doc_tfidf_scores": tx.tfidf_scores,
@@ -434,6 +435,46 @@ def oracle_sql() -> dict:
             GROUP BY tok
             ORDER BY n_total DESC, token ASC
             LIMIT 100
+        """,
+        # Zipf OLS over ln(rank)/ln(freq), two-pass centered moments —
+        # the same closed form the kernel computes
+        "vocab_zipf_fit": r"""
+            WITH v AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY tok
+            ),
+            r AS (
+                SELECT ln(CAST(row_number() OVER (
+                           ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y, n
+                FROM v
+            ),
+            m AS (SELECT avg(x) AS mx, avg(y) AS my FROM r),
+            s AS (
+                SELECT count(*) AS n_types,
+                       CAST(sum(n) AS BIGINT) AS n_tokens,
+                       sum((x - mx) * (y - my))
+                           / sum((x - mx) * (x - mx)) AS slope,
+                       any_value(my) AS my, any_value(mx) AS mx
+                FROM r, m
+            ),
+            e AS (
+                SELECT s.n_types, s.n_tokens, s.slope,
+                       s.my - s.slope * s.mx AS icept,
+                       sum(pow(r.y - (s.my - s.slope * s.mx
+                                      + s.slope * r.x), 2)) AS ss_res,
+                       sum(pow(r.y - s.my, 2)) AS ss_tot
+                FROM r, s
+                GROUP BY s.n_types, s.n_tokens, s.slope, s.my, s.mx
+            )
+            SELECT n_types, n_tokens,
+                   round(slope, 6) AS zipf_slope,
+                   round(icept, 6) AS zipf_intercept,
+                   round(1.0 - ss_res / ss_tot, 6) AS r2
+            FROM e
         """,
         "sample_stratified_docs": """
             SELECT doc_id, lang, sample_rank FROM (

@@ -1896,3 +1896,34 @@ def bloom_semijoin_docs(sf_dir: str, bench_mod: int = 31):
     return _read_docs(sf_dir).map_batches(
         Probe, fn_constructor_args=(bits, bench_hashes),
         batch_format="pyarrow", concurrency=pool_size())
+
+
+def vocab_zipf_fit(sf_dir: str):
+    """Corpus Zipf profile: OLS fit of ``ln(freq)`` against ``ln(rank)``
+    over the full vocabulary (rank = frequency order, ties broken
+    alphabetically) plus type/token totals.  The vocabulary is the
+    aggregate small side (combiner partials → one keyed sum); the fit
+    itself is closed-form on the driver over vocabulary-sized arrays."""
+    from ray.data.aggregate import Sum
+    vt = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(_partial_vocab, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    vt = vt.sort_values(["n", "token"], ascending=[False, True])
+    freq = vt["n"].to_numpy(dtype=np.float64)
+    rank = np.arange(1, len(freq) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(freq)
+    mx, my = x.mean(), y.mean()
+    cov = ((x - mx) * (y - my)).sum()
+    var = ((x - mx) ** 2).sum()
+    slope = cov / var
+    icept = my - slope * mx
+    ss_res = ((y - (icept + slope * x)) ** 2).sum()
+    ss_tot = ((y - my) ** 2).sum()
+    return pa.table({
+        "n_types": pa.array([len(freq)], pa.int64()),
+        "n_tokens": pa.array([int(freq.sum())], pa.int64()),
+        "zipf_slope": pa.array(round_away(np.array([slope]), 6)),
+        "zipf_intercept": pa.array(round_away(np.array([icept]), 6)),
+        "r2": pa.array(round_away(np.array([1.0 - ss_res / ss_tot]), 6)),
+    })
