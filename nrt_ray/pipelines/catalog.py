@@ -63,6 +63,7 @@ def queries() -> dict:
         "top_users_per_day": tsq.top_users_per_day,
         "value_percentiles_events": tsq.value_percentiles,
         "value_histogram_events": tsq.value_histogram,
+        "retention_cohorts_events": tsq.retention_cohorts,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -342,6 +343,27 @@ def oracle_sql() -> dict:
                        END AS bucket
                 FROM events)
             GROUP BY bucket
+        """,
+        # cohort retention: distinct active users per (signup week,
+        # week offset)
+        "retention_cohorts_events": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(floor(epoch(min(ts)) / 604800) AS BIGINT)
+                           AS cohort_week
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id
+            ),
+            w AS (
+                SELECT DISTINCT e.user_id, s.cohort_week,
+                       CAST(floor(epoch(e.ts) / 604800) AS BIGINT)
+                           - s.cohort_week AS week_offset
+                FROM events e JOIN s USING (user_id)
+            )
+            SELECT cohort_week, week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w WHERE week_offset >= 0
+            GROUP BY cohort_week, week_offset
         """,
         # per-day top-k users: exact-cent sums so ranking is order-free
         "top_users_per_day": """

@@ -566,3 +566,71 @@ def value_histogram(sf_dir: str, n_bins: int = 40, lo: float = 0.0,
                                  columns=["value"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by signup week; for each week
+    offset ≥ 0, how many of the cohort's users were active (any event).
+    One user-keyed exchange — each partition holds its users' complete
+    event history, folds straight to (cohort, offset) partials — then a
+    tiny keyed sum.  The engine analog of the product-analytics query
+    every events warehouse runs."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size
+    week_us = 7 * 86400 * US
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "is_signup": pc.equal(batch["event_type"],
+                                  pa.scalar("signup")),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        sg = tbl["is_signup"].to_numpy(zero_copy_only=False)
+        if not sg.any():
+            return _empty_cohorts()
+        # per-user signup week (min signup ts)
+        su, sinv = np.unique(u[sg], return_inverse=True)
+        smin = np.full(len(su), np.iinfo(np.int64).max)
+        np.minimum.at(smin, sinv, ts[sg])
+        cohort_of = dict(zip(su.tolist(),
+                             (smin // week_us).tolist()))
+        # distinct (user, offset>=0) pairs over all events
+        uu, uinv = np.unique(u, return_inverse=True)
+        has = np.isin(uu, su)
+        wk = ts // week_us
+        coh = np.array([cohort_of.get(int(x), -1) for x in uu],
+                       dtype=np.int64)
+        off = wk - coh[uinv]
+        ok = has[uinv] & (off >= 0)
+        key = uinv[ok].astype(np.int64) * (1 << 20) + off[ok]
+        ku = np.unique(key)
+        pair_user = ku >> 20
+        pair_off = ku & ((1 << 20) - 1)
+        ck = coh[pair_user] * (1 << 20) + pair_off
+        cu, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(cu >> 20, pa.int64()),
+            "week_offset": pa.array(cu & ((1 << 20) - 1), pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    def _empty_cohorts() -> pa.Table:
+        return pa.table({"cohort_week": pa.array([], pa.int64()),
+                         "week_offset": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, partial, _empty_cohorts) \
+        .groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("n_users", alias_name="n_users"))
