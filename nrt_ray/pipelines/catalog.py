@@ -64,6 +64,7 @@ def queries() -> dict:
         "value_percentiles_events": tsq.value_percentiles,
         "value_histogram_events": tsq.value_histogram,
         "retention_cohorts_events": tsq.retention_cohorts,
+        "profile_events": tsq.profile_events,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -344,6 +345,14 @@ def oracle_sql() -> dict:
                 FROM events)
             GROUP BY bucket
         """,
+        # per-column data profile (rows / nulls / exact distincts)
+        "profile_events": " UNION ALL ".join(
+            f"""SELECT '{c}' AS column, count(*) AS n_rows,
+                       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+                FROM events"""
+            for c in ("event_id", "ts", "user_id", "event_type",
+                      "value", "props")),
         # cohort retention: distinct active users per (signup week,
         # week offset)
         "retention_cohorts_events": """

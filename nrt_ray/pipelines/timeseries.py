@@ -634,3 +634,42 @@ def retention_cohorts(sf_dir: str):
     return exchange_dataset(ds, nparts, partial, _empty_cohorts) \
         .groupby(["cohort_week", "week_offset"]) \
         .aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def profile_events(sf_dir: str):
+    """Column profile of the events table — rows, nulls, exact distinct
+    count per column (the data-profiling pass a warehouse runs before
+    ingest).  Per column: distinct values reduce through a per-batch
+    combiner + one keyed count (never a value list on the driver); null
+    and row counts are scalar partials."""
+    from ray.data.aggregate import Count
+    cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows = []
+    for c in cols:
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=[c])
+
+        def stats_partial(batch: pa.Table, _c=c) -> pa.Table:
+            col = batch[_c]
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "nulls": pa.array([col.null_count], pa.int64()),
+            })
+
+        sc = ds.map_batches(stats_partial, batch_format="pyarrow") \
+            .to_pandas()
+
+        def distinct_partial(batch: pa.Table, _c=c) -> pa.Table:
+            u = pc.unique(batch[_c].combine_chunks())
+            return pa.table({"v": u.drop_null()})
+
+        nd = ds.map_batches(distinct_partial, batch_format="pyarrow") \
+            .groupby("v").aggregate(Count(alias_name="k")).count()
+        rows.append((c, int(sc["n"].sum()), int(sc["nulls"].sum()),
+                     int(nd)))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+    })
