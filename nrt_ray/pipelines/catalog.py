@@ -78,6 +78,7 @@ def queries() -> dict:
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
         "vocab_zipf_fit": tx.vocab_zipf_fit,
+        "vocab_growth_docs": tx.vocab_growth,
         "sample_stratified_docs": tx.sample_stratified,
         "sample_weighted_docs": tx.sample_weighted_docs,
         "doc_tfidf_scores": tx.tfidf_scores,
@@ -466,6 +467,24 @@ def oracle_sql() -> dict:
             GROUP BY tok
             ORDER BY n_total DESC, token ASC
             LIMIT 100
+        """,
+        # Heaps-law growth: new types per doc (in doc order) + running
+        # vocabulary size
+        "vocab_growth_docs": r"""
+            WITH t AS (
+                SELECT tok, min(doc_id) AS d
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text),
+                                                          '\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> '' GROUP BY tok
+            ),
+            n AS (SELECT d AS doc_id, count(*) AS n_new FROM t GROUP BY d)
+            SELECT doc_id,
+                   CAST(n_new AS BIGINT) AS n_new_types,
+                   CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT)
+                       AS cum_types
+            FROM n
         """,
         # Zipf OLS over ln(rank)/ln(freq), two-pass centered moments —
         # the same closed form the kernel computes

@@ -1927,3 +1927,63 @@ def vocab_zipf_fit(sf_dir: str):
         "zipf_intercept": pa.array(round_away(np.array([icept]), 6)),
         "r2": pa.array(round_away(np.array([1.0 - ss_res / ss_tot]), 6)),
     })
+
+
+def vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (the Heaps-law empirics): for every doc
+    that introduces at least one new token (in doc_id order), how many
+    types it introduces and the running vocabulary size.  Three keyed
+    steps, all combiner-reduced: (token → min doc) per batch →
+    ``groupby(token).min``, fold to (doc, n_new) → ``groupby(doc)``,
+    then the distributed ordered prefix-scan supplies the running
+    total."""
+    from ray.data.aggregate import Min, Sum
+    from nrt_ray.stages.scan import ordered_prefix_scan
+    from nrt_ray.pipelines.relational import pool_size
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.utf8_split_whitespace(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, lens)
+        ok = flat != ""
+        flat, doc = flat[ok], doc[ok]
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        dmin = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(dmin, inv, doc)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "d": pa.array(dmin.astype(np.int64))})
+
+    per_doc = _read_docs(sf_dir) \
+        .map_batches(first_seen, batch_format="pyarrow") \
+        .groupby("token").aggregate(Min("d", alias_name="d")) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["d"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("one", alias_name="n_new"))
+
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    col = md.schema.to_arrow_schema().get_field_index("doc_id")
+    bound = max(md.row_group(i).column(col).statistics.max
+                for i in range(md.num_row_groups)) + 1
+    scanned = ordered_prefix_scan(per_doc, key="doc_id", value="n_new",
+                                  num_partitions=max(2, pool_size()),
+                                  key_bound=bound, out_name="cb")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_new"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_new_types": pa.array(n.astype(np.int64)),
+            "cum_types": pa.array((cb + n).astype(np.int64)),
+        })
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
