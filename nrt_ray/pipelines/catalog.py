@@ -65,6 +65,7 @@ def queries() -> dict:
         "value_histogram_events": tsq.value_histogram,
         "retention_cohorts_events": tsq.retention_cohorts,
         "profile_events": tsq.profile_events,
+        "event_transitions": tsq.event_transitions,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -345,6 +346,23 @@ def oracle_sql() -> dict:
                        END AS bucket
                 FROM events)
             GROUP BY bucket
+        """,
+        # first-order event-type transition matrix with row-normalized
+        # probabilities ((user_id, ts) pairs are unique, so lead() is
+        # unambiguous)
+        "event_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS nxt
+                FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / CAST(sum(count(*)) OVER (
+                       PARTITION BY event_type) AS DOUBLE), 6) AS p
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         # per-column data profile (rows / nulls / exact distincts)
         "profile_events": " UNION ALL ".join(

@@ -673,3 +673,66 @@ def profile_events(sf_dir: str):
         "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
         "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def event_transitions(sf_dir: str):
+    """First-order event-type transition matrix: for each user's
+    time-ordered event sequence, count adjacent (from → to) pairs and
+    row-normalize — the Markov-chain summary behind funnel/journey
+    analytics.  One user-keyed exchange (partitions hold whole users,
+    one lexsort + vectorized adjacent-pair fold each), a tiny keyed
+    sum, and a per-from normalization group."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        frm, to = et[:-1][same], et[1:][same]
+        if not len(frm):
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pair = np.array([f + "\x00" + t for f, t in zip(frm, to)],
+                        dtype=object)
+        up, cnt = np.unique(pair, return_counts=True)
+        fr = np.array([p.split("\x00")[0] for p in up], dtype=object)
+        tt = np.array([p.split("\x00")[1] for p in up], dtype=object)
+        return pa.table({"from_type": pa.array(fr, pa.string()),
+                         "to_type": pa.array(tt, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def empty() -> pa.Table:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    agg = exchange_dataset(ds, nparts, partial, empty) \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def normalize(g: pa.Table) -> pa.Table:
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return g.append_column(
+            "p", pa.array(round_away(n / n.sum(), 6)))
+
+    return agg.groupby("from_type") \
+        .map_groups(normalize, batch_format="pyarrow")
