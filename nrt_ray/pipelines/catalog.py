@@ -90,6 +90,7 @@ def queries() -> dict:
         "near_dup_jaccard_verified": tx.jaccard_verify,
         "dedup_near_docs": tx.dedup_near_docs,
         "dedup_near_keep_best": tx.dedup_near_keep_best,
+        "leakage_safe_splits": tx.leakage_safe_splits,
         "near_dup_clusters": tx.near_dup_clusters,
         "shingle_dup_stats": tx.shingle_dup_stats,
         "shingle_hll_estimate": tx.shingle_hll_estimate,
@@ -796,6 +797,36 @@ def oracle_sql() -> dict:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN
                   (SELECT doc_id FROM ranked WHERE rk > 1)
+        """,
+        # leakage-safe splits: split hash keyed on the near-dup cluster
+        # representative so clusters never straddle train/val
+        "leakage_safe_splits": f"""
+            WITH RECURSIVE vp AS ({sk.jaccard_verified_sql()}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM vp
+                UNION
+                SELECT doc_b, doc_a FROM vp
+            ),
+            reach(n, m) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            lbl AS (
+                SELECT n AS doc_id, min(least(n, m)) AS cluster_id
+                FROM reach GROUP BY n
+            ),
+            keyed AS (
+                SELECT d.doc_id,
+                       coalesce(l.cluster_id, d.doc_id) AS split_key
+                FROM documents d LEFT JOIN lbl l USING (doc_id)
+            )
+            SELECT doc_id, split_key,
+                   CASE WHEN CAST(md5_number_lower(
+                            CAST(split_key AS VARCHAR)) AS HUGEINT)
+                            % 8 = 0
+                        THEN 'val' ELSE 'train' END AS split
+            FROM keyed
         """,
         # duplicate clusters: transitive closure of the verified pair
         # graph via a recursive CTE; cluster id = min reachable doc id

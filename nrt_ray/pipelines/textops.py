@@ -1987,3 +1987,56 @@ def vocab_growth(sf_dir: str):
         })
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def leakage_safe_splits(sf_dir: str, val_mod: int = 8,
+                        threshold: float = 0.6, **minhash_kw):
+    """Train/val split assignment that cannot leak near-duplicates
+    across the boundary: the split hash is keyed on the doc's near-dup
+    CLUSTER representative (min doc id of its component) rather than
+    the doc itself, so every member of a duplicate cluster lands on the
+    same side.  ``val`` = ``md5(key) % val_mod == 0``.  The cluster
+    label table is graph-sized (small — LSH-capped pairs) and ships as
+    a plain ctor arg; the corpus streams through one pass."""
+    from nrt_ray.stages.concomp import connected_components
+    vt = _verified_pairs_table(sf_dir, threshold=threshold, **minhash_kw)
+    if vt.num_rows:
+        labels = connected_components(
+            pa.table({"u": vt["doc_a"], "v": vt["doc_b"]}),
+            nparts=max(2, pool_size()))
+        node = labels["node"].to_numpy(zero_copy_only=False)
+        root = labels["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node)
+        node, root = node[order], root[order]
+    else:
+        node = np.array([], dtype=np.int64)
+        root = np.array([], dtype=np.int64)
+
+    class Splitter:
+        def __init__(self, node_sorted, root_of):
+            self.node = node_sorted
+            self.root = root_of
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            key = ids.copy()
+            if len(self.node):
+                idx = np.minimum(np.searchsorted(self.node, ids),
+                                 len(self.node) - 1)
+                hit = self.node[idx] == ids
+                key[hit] = self.root[idx[hit]]
+            h = np.fromiter(
+                (md5_low64(str(int(k)).encode()) for k in key),
+                dtype=np.uint64, count=len(key))
+            val = (h % np.uint64(val_mod)) == 0
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "split_key": pa.array(key, pa.int64()),
+                "split": pa.array(
+                    np.where(val, "val", "train").astype(object),
+                    pa.string()),
+            })
+
+    return _read_docs(sf_dir, columns=("doc_id",)) \
+        .map_batches(Splitter, fn_constructor_args=(node, root),
+                     batch_format="pyarrow", concurrency=pool_size())
