@@ -97,6 +97,7 @@ def queries() -> dict:
         "token_cms_heavy_hitters": tx.token_cms_heavy_hitters,
         "bloom_semijoin_docs": tx.bloom_semijoin_docs,
         "doc_repetition_stats": tx.repetition_stats,
+        "corpus_mix_docs": tx.corpus_mix,
         "decontaminate_docs": tx.decontaminate_docs,
         "pack_sequences_docs": tx.pack_sequences,
         "curate_corpus_docs": cu.curate_corpus,
@@ -709,6 +710,25 @@ def oracle_sql() -> dict:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (
                 SELECT doc_b FROM ({sk.jaccard_verified_sql()}))
+        """,
+        # corpus composition table per source (docs/chars/tokens + mix)
+        "corpus_mix_docs": r"""
+            WITH s AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(
+                                    trim(text), '\s+')) END) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_chars, n_tokens,
+                   round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                       AS doc_fraction,
+                   round(n_tokens
+                         / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+                       AS token_fraction
+            FROM s
         """,
         # within-doc repetition profile over positional 5-gram shingles
         "doc_repetition_stats": sk.repetition_stats_sql(),

@@ -2040,3 +2040,46 @@ def leakage_safe_splits(sf_dir: str, val_mod: int = 8,
     return _read_docs(sf_dir, columns=("doc_id",)) \
         .map_batches(Splitter, fn_constructor_args=(node, root),
                      batch_format="pyarrow", concurrency=pool_size())
+
+
+def corpus_mix(sf_dir: str):
+    """Corpus composition report: per ``source`` — docs, chars,
+    whitespace tokens and their corpus fractions (the mixture table a
+    training run is configured from).  Pure combiner partials → one
+    tiny keyed sum; fractions normalized in a final single-group pass."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ntok = _count_re(batch["text"], r"\S+")
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(uniq, pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_chars": pa.array(
+                np.bincount(inv, weights=nch).astype(np.int64)),
+            "n_tokens": pa.array(
+                np.bincount(inv, weights=ntok).astype(np.int64)),
+        })
+
+    agg = _read_docs(sf_dir, columns=("source", "n_chars", "text")) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_chars", alias_name="n_chars"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+
+    def fractions(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        ntk = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"], "n_docs": t["n_docs"],
+            "n_chars": t["n_chars"], "n_tokens": t["n_tokens"],
+            "doc_fraction": pa.array(round_away(nd / nd.sum(), 6)),
+            "token_fraction": pa.array(round_away(ntk / ntk.sum(), 6)),
+        })
+
+    # the aggregate is sources-sized (tiny): normalize over the whole of it
+    return fractions(pa.Table.from_pandas(agg.to_pandas(),
+                                          preserve_index=False))
