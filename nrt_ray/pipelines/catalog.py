@@ -103,6 +103,9 @@ def queries() -> dict:
         "curate_corpus_docs": cu.curate_corpus,
         "global_shuffle_docs": tx.global_shuffle_order,
         "doc_unigram_lm_scores": tx.unigram_lm_scores,
+        "doc_pii_scrub": tx.pii_scrub,
+        "gopher_filter_docs": tx.gopher_filter,
+        "ccnet_lm_buckets": tx.ccnet_lm_buckets,
         "doc_boilerplate_ratio": tx.boilerplate_ratio,
         "top_docs_per_lang": tx.top_docs_per_lang,
         "docs_length_band": tx.docs_length_band,
@@ -758,6 +761,101 @@ def oracle_sql() -> dict:
                    round(exp(-coalesce(d.mlp, 0)), 6)
                        AS pseudo_perplexity
             FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
+        # PII scrub: per-pattern RE2 counts on the original text + md5 of
+        # the sequentially scrubbed text (email → ipv4 → phone), exactly
+        # the Arrow replace_substring_regex chain in textops.pii_scrub
+        "doc_pii_scrub": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+[0-9][0-9 ()-]{6,14}[0-9]')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g'),
+                       '\+[0-9][0-9 ()-]{6,14}[0-9]',
+                       '<PHONE>', 'g')) AS scrub_md5
+            FROM documents
+        """,
+        # Gopher composite quality filter: every feature an exact-integer
+        # derivation, comparisons on the unrounded doubles (identical
+        # IEEE divisions both sides)
+        "gopher_filter_docs": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS n_words,
+                       length(regexp_replace(text, '\s', '', 'g'))
+                           AS n_nonws,
+                       len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+                       len(list_intersect(list_distinct(
+                               regexp_split_to_array(lower(text),
+                                                     '[^a-z]+')),
+                           ['the', 'a', 'and', 'of', 'to']))
+                           AS n_stop_hits
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, n_words, n_stop_hits,
+                       CASE WHEN n_words > 0
+                            THEN n_nonws::DOUBLE / n_words
+                            ELSE 0.0 END AS mean_wlen,
+                       n_sym::DOUBLE / greatest(n_words, 1) AS sym_ratio
+                FROM f
+            )
+            SELECT doc_id, n_words,
+                   round(mean_wlen, 6) AS mean_word_len,
+                   round(sym_ratio, 6) AS symbol_ratio,
+                   n_stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                    AND sym_ratio < 0.1 AND n_stop_hits >= 1) AS keep
+            FROM g
+        """,
+        # CCNet head/middle/tail buckets: per-lang tertile thresholds via
+        # quantile_disc over the ROUNDED unigram-LM score (the same
+        # rounded column both engines emit), bucket by >= comparisons
+        "ccnet_lm_buckets": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS t
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+            freq AS (SELECT t, count(*) AS c FROM tok2 GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+            d AS (
+                SELECT t2.doc_id,
+                       avg(ln(f.c / (SELECT n FROM tot))) AS mlp
+                FROM tok2 t2 JOIN freq f ON f.t = t2.t
+                GROUP BY t2.doc_id
+            ),
+            scores AS (
+                SELECT doc.doc_id, doc.lang,
+                       round(coalesce(d.mlp, 0), 6) AS mean_logprob
+                FROM documents doc LEFT JOIN d USING (doc_id)
+            ),
+            thr AS (
+                SELECT lang,
+                       quantile_disc(mean_logprob, 1.0/3) AS t_mid,
+                       quantile_disc(mean_logprob, 2.0/3) AS t_head
+                FROM scores GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.mean_logprob,
+                   CASE WHEN s.mean_logprob >= t.t_head THEN 'head'
+                        WHEN s.mean_logprob >= t.t_mid THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scores s JOIN thr t USING (lang)
         """,
         # benchmark decontamination: distinct-shingle overlap vs the
         # doc_id % 31 == 0 benchmark subset

@@ -1447,15 +1447,18 @@ class UnigramScorer:
             n = np.bincount(doc_idx, minlength=ndocs)
             s = np.bincount(doc_idx, weights=w, minlength=ndocs)
         mean_lp = np.where(n > 0, s / np.maximum(n, 1), 0.0)
-        return pa.table({
+        cols = {
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(n),
             "mean_logprob": pa.array(round_away(mean_lp, 6)),
             "pseudo_perplexity": pa.array(round_away(np.exp(-mean_lp), 6)),
-        })
+        }
+        if "lang" in batch.column_names:   # pass-through for bucket ops
+            cols["lang"] = batch["lang"]
+        return pa.table(cols)
 
 
-def unigram_lm_scores(sf_dir: str):
+def unigram_lm_scores(sf_dir: str, with_lang: bool = False):
     """Two-pass distributed unigram LM scoring: corpus token frequencies
     via combiner partials + one vocabulary-sized ``groupby(token).sum``
     shuffle; ``logp = ln(count/total)`` broadcast into an actor-pool
@@ -1470,7 +1473,8 @@ def unigram_lm_scores(sf_dir: str):
     logp = np.log(cnt / cnt.sum())
     lp_path = tempfile.mktemp(prefix="nrt_ray_unigram_", suffix=".parquet")
     pq.write_table(pa.table({"token": vt["token"], "logp": logp}), lp_path)
-    return _read_docs(sf_dir).map_batches(
+    cols = ("doc_id", "text", "lang") if with_lang else ("doc_id", "text")
+    return _read_docs(sf_dir, columns=cols).map_batches(
         UnigramScorer, fn_constructor_args=(lp_path,),
         batch_format="pyarrow", concurrency=pool_size())
 
@@ -2083,3 +2087,175 @@ def corpus_mix(sf_dir: str):
     # the aggregate is sources-sized (tiny): normalize over the whole of it
     return fractions(pa.Table.from_pandas(agg.to_pandas(),
                                           preserve_index=False))
+
+
+# ------------------------------------------------------------ PII scrubbing
+
+#: RE2-safe PII detectors (no lookaround): Arrow's re2 and DuckDB's re2
+#: agree on non-overlapping leftmost matching, so counts and the scrubbed
+#: text replay exactly in SQL (regexp_extract_all / regexp_replace 'g').
+#: Order matters — scrubbing applies the patterns sequentially.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,14}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → per-pattern match counts (on the original text) + md5 of
+    the sequentially scrubbed text.  All Arrow kernels — counting via
+    ``count_substring_regex``, scrubbing via ``replace_substring_regex``;
+    the md5 keeps the output row small while still pinning the exact
+    scrubbed bytes against the SQL replay."""
+    text = batch["text"]
+    cols = {"doc_id": batch["doc_id"]}
+    scrubbed = text
+    for name, pattern, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = pa.array(_count_re(text, pattern))
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern,
+                                              replacement=repl)
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in scrubbed.to_pylist()]
+    cols["scrub_md5"] = pa.array(digests, pa.string())
+    return pa.table(cols)
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction pass (the standard pre-training privacy scrub —
+    emails / IPv4 / E.164-ish phone numbers): one vectorized
+    ``map_batches`` pass, no state, embarrassingly parallel at any
+    scale.  Returns (doc_id, n_email, n_ipv4, n_phone, scrub_md5)."""
+    return _read_docs(sf_dir).map_batches(pii_scrub_batch,
+                                          batch_format="pyarrow")
+
+
+# --------------------------------------------------- Gopher quality filter
+
+#: Gopher (Rae et al. 2021, table A1) rule constants.  The stopword list
+#: is adapted to the synthetic corpus vocabulary (the canonical eight
+#: English function words barely occur here); the rule shape — "at least
+#: ``GOPHER_MIN_STOP_HITS`` distinct stopwords present" — is unchanged.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+GOPHER_MIN_STOP_HITS = 1
+
+
+def gopher_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized Gopher-rule features + the composite keep flag.  All
+    comparisons run on exact-integer-derived doubles (int/int divisions)
+    so the SQL oracle reproduces every boundary decision bit-for-bit."""
+    text = batch["text"]
+    ndocs = batch.num_rows
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_words = _count_re(text, r"\S+")
+    n_ws = _count_re(text, r"\s")
+    symbols = _count_re(text, r"#|\.\.\.")
+    mean_wlen = np.where(n_words > 0,
+                         (n_chars - n_ws) / np.maximum(n_words, 1), 0.0)
+    sym_ratio = symbols / np.maximum(n_words, 1)
+
+    # distinct-stopword hits per doc: one lowercase letter-run split,
+    # one np.isin per stopword over the flat token array
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(ndocs), lens)
+    stop_hits = np.zeros(ndocs, dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_hits += np.bincount(doc_idx[flat == w],
+                                 minlength=ndocs) > 0
+
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_wlen >= GOPHER_MIN_WLEN)
+            & (mean_wlen <= GOPHER_MAX_WLEN)
+            & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(round_away(mean_wlen, 6)),
+        "symbol_ratio": pa.array(round_away(sym_ratio, 6)),
+        "n_stop_hits": pa.array(stop_hits),
+        "keep": pa.array(keep),
+    })
+
+
+def gopher_filter(sf_dir: str):
+    """Gopher-style composite quality filter: word-count band, mean word
+    length band, symbol-to-word ratio cap, distinct-stopword floor —
+    one stateless vectorized pass, flags + keep per document."""
+    return _read_docs(sf_dir).map_batches(gopher_batch,
+                                          batch_format="pyarrow")
+
+
+# ------------------------------------------- CCNet perplexity buckets
+
+def ccnet_lm_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail buckets: per language, documents are
+    split at the tertiles of their (rounded) unigram-LM mean
+    log-probability — head = the best-modeled third, tail = the most
+    perplexed.  Thresholds use DuckDB ``quantile_disc`` rank semantics
+    (k = max(1, ceil(q·n))) so the SQL oracle is exact.
+
+    Distribution shape: the score pass is the existing two-pass unigram
+    pipeline; the per-lang score histogram is a per-batch ``np.unique``
+    combiner whose combined size is bounded by the DISTINCT rounded
+    scores (≤ langs × 10⁷ at 6 decimals, in practice ≪ corpus rows), so
+    the threshold table is a legitimate small side to collect and the
+    bucket assignment is one broadcast comparison pass."""
+    scores = unigram_lm_scores(sf_dir, with_lang=True).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        s = batch["mean_logprob"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(langs.astype(str), "\x00"),
+                          np.char.mod("%.6f", s))
+        uniq, inv = np.unique(key, return_inverse=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+        return pa.table({
+            "lang": pa.array(langs[first], pa.string()),
+            "score": pa.array(s[first]),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    hist = scores.map_batches(hist_partial,
+                              batch_format="pyarrow").to_pandas()
+    hist = hist.groupby(["lang", "score"], as_index=False)["n"].sum()
+    thresholds = {}
+    for lg, grp in hist.groupby("lang"):
+        grp = grp.sort_values("score")
+        cum = grp["n"].cumsum().to_numpy()
+        vals = grp["score"].to_numpy()
+        n = int(cum[-1])
+        t = []
+        for q in (1.0 / 3, 2.0 / 3):
+            k = max(1, int(np.ceil(q * n - 1e-9)))
+            t.append(float(vals[np.searchsorted(cum, k, side="left")]))
+        thresholds[lg] = tuple(t)   # (t_mid, t_head)
+
+    def assign(batch: pa.Table, thr=thresholds) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        s = batch["mean_logprob"].to_numpy(zero_copy_only=False)
+        bucket = np.full(len(s), "tail", dtype=object)
+        for lg, (t_mid, t_head) in thr.items():
+            m = langs == lg
+            bucket[m & (s >= t_mid)] = "middle"
+            bucket[m & (s >= t_head)] = "head"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "mean_logprob": batch["mean_logprob"],
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    return scores.map_batches(assign, batch_format="pyarrow")

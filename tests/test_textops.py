@@ -189,3 +189,68 @@ def test_winnow_shared_run_guarantee(ray_session, tmp_path):
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
     # density: winnowing selects ~2/(w+1) of positions, never the whole set
     assert 1 <= len(fps[2]) < 60 - k + 1
+
+
+def test_pii_scrub_planted():
+    """Planted email / IP / phone are counted and redacted; clean text
+    passes through byte-identical (md5 of the original)."""
+    import hashlib
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk or call +44 20 7946 0958",
+        "server at 192.168.0.1 and 10.0.0.255 responded",
+        "no pii here at all",
+        "",
+    ]
+    batch = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = tx.pii_scrub_batch(batch)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_phone"].to_pylist() == [1, 0, 0, 0]
+    # row 0 scrubbed form is fully redacted
+    scrub0 = "contact me at <EMAIL> or call <PHONE>"
+    assert out["scrub_md5"].to_pylist()[0] == \
+        hashlib.md5(scrub0.encode()).hexdigest()
+    # clean rows hash to their original text
+    assert out["scrub_md5"].to_pylist()[2] == \
+        hashlib.md5(texts[2].encode()).hexdigest()
+
+
+def test_gopher_filter_flags():
+    """Each rule fails exactly the doc constructed to violate it."""
+    good = "the quick brown fox jumps over lazy dogs near river " * 5
+    too_short = "the tiny doc"
+    long_words = ("pneumonoultramicroscopic " * 60) + "the"
+    symbol_heavy = ("the word ... " * 20)
+    no_stopwords = "quick brown fox jumps fence water stone cloud " * 7
+    batch = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array([good, too_short, long_words, symbol_heavy,
+                          no_stopwords], pa.string())})
+    out = tx.gopher_batch(batch)
+    keep = out["keep"].to_pylist()
+    assert keep == [True, False, False, False, False]
+    assert out["n_words"].to_pylist()[1] == 3
+    assert out["n_stop_hits"].to_pylist()[4] == 0
+    assert out["mean_word_len"].to_pylist()[2] > 10.0
+    assert out["symbol_ratio"].to_pylist()[3] >= 0.1
+
+
+def test_ccnet_buckets_tertiles(ray_session):
+    """Bucket sizes per lang are tertile-shaped (each within ±1 of n/3
+    up to score ties) and ordering holds: every head score >= every
+    middle score >= every tail score within a language."""
+    out = _tbl(tx.ccnet_lm_buckets("/root/testdata/sf0.001")).to_pandas()
+    for lg, grp in out.groupby("lang"):
+        n = len(grp)
+        sizes = grp["bucket"].value_counts()
+        assert set(sizes.index) <= {"head", "middle", "tail"}
+        # tertile shape (ties can shift boundaries slightly)
+        assert sizes.max() - sizes.min() <= max(3, n // 4)
+        h = grp.loc[grp.bucket == "head", "mean_logprob"]
+        m = grp.loc[grp.bucket == "middle", "mean_logprob"]
+        t = grp.loc[grp.bucket == "tail", "mean_logprob"]
+        if len(h) and len(m):
+            assert h.min() >= m.max() - 1e-12
+        if len(m) and len(t):
+            assert m.min() >= t.max() - 1e-12
