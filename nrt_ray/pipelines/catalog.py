@@ -112,6 +112,7 @@ def queries() -> dict:
         "inverted_index_stats": ivx.inverted_index_stats,
         "doc_simhashes": tx.simhashes,
         "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
+        "repeated_span_pairs": tx.repeated_span_pairs,
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
@@ -857,6 +858,9 @@ def oracle_sql() -> dict:
                         ELSE 'tail' END AS bucket
             FROM scores s JOIN thr t USING (lang)
         """,
+        # cross-doc repeated spans: positional-shingle self-join +
+        # gaps-and-islands maximal diagonal runs (sketch_oracles)
+        "repeated_span_pairs": sk.repeated_spans_sql(),
         # benchmark decontamination: distinct-shingle overlap vs the
         # doc_id % 31 == 0 benchmark subset
         "decontaminate_docs": sk.decontaminate_sql(31),

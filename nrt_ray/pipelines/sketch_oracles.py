@@ -675,3 +675,75 @@ WHERE cl.cluster IN (SELECT j FROM qp)
 ORDER BY cosine_sim DESC, vec_id DESC LIMIT {k}
 """)
     return "".join(parts)
+
+
+def repeated_spans_sql(min_span: int = 10, cap: int = 64,
+                       k: int = _SHINGLE_K) -> str:
+    """Oracle for the cross-document repeated-span operator: the same
+    positional rolling-polynomial k-shingles as the pipeline (docs with
+    ≥ k tokens only), singleton / over-``cap`` shingles dropped, shared
+    occurrences self-joined across documents, and maximal diagonal runs
+    recovered with the classic gaps-and-islands trick
+    (pa − row_number() over the (doc_a, doc_b, diagonal) group)."""
+    poly = int(_POLY_MULT)
+    folds = []
+    for j in range(1, k):
+        ref = "s1" if j == 1 else f"s{j}_v"
+        folds.append(f"s{j + 1} AS (SELECT *, CASE WHEN l{j} IS NULL "
+                     f"THEN NULL ELSE ({_mulmod_const(ref, poly)} "
+                     f"+ l{j}) % {M64} END AS s{j + 1}_v FROM s{j})")
+    leads = ", ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY idx) AS l{j}"
+        for j in range(1, k))
+    return rf"""WITH d0 AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+),
+tok0 AS (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(generate_series(1, len(arr))) AS pos
+    FROM d0
+),
+tok1 AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+           count(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM tok0 WHERE tok <> ''
+),
+s1 AS (
+    SELECT doc_id, idx, cnt,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS h,
+           CAST(md5_number_lower(tok) AS HUGEINT) AS s1,
+           {leads}
+    FROM tok1
+),
+{", ".join(folds)},
+pos AS (
+    SELECT doc_id, idx AS p, s{k}_v AS s FROM s{k}
+    WHERE cnt >= {k} AND idx <= cnt - {k - 1}
+),
+df AS (
+    SELECT s FROM pos GROUP BY s
+    HAVING count(*) <= {cap} AND count(DISTINCT doc_id) >= 2
+),
+pp AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+    FROM pos a
+    JOIN df USING (s)
+    JOIN pos b USING (s)
+    WHERE a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_a, doc_b, pa - pb AS diag, pa,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS grp
+    FROM pp
+),
+spans AS (
+    SELECT doc_a, doc_b, diag, min(pa) AS start_a,
+           count(*) + {k - 1} AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, start_a, start_a - diag AS start_b, span_tokens
+FROM spans WHERE span_tokens >= {min_span}
+"""

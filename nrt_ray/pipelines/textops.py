@@ -2259,3 +2259,133 @@ def ccnet_lm_buckets(sf_dir: str):
         })
 
     return scores.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------- cross-doc repeated spans
+
+def repeated_span_pairs(sf_dir: str, min_span: int = 10, cap: int = 64):
+    """Cross-document repeated-span detection (the span-level exact
+    substring dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", reduced to token granularity):
+    every maximal contiguous token span of ≥ ``min_span`` tokens shared
+    verbatim by two documents, reported as (doc_a, doc_b, start_a,
+    start_b, span_tokens) with 1-based token positions and doc_a <
+    doc_b.
+
+    Shape: suffix-array-free — positional k-token shingles (the same
+    rolling polynomial the winnowing/minhash family uses) meet
+    corpus-wide in a shingle-keyed exchange; each partition drops
+    singleton shingles vectorized, caps hot shingles at ``cap`` total
+    occurrences (boilerplate guard — mirrored by the SQL oracle), and
+    emits cross-doc occurrence pairs.  A second exchange keyed on the
+    (doc_a, doc_b) pair re-groups the matches so maximal diagonal runs
+    (pa − pb constant, consecutive pa) collapse to spans via one
+    vectorized gaps-and-islands pass.  Only matched occurrence pairs —
+    not the corpus — cross the second exchange."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    k = _SHINGLE_K
+    nparts = max(2, pool_size())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        seqs = _ordered_shingles(flat, counts)
+        id_out, s_out, p_out = [], [], []
+        for d, c, s in zip(ids, counts, seqs):
+            if c < k:          # no true k-shingle — cannot host a span
+                continue
+            id_out.append(np.full(len(s), d, dtype=np.int64))
+            s_out.append(s)
+            p_out.append(np.arange(1, len(s) + 1, dtype=np.int64))
+        if not s_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.uint64()),
+                             "p": pa.array([], pa.int64()),
+                             "pid": pa.array([], pa.int64())})
+        s_all = np.concatenate(s_out)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(id_out)),
+            "s": pa.array(s_all),
+            "p": pa.array(np.concatenate(p_out)),
+            "pid": pa.array((s_all % np.uint64(nparts)).astype(np.int64)),
+        })
+
+    def match_pairs(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        p = tbl["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, ids, s))
+        s, ids, p = s[order], ids[order], p[order]
+        _, start, cnt = np.unique(s, return_index=True,
+                                  return_counts=True)
+        da, db, pa_, pb_ = [], [], [], []
+        for st, c in zip(start[cnt >= 2], cnt[cnt >= 2]):
+            if c > cap:        # boilerplate shingle — skip (SQL mirrors)
+                continue
+            gi, gp = ids[st:st + c], p[st:st + c]
+            if gi[0] == gi[-1]:
+                continue       # all occurrences in one doc
+            du, dstart, dcnt = np.unique(gi, return_index=True,
+                                         return_counts=True)
+            for i in range(len(du)):
+                for j in range(i + 1, len(du)):
+                    ai = gp[dstart[i]:dstart[i] + dcnt[i]]
+                    bj = gp[dstart[j]:dstart[j] + dcnt[j]]
+                    aa = np.repeat(ai, len(bj))
+                    bb = np.tile(bj, len(ai))
+                    da.append(np.full(len(aa), du[i], dtype=np.int64))
+                    db.append(np.full(len(aa), du[j], dtype=np.int64))
+                    pa_.append(aa)
+                    pb_.append(bb)
+        if not da:
+            return _empty_pairs_pos()
+        da = np.concatenate(da)
+        db = np.concatenate(db)
+        pid = ((da * np.int64(2654435761) + db) % nparts).astype(np.int64)
+        return pa.table({"doc_a": pa.array(da), "doc_b": pa.array(db),
+                         "pa": pa.array(np.concatenate(pa_)),
+                         "pb": pa.array(np.concatenate(pb_)),
+                         "pid": pa.array(pid)})
+
+    def _empty_pairs_pos() -> pa.Table:
+        z = pa.array([], pa.int64())
+        return pa.table({"doc_a": z, "doc_b": z, "pa": z, "pb": z,
+                         "pid": z})
+
+    def spans(tbl: pa.Table) -> pa.Table:
+        da = tbl["doc_a"].to_numpy(zero_copy_only=False)
+        db = tbl["doc_b"].to_numpy(zero_copy_only=False)
+        pa_ = tbl["pa"].to_numpy(zero_copy_only=False)
+        pb_ = tbl["pb"].to_numpy(zero_copy_only=False)
+        diag = pa_ - pb_
+        order = np.lexsort((pa_, diag, db, da))
+        da, db, pa_, diag = da[order], db[order], pa_[order], diag[order]
+        new_key = np.ones(len(da), dtype=bool)
+        if len(da) > 1:
+            new_key[1:] = ((da[1:] != da[:-1]) | (db[1:] != db[:-1])
+                           | (diag[1:] != diag[:-1]))
+        brk = new_key.copy()
+        if len(da) > 1:
+            brk[1:] |= pa_[1:] != pa_[:-1] + 1
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.append(starts, len(da)))
+        span_tokens = run_len + (k - 1)
+        keep = span_tokens >= min_span
+        st = starts[keep]
+        return pa.table({
+            "doc_a": pa.array(da[st]), "doc_b": pa.array(db[st]),
+            "start_a": pa.array(pa_[st]),
+            "start_b": pa.array(pa_[st] - diag[st]),
+            "span_tokens": pa.array(span_tokens[keep]),
+        })
+
+    def _empty_spans() -> pa.Table:
+        z = pa.array([], pa.int64())
+        return pa.table({"doc_a": z, "doc_b": z, "start_a": z,
+                         "start_b": z, "span_tokens": z})
+
+    occ = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+    pairs_ds = exchange_dataset(occ, nparts, match_pairs,
+                                _empty_pairs_pos)
+    return exchange_dataset(pairs_ds, nparts, spans, _empty_spans)

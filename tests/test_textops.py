@@ -254,3 +254,30 @@ def test_ccnet_buckets_tertiles(ray_session):
             assert h.min() >= m.max() - 1e-12
         if len(m) and len(t):
             assert m.min() >= t.max() - 1e-12
+
+
+def test_repeated_span_pairs_planted(ray_session, tmp_path):
+    """Two docs sharing an exact 20-token run yield exactly one maximal
+    span row with the right 1-based offsets; a boilerplate shingle
+    repeated in > cap docs is suppressed."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = [
+        "x0 x1 x2 " + shared + " y0 y1",              # span at pos 4
+        "z0 " + shared + " w0 w1 w2 w3",              # span at pos 2
+        "unrelated words only here nothing shared at all",
+    ]
+    # boilerplate: the same 5-token footer in 10 docs with cap=8
+    footer = "f0 f1 f2 f3 f4"
+    docs += [f"u{i}a u{i}b {footer}" for i in range(10)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    out = _tbl(tx.repeated_span_pairs(str(tmp_path), min_span=10,
+                                      cap=8)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.doc_a, row.doc_b) == (0, 1)
+    assert row.span_tokens == 20
+    assert row.start_a == 4 and row.start_b == 2
