@@ -113,6 +113,7 @@ def queries() -> dict:
         "doc_simhashes": tx.simhashes,
         "simhash_near_dup_pairs": tx.simhash_near_dup_pairs,
         "repeated_span_pairs": tx.repeated_span_pairs,
+        "dedup_spans_docs": tx.dedup_spans_docs,
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
@@ -861,6 +862,8 @@ def oracle_sql() -> dict:
         # cross-doc repeated spans: positional-shingle self-join +
         # gaps-and-islands maximal diagonal runs (sketch_oracles)
         "repeated_span_pairs": sk.repeated_spans_sql(),
+        # span-removal apply: interval merge + cleaned-text md5 replay
+        "dedup_spans_docs": sk.span_dedup_sql(),
         # benchmark decontamination: distinct-shingle overlap vs the
         # doc_id % 31 == 0 benchmark subset
         "decontaminate_docs": sk.decontaminate_sql(31),

@@ -747,3 +747,77 @@ spans AS (
 SELECT doc_a, doc_b, start_a, start_a - diag AS start_b, span_tokens
 FROM spans WHERE span_tokens >= {min_span}
 """
+
+
+def span_dedup_sql(min_span: int = 10, cap: int = 64) -> str:
+    """Oracle for the span-removal apply step: the repeated-span oracle
+    as a derived table, doc_b-side intervals merged per doc with the
+    cumulative-max islands trick, removed-token counts from the merged
+    union, and the cleaned text rebuilt as the single-space ordered
+    token join of every position outside a merged interval."""
+    return rf"""WITH sp AS (
+    SELECT doc_b AS doc_id, start_b AS s,
+           start_b + span_tokens - 1 AS e
+    FROM ({repeated_spans_sql(min_span, cap)}) spans
+),
+m1 AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM sp
+),
+m2 AS (
+    SELECT doc_id, s, e,
+           CASE WHEN prev_max IS NULL OR s > prev_max
+                THEN 1 ELSE 0 END AS newgrp
+    FROM m1
+),
+m3 AS (
+    SELECT doc_id, s, e,
+           sum(newgrp) OVER (PARTITION BY doc_id
+                             ORDER BY s, e) AS grp
+    FROM m2
+),
+mg AS (
+    SELECT doc_id, grp, min(s) AS s, max(e) AS e
+    FROM m3 GROUP BY doc_id, grp
+),
+rem AS (
+    SELECT doc_id, sum(e - s + 1) AS n_removed FROM mg GROUP BY doc_id
+),
+t0 AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+),
+t1 AS (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(generate_series(1, len(arr))) AS pos
+    FROM t0
+),
+t2 AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+           count(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM t1 WHERE tok <> ''
+),
+nt AS (SELECT doc_id, max(cnt) AS n_tokens FROM t2 GROUP BY doc_id),
+kept AS (
+    SELECT t.doc_id, t.tok, t.idx
+    FROM t2 t LEFT JOIN mg
+        ON mg.doc_id = t.doc_id AND t.idx BETWEEN mg.s AND mg.e
+    WHERE mg.doc_id IS NULL
+),
+clean AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ct
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(nt.n_tokens, 0) AS n_tokens,
+       CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(clean.ct, '')) AS clean_md5
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN rem USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""

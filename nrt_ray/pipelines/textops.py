@@ -2389,3 +2389,108 @@ def repeated_span_pairs(sf_dir: str, min_span: int = 10, cap: int = 64):
     pairs_ds = exchange_dataset(occ, nparts, match_pairs,
                                 _empty_pairs_pos)
     return exchange_dataset(pairs_ds, nparts, spans, _empty_spans)
+
+
+def _merge_intervals(s: np.ndarray, e: np.ndarray):
+    """Merge overlapping 1-based closed intervals (vectorized cummax
+    islands).  Returns (starts, ends) of the disjoint union."""
+    order = np.lexsort((e, s))
+    s, e = s[order], e[order]
+    cm = np.maximum.accumulate(e)
+    new = np.ones(len(s), dtype=bool)
+    if len(s) > 1:
+        new[1:] = s[1:] > cm[:-1]
+    grp = np.cumsum(new) - 1
+    ms = s[new]
+    me = np.zeros(len(ms), dtype=np.int64)
+    np.maximum.at(me, grp, e)
+    return ms, me
+
+
+def dedup_spans_docs(sf_dir: str, min_span: int = 10, cap: int = 64):
+    """Span-level dedup APPLY step (the delete half of Lee et al. 2021):
+    every repeated span keeps its first-occurrence copy (the smaller
+    doc_id — spans always report ``doc_a < doc_b``) and is cut from the
+    later document.  Per doc: token count, tokens removed (size of the
+    merged-interval union) and the md5 of the whitespace-normalized
+    cleaned text (single-space token join — pinned by the SQL replay).
+
+    Shape: the span table (duplicated content only — small relative to
+    the corpus) is materialized once and meets the corpus through the
+    two-sided shuffle hash join, inner for touched docs / anti for
+    untouched; the touched branch processes whole co-partitioned blocks
+    (``batch_size=None``) so each doc's intervals are merged locally."""
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    nparts = max(2, pool_size())
+
+    def proj(b: pa.Table) -> pa.Table:
+        st = b["start_b"].to_numpy(zero_copy_only=False)
+        ln = b["span_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({"span_doc": b["doc_b"],
+                         "s": pa.array(st),
+                         "e": pa.array(st + ln - 1)})
+
+    spans = repeated_span_pairs(sf_dir, min_span=min_span, cap=cap) \
+        .map_batches(proj, batch_format="pyarrow").materialize()
+    docs = _read_docs(sf_dir)
+
+    def _empty_join() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string()),
+                         "s": pa.array([], pa.int64()),
+                         "e": pa.array([], pa.int64())})
+
+    def _out_row(doc_id, n_tok, n_rem, md5s):
+        return pa.table({"doc_id": pa.array(doc_id, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_removed": pa.array(n_rem, pa.int64()),
+                         "clean_md5": pa.array(md5s, pa.string())})
+
+    def touched_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        e = batch["e"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_id, out_nt, out_nr, out_md5 = [], [], [], []
+        order = np.argsort(ids, kind="stable")
+        bounds = np.flatnonzero(np.diff(ids[order], prepend=-1))
+        for bi, st in enumerate(bounds):
+            en = bounds[bi + 1] if bi + 1 < len(bounds) else len(order)
+            rows = order[st:en]
+            d = int(ids[rows[0]])
+            toks = texts[rows[0]].split()
+            ms, me = _merge_intervals(s[rows], e[rows])
+            mask = np.ones(len(toks), dtype=bool)
+            for a, b in zip(ms, me):
+                mask[a - 1:b] = False          # 1-based closed intervals
+            kept = " ".join(t for t, m in zip(toks, mask) if m)
+            out_id.append(d)
+            out_nt.append(len(toks))
+            out_nr.append(int((~mask).sum()))
+            out_md5.append(hashlib.md5(kept.encode()).hexdigest())
+        return _out_row(out_id, out_nt, out_nr, out_md5)
+
+    def untouched_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        md5s, nts = [], []
+        for t in texts:
+            toks = t.split()
+            nts.append(len(toks))
+            md5s.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+        return _out_row(ids, nts, np.zeros(len(ids), np.int64), md5s)
+
+    touched = shuffle_hash_join(
+        docs, spans, on_left="doc_id", on_right="span_doc",
+        num_partitions=nparts, empty_fn=_empty_join, how="inner") \
+        .map_batches(touched_fn, batch_format="pyarrow", batch_size=None)
+    def _empty_left() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
+
+    untouched = shuffle_hash_join(
+        docs, spans, on_left="doc_id", on_right="span_doc",
+        num_partitions=nparts, empty_fn=_empty_left, how="anti") \
+        .map_batches(lambda b: untouched_fn(
+            b.select(["doc_id", "text"])), batch_format="pyarrow")
+    return touched.union(untouched)

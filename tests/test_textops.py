@@ -281,3 +281,41 @@ def test_repeated_span_pairs_planted(ray_session, tmp_path):
     assert (row.doc_a, row.doc_b) == (0, 1)
     assert row.span_tokens == 20
     assert row.start_a == 4 and row.start_b == 2
+
+
+def test_merge_intervals():
+    s = np.array([5, 1, 4, 20], dtype=np.int64)
+    e = np.array([9, 3, 6, 25], dtype=np.int64)
+    ms, me = tx._merge_intervals(s, e)
+    assert list(ms) == [1, 4, 20]
+    assert list(me) == [3, 9, 25]
+    # contained interval
+    ms, me = tx._merge_intervals(np.array([1, 2]), np.array([10, 3]))
+    assert list(ms) == [1] and list(me) == [10]
+
+
+def test_dedup_spans_removes_later_copy(ray_session, tmp_path):
+    """The shared span survives in the smaller doc_id and is cut from
+    the larger; untouched docs hash to their normalized text."""
+    import hashlib
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = [
+        "x0 x1 x2 " + shared + " y0 y1",
+        "z0 " + shared + " w0 w1 w2 w3",
+        "solo words only here nothing shared",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = _tbl(tx.dedup_spans_docs(str(tmp_path), min_span=10)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_removed"] == 0          # doc_a keeps its copy
+    assert out.loc[1, "n_removed"] == 20
+    clean1 = "z0 w0 w1 w2 w3"
+    assert out.loc[1, "clean_md5"] == \
+        hashlib.md5(clean1.encode()).hexdigest()
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_md5"] == \
+        hashlib.md5(docs[2].encode()).hexdigest()
+    assert out.loc[0, "n_tokens"] == 25
