@@ -66,6 +66,8 @@ def queries() -> dict:
         "retention_cohorts_events": tsq.retention_cohorts,
         "profile_events": tsq.profile_events,
         "event_transitions": tsq.event_transitions,
+        "rolling_zscore_events": tsq.rolling_zscore_events,
+        "m4_downsample_events": tsq.m4_downsample_events,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -419,6 +421,67 @@ def oracle_sql() -> dict:
             )
             SELECT day, user_id, cents / 100.0 AS v_total, rank
             FROM r WHERE rank <= 5
+        """,
+        # rolling z-score: exact integer-cent window sums, so the
+        # threshold decision is bit-identical (see rolling_zscore_events)
+        "rolling_zscore_events": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, user_id, cents,
+                       sum(cents) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                           AS s,
+                       sum(cents * cents) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                           AS ss,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                           AS n
+                FROM c
+            ),
+            z AS (
+                SELECT event_id, user_id,
+                       CASE WHEN n * ss - s * s > 0
+                            THEN (n * cents - s)
+                                 / sqrt(CAST(n * ss - s * s AS DOUBLE))
+                            ELSE 0.0 END AS zv
+                FROM w WHERE n >= 5
+            )
+            SELECT event_id, user_id, round(zv, 6) AS z_score,
+                   abs(zv) >= 3.0 AS is_anomaly
+            FROM z
+        """,
+        # M4 downsample: four row_number windows pick first/last/min/max
+        # per (user, day bucket); DISTINCT collapses shared points
+        "m4_downsample_events": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+                       ts, event_id,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                           ORDER BY cents, ts, event_id) AS rmin,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                           ORDER BY cents DESC, ts, event_id) AS rmax
+                FROM c
+            )
+            SELECT DISTINCT user_id, bucket, ts, cents / 100.0 AS value
+            FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
         """,
         "sessionize_events": win.sessionize_sql(),
         "hopping_1h_15m_events": win.hopping_windows_sql(),

@@ -736,3 +736,164 @@ def event_transitions(sf_dir: str):
 
     return agg.groupby("from_type") \
         .map_groups(normalize, batch_format="pyarrow")
+
+
+def rolling_zscore_events(sf_dir: str, window: int = 20,
+                          min_periods: int = 5, z_crit: float = 3.0):
+    """Per-user rolling z-score anomaly detection: each event is scored
+    against the mean/std of its user's previous ``window`` values (at
+    least ``min_periods`` of history required), flagged when |z| ≥
+    ``z_crit``.
+
+    Exactness: values are folded to integer cents, so the window sums
+    S and SS are exact and z = (n·c − S) / √(n·SS − S²) is computed
+    from integers both engines convert to double losslessly — the
+    anomaly threshold decision is bit-identical to the SQL window
+    replay (no rounding tolerance needed).  Zero variance ⇒ z = 0.
+
+    Shape: one user-keyed exchange (whole users co-partitioned), one
+    lexsort + segment-clamped prefix-sum pass per partition — no
+    per-row Python, no driver data."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "cents": pa.array(cents),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def score(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c = u[order], eid[order], c[order]
+        m = len(u)
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            new[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(new)
+        start_of = seg_start[np.cumsum(new) - 1]     # per-row user start
+        j = np.arange(m) - start_of                  # index within user
+        lo = start_of + np.maximum(j - window, 0)
+        n = (np.arange(m) - lo).astype(np.int64)
+        # int64 cumsums may wrap at extreme partition sizes, but the
+        # windowed DIFFERENCES fit comfortably, and two's-complement
+        # subtraction recovers the exact small difference regardless
+        cs = np.concatenate(([0], np.cumsum(c)))
+        cs2 = np.concatenate(([0], np.cumsum(c * c)))
+        S = cs[np.arange(m)] - cs[lo]
+        SS = cs2[np.arange(m)] - cs2[lo]
+        keep = n >= min_periods
+        n, S, SS, c_k = n[keep], S[keep], SS[keep], c[keep]
+        rad = (n * SS - S * S).astype(np.float64)
+        num = (n * c_k - S).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(rad > 0, num / np.sqrt(rad), 0.0)
+        return pa.table({
+            "event_id": pa.array(eid[keep]),
+            "user_id": pa.array(u[keep]),
+            "z_score": pa.array(round_away(z, 6)),
+            "is_anomaly": pa.array(np.abs(z) >= z_crit),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "z_score": pa.array([], pa.float64()),
+                         "is_anomaly": pa.array([], pa.bool_())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, score, empty)
+
+
+def m4_downsample_events(sf_dir: str, width_s: int = 86400):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    (user, time bucket) keep only the first, last, min-value and
+    max-value points — the four pixels a line chart can actually
+    render — deduplicated to distinct (ts, value) points.
+
+    Tie-breaks are total: first/last by (ts, event_id); min/max by
+    (cents, ts, event_id).  Values fold to exact integer cents so
+    every selection is deterministic and the SQL window replay is
+    exact.
+
+    Shape: M4 roles are ASSOCIATIVE, so this needs no co-partitioned
+    exchange — a per-batch combiner emits ≤ 4 candidate rows per
+    (user, bucket) seen in the batch, and a keyed ``map_groups`` over
+    candidates-only (≤ 4 × blocks rows per key) re-applies the same
+    selection.  The corpus never shuffles; only winners do."""
+    from nrt_ray.pipelines.relational import round_away
+    wus = width_s * US
+
+    def _select(u, b, ts, eid, c):
+        """Role-winner row indices (first, last, min, max) per (u, b)
+        segment, via three lexsorts + segment boundaries."""
+        out = []
+        o1 = np.lexsort((eid, ts, b, u))
+        seg = np.ones(len(u), dtype=bool)
+        seg[1:] = (u[o1][1:] != u[o1][:-1]) | (b[o1][1:] != b[o1][:-1])
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], len(u)) - 1
+        out.append(o1[starts])                       # first
+        out.append(o1[ends])                         # last
+        o2 = np.lexsort((eid, ts, c, b, u))
+        seg2 = np.ones(len(u), dtype=bool)
+        seg2[1:] = (u[o2][1:] != u[o2][:-1]) | (b[o2][1:] != b[o2][:-1])
+        out.append(o2[np.flatnonzero(seg2)])         # min
+        o3 = np.lexsort((eid, ts, -c, b, u))
+        seg3 = np.ones(len(u), dtype=bool)
+        seg3[1:] = (u[o3][1:] != u[o3][:-1]) | (b[o3][1:] != b[o3][:-1])
+        out.append(o3[np.flatnonzero(seg3)])         # max
+        return np.unique(np.concatenate(out))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        c = round_away(batch["value"].to_numpy(zero_copy_only=False)
+                       * 100.0, 0).astype(np.int64)
+        b = ts // wus
+        sel = _select(u, b, ts, eid, c)
+        return pa.table({
+            "user_id": pa.array(u[sel]), "bucket": pa.array(b[sel]),
+            "ts": pa.array(ts[sel]), "event_id": pa.array(eid[sel]),
+            "cents": pa.array(c[sel]),
+        })
+
+    def final(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        b = g["bucket"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        sel = _select(u, b, ts, eid, c)
+        # distinct rendered points: (user, bucket, ts, value)
+        key = np.stack([u[sel], b[sel], ts[sel], c[sel]])
+        _, uniq = np.unique(key, axis=1, return_index=True)
+        sel = sel[np.sort(uniq)]
+        return pa.table({
+            "user_id": pa.array(u[sel]), "bucket": pa.array(b[sel]),
+            "ts": pa.array(ts[sel]).cast(pa.timestamp("us")),
+            "value": pa.array(c[sel] / 100.0),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "ts", "user_id",
+                                          "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "bucket"]) \
+        .map_groups(final, batch_format="pyarrow")

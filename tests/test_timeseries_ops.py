@@ -1,0 +1,73 @@
+"""Planted-fixture tests for the rolling z-score and M4 downsampling
+operators (the catalog gate checks them against DuckDB; these pin the
+intended behavior on hand-built series)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nrt_ray.pipelines import timeseries as tsq
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([pd.Timestamp(r[1]).value // 1000
+                                 for r in rows], dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _df(res):
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+def test_rolling_zscore_flags_spike(ray_session, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), 7, 10.0 + (i % 3))
+            for i in range(10)]
+    rows.append((10, base + pd.Timedelta(minutes=10), 7, 500.0))
+    rows.append((11, base + pd.Timedelta(minutes=11), 7, 10.0))
+    sf = _write_events(tmp_path, rows)
+    out = _df(tsq.rolling_zscore_events(sf)).set_index("event_id")
+    # fewer than min_periods of history -> first 5 events absent
+    assert set(out.index) == set(range(5, 12))
+    assert bool(out.loc[10, "is_anomaly"])
+    assert out.loc[10, "z_score"] > 3
+    assert not out.loc[[5, 6, 7, 8, 9], "is_anomaly"].any()
+    # event 11 scored against a window polluted by the spike: not flagged
+    assert not bool(out.loc[11, "is_anomaly"])
+
+
+def test_rolling_zscore_constant_history_zero(ray_session, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), 3, 42.0)
+            for i in range(8)]
+    sf = _write_events(tmp_path, rows)
+    out = _df(tsq.rolling_zscore_events(sf))
+    assert (out["z_score"] == 0.0).all()
+    assert not out["is_anomaly"].any()
+
+
+def test_m4_keeps_first_last_min_max(ray_session, tmp_path):
+    base = pd.Timestamp("2024-03-05 01:00:00")
+    vals = [50.0, 10.0, 99.0, 60.0, 70.0, 20.0, 55.0]
+    rows = [(i, base + pd.Timedelta(minutes=i), 1, v)
+            for i, v in enumerate(vals)]
+    # second user, single point (first=last=min=max -> one row)
+    rows.append((100, base, 2, 5.0))
+    sf = _write_events(tmp_path, rows)
+    out = _df(tsq.m4_downsample_events(sf))
+    u1 = out[out.user_id == 1].sort_values("ts")
+    assert list(u1["value"]) == [50.0, 10.0, 99.0, 55.0]  # F, min, max, L
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0]["value"] == 5.0
