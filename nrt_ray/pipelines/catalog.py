@@ -126,6 +126,7 @@ def queries() -> dict:
         "embedding_topk_cosine": sim.topk_cosine,
         "embedding_norms": sim.embedding_norms,
         "embedding_label_centroids": sim.label_centroids,
+        "embedding_int8_quantize": sim.embedding_int8_quantize,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
         "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
         # threshold 0.4 for the driver check: the synthetic embeddings
@@ -681,6 +682,37 @@ def oracle_sql() -> dict:
         "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),
         "frame_sample_stats": mm.frame_stats_sql(),
+        # int8 scalar quantization: per-dim [min,max] → [0,255]; integer
+        # checksums + order-independent max dequant error (bit-exact)
+        "embedding_int8_quantize": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       unnest(generate_series(1, len(embedding))) AS dim
+                FROM embeddings
+            ),
+            st AS (
+                SELECT dim, min(CAST(x AS DOUBLE)) AS mn,
+                       max(CAST(x AS DOUBLE)) AS mx
+                FROM e GROUP BY dim
+            ),
+            q AS (
+                SELECT e.vec_id, CAST(e.x AS DOUBLE) AS xd, st.mn, st.mx,
+                       CASE WHEN st.mx > st.mn
+                            THEN round((CAST(e.x AS DOUBLE) - st.mn)
+                                       * 255.0 / (st.mx - st.mn), 0)
+                            ELSE 0.0 END AS qv
+                FROM e JOIN st USING (dim)
+            ),
+            r AS (
+                SELECT vec_id, CAST(qv AS BIGINT) AS qi,
+                       abs(xd - (mn + qv * (mx - mn) / 255.0)) AS err
+                FROM q
+            )
+            SELECT vec_id, CAST(sum(qi) AS BIGINT) AS q_sum,
+                   min(qi) AS q_min, max(qi) AS q_max,
+                   round(max(err), 6) AS max_abs_err
+            FROM r GROUP BY vec_id
+        """,
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(embedding,

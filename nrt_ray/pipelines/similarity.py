@@ -368,3 +368,63 @@ def label_centroids(sf_dir: str):
         .groupby(["label", "dim"]) \
         .aggregate(Sum("s"), Sum("n")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_int8_quantize(sf_dir: str):
+    """Scalar int8 quantization of the embedding table (the standard
+    compression step before shipping vectors to an ANN index): per
+    dimension, the global [min, max] maps to [0, 255]; per vector we
+    report the quantized checksum stats and the worst per-dimension
+    dequantization error.
+
+    Exactness: per-dim min/max are order-independent (no float-sum
+    drift), every quantized value is the identical double expression on
+    both engines, and the error metric is a MAX over dims — also
+    order-independent — so the whole output is bit-identical to the
+    SQL unnest replay.
+
+    Shape: pass 1 is a per-batch (dim, min, max) combiner (d rows per
+    batch) folded by a d-group keyed aggregate — the stats table is a
+    legitimate tiny side to broadcast; pass 2 quantizes per batch."""
+    from ray.data.aggregate import Max, Min
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    st = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"]) \
+        .map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("dim") \
+        .aggregate(Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx")).to_pandas()
+    st = st.sort_values("dim")
+    mn = st["mn"].to_numpy()
+    mx = st["mx"].to_numpy()
+
+    def quantize(batch: pa.Table, mn=mn, mx=mx) -> pa.Table:
+        x = _emb_matrix(batch).astype(np.float64)
+        span = mx - mn
+        ok = span > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = round_away((x - mn) * 255.0 / span, 0)
+        q = np.where(ok, q, 0.0)
+        deq = mn + q * span / 255.0
+        err = np.abs(x - deq).max(axis=1)
+        qi = q.astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "q_sum": pa.array(qi.sum(axis=1)),
+            "q_min": pa.array(qi.min(axis=1)),
+            "q_max": pa.array(qi.max(axis=1)),
+            "max_abs_err": pa.array(round_away(err, 6)),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"]) \
+        .map_batches(quantize, batch_format="pyarrow")

@@ -319,3 +319,21 @@ def test_dedup_spans_removes_later_copy(ray_session, tmp_path):
     assert out.loc[2, "clean_md5"] == \
         hashlib.md5(docs[2].encode()).hexdigest()
     assert out.loc[0, "n_tokens"] == 25
+
+
+def test_int8_quantize_roundtrip_bounds(ray_session):
+    """Quantized codes live in [0,255]; dequantization error is bounded
+    by half a step of the widest dimension."""
+    out = _tbl(sim.embedding_int8_quantize("/root/testdata/sf0.001")) \
+        .to_pandas()
+    assert len(out) == 500
+    assert (out.q_min >= 0).all() and (out.q_max <= 255).all()
+    import pyarrow.parquet as pq2
+    emb = pq2.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["embedding"])
+    col = emb["embedding"].combine_chunks()
+    m = col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(col), -1).astype(np.float64)
+    half_step = ((m.max(axis=0) - m.min(axis=0)) / 255.0 / 2).max()
+    assert (out.max_abs_err <= half_step + 1e-9).all()
+    assert (out.max_abs_err > 0).any()
