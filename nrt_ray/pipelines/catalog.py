@@ -68,6 +68,8 @@ def queries() -> dict:
         "event_transitions": tsq.event_transitions,
         "rolling_zscore_events": tsq.rolling_zscore_events,
         "m4_downsample_events": tsq.m4_downsample_events,
+        "theilsen_trend_events": tsq.theilsen_trend_events,
+        "weekly_profile_events": tsq.weekly_profile_events,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -458,6 +460,37 @@ def oracle_sql() -> dict:
             SELECT event_id, user_id, round(zv, 6) AS z_score,
                    abs(zv) >= 3.0 AS is_anomaly
             FROM z
+        """,
+        # Theil–Sen: median (quantile_disc semantics) of pairwise
+        # cent/µs-delta slopes; same-ts pairs excluded on both sides
+        "theilsen_trend_events": """
+            WITH c AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ),
+            p AS (
+                SELECT a.user_id,
+                       ((b.cents - a.cents) / 100.0)
+                       / ((epoch_us(b.ts) - epoch_us(a.ts))
+                          / 86400000000.0) AS slope
+                FROM c a JOIN c b
+                    ON a.user_id = b.user_id AND b.ts > a.ts
+            )
+            SELECT user_id, count(*) AS n_pairs,
+                   round(quantile_disc(slope, 0.5), 8) AS ts_slope
+            FROM p GROUP BY user_id
+        """,
+        # hour-of-week seasonal profile: exact integer-cent means
+        "weekly_profile_events": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) % 168
+                       AS hour_of_week,
+                   count(*) AS n_obs,
+                   round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                              AS BIGINT) / 100.0 / count(*), 4) AS v_mean
+            FROM events
+            GROUP BY event_type, hour_of_week
         """,
         # M4 downsample: four row_number windows pick first/last/min/max
         # per (user, day bucket); DISTINCT collapses shared points

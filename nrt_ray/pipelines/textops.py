@@ -2217,14 +2217,13 @@ def ccnet_lm_buckets(sf_dir: str):
     def hist_partial(batch: pa.Table) -> pa.Table:
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
         s = batch["mean_logprob"].to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(langs.astype(str), "\x00"),
-                          np.char.mod("%.6f", s))
+        lu, lcode = np.unique(langs, return_inverse=True)
+        su, scode = np.unique(s, return_inverse=True)
+        key = lcode.astype(np.int64) * (len(su) + 1) + scode
         uniq, inv = np.unique(key, return_inverse=True)
-        first = np.zeros(len(uniq), dtype=np.int64)
-        first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
         return pa.table({
-            "lang": pa.array(langs[first], pa.string()),
-            "score": pa.array(s[first]),
+            "lang": pa.array(lu[uniq // (len(su) + 1)], pa.string()),
+            "score": pa.array(su[uniq % (len(su) + 1)]),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
         })
 

@@ -897,3 +897,130 @@ def m4_downsample_events(sf_dir: str, width_s: int = 86400):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(["user_id", "bucket"]) \
         .map_groups(final, batch_format="pyarrow")
+
+
+def theilsen_trend_events(sf_dir: str):
+    """Theil–Sen robust trend per user: the median of all pairwise
+    slopes (value units per day) over the user's time-ordered points —
+    the breakdown-resistant alternative to the OLS trend fit.
+
+    Exactness: slopes divide exact integer cent / microsecond deltas
+    with the identical expression both engines evaluate, and the median
+    follows DuckDB ``quantile_disc`` rank semantics (k = max(1,
+    ceil(n/2))) over the identical slope multiset — bit-exact.
+    Same-timestamp pairs are excluded (no defined slope).
+
+    Shape: one user-keyed exchange; per partition a vectorized
+    ``triu_indices`` pairwise pass per user.  O(n²) pairs per user is
+    the operator's intrinsic cost — at web scale a per-user pair cap /
+    pre-bucketed Siegel variant bounds it (documented, not needed at
+    bench sizes)."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+    DAY_US = 86400000000.0
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(cents),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fit(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        uids, starts = np.unique(u, return_index=True)
+        ends = np.append(starts[1:], len(u))
+        out_u, out_n, out_s = [], [], []
+        for uu, st, en in zip(uids, starts, ends):
+            t_u, c_u = ts[st:en], c[st:en]
+            n = en - st
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            dt = t_u[ju] - t_u[iu]
+            m = dt > 0
+            if not m.any():
+                continue
+            dv = (c_u[ju] - c_u[iu])[m]
+            slope = (dv / 100.0) / (dt[m] / DAY_US)
+            slope.sort()
+            k = max(1, int(np.ceil(0.5 * len(slope) - 1e-9)))
+            out_u.append(uu)
+            out_n.append(len(slope))
+            out_s.append(slope[k - 1])
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+            "ts_slope": pa.array(round_away(np.array(out_s), 8)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "ts_slope": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fit, empty)
+
+
+def weekly_profile_events(sf_dir: str):
+    """Hour-of-week seasonal profile per event type: observation count
+    and exact-cent mean value for each of the 168 weekly hours — the
+    seasonality fingerprint a forecasting / anomaly layer subtracts.
+    Pure combiner partials (≤ 168·types rows per batch) → one tiny
+    keyed sum; means recovered from exact integer cents so the
+    division is the identical op sequence both engines run."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import round_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        how = (ts // (3600 * US)) % 168
+        types, tcode = np.unique(et, return_inverse=True)
+        key = tcode.astype(np.int64) * 168 + how
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(types[uniq // 168], pa.string()),
+            "hour_of_week": pa.array(uniq % 168),
+            "n_obs": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+        })
+
+    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour_of_week"]) \
+        .aggregate(Sum("n_obs", alias_name="n_obs"),
+                   Sum("cents", alias_name="cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        n = t["n_obs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour_of_week": t["hour_of_week"],
+            "n_obs": t["n_obs"],
+            "v_mean": pa.array(round_away(cents / 100.0 / n, 4)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

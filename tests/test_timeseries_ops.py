@@ -71,3 +71,37 @@ def test_m4_keeps_first_last_min_max(ray_session, tmp_path):
     assert list(u1["value"]) == [50.0, 10.0, 99.0, 55.0]  # F, min, max, L
     u2 = out[out.user_id == 2]
     assert len(u2) == 1 and u2.iloc[0]["value"] == 5.0
+
+
+def test_theilsen_resists_outlier(ray_session, tmp_path):
+    """A single wild outlier leaves the Theil-Sen slope near the true
+    trend (where OLS would be dragged away)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(days=i), 9, 10.0 + 2.0 * i)
+            for i in range(10)]                       # slope 2.0 / day
+    rows.append((10, base + pd.Timedelta(days=10), 9, 10000.0))
+    sf = _write_events(tmp_path, rows)
+    out = _df(tsq.theilsen_trend_events(sf))
+    assert len(out) == 1
+    assert abs(out.iloc[0]["ts_slope"] - 2.0) < 0.25
+    assert out.iloc[0]["n_pairs"] == 55
+
+
+def test_weekly_profile_exact_means(ray_session, tmp_path):
+    """Same weekly hour across weeks folds into one cell with the exact
+    cent mean."""
+    t0 = pd.Timestamp("2024-01-01 05:00:00")          # fixed hour-of-week
+    rows = [(i, t0 + pd.Timedelta(weeks=i), 1, v)
+            for i, v in enumerate([10.01, 10.02])]
+    rows.append((9, t0 + pd.Timedelta(hours=1), 1, 7.0))
+    sf = _write_events(tmp_path, rows)
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(str(tmp_path / "events.parquet"))
+    t = t.append_column("event_type",
+                        pa.array(["click"] * t.num_rows, pa.string()))
+    _pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = _df(tsq.weekly_profile_events(sf)).sort_values("hour_of_week")
+    assert len(out) == 2
+    cell = out[out.n_obs == 2].iloc[0]
+    assert cell["v_mean"] == 10.015
+    assert out[out.n_obs == 1].iloc[0]["v_mean"] == 7.0
