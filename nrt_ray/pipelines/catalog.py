@@ -107,6 +107,7 @@ def queries() -> dict:
         "curate_corpus_docs": cu.curate_corpus,
         "global_shuffle_docs": tx.global_shuffle_order,
         "doc_unigram_lm_scores": tx.unigram_lm_scores,
+        "doc_bigram_lm_scores": tx.bigram_lm_scores,
         "doc_pii_scrub": tx.pii_scrub,
         "gopher_filter_docs": tx.gopher_filter,
         "ccnet_lm_buckets": tx.ccnet_lm_buckets,
@@ -890,6 +891,51 @@ def oracle_sql() -> dict:
                    round(coalesce(d.mlp, 0), 6) AS mean_logprob,
                    round(exp(-coalesce(d.mlp, 0)), 6)
                        AS pseudo_perplexity
+            FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
+        # bigram LM: conditional p = bigram count / left-continuation
+        # total, trained on the corpus itself (every scored bigram
+        # exists; no smoothing)
+        "doc_bigram_lm_scores": r"""
+            WITH d0 AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                           AS arr
+                FROM documents
+            ),
+            tok0 AS (
+                SELECT doc_id, unnest(arr) AS t,
+                       unnest(generate_series(1, len(arr))) AS pos
+                FROM d0
+            ),
+            tok1 AS (
+                SELECT doc_id, t,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS idx
+                FROM tok0 WHERE t <> ''
+            ),
+            big AS (
+                SELECT doc_id, t AS w1,
+                       lead(t) OVER (PARTITION BY doc_id
+                                     ORDER BY idx) AS w2
+                FROM tok1
+            ),
+            big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+            bf AS (SELECT w1, w2, count(*) AS c FROM big2
+                   GROUP BY w1, w2),
+            lf AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS cl FROM bf
+                   GROUP BY w1),
+            d AS (
+                SELECT b.doc_id, count(*) AS n_bigrams,
+                       avg(ln(f.c / l.cl)) AS mlp
+                FROM big2 b
+                JOIN bf f ON f.w1 = b.w1 AND f.w2 = b.w2
+                JOIN lf l ON l.w1 = b.w1
+                GROUP BY b.doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(d.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(d.mlp, 0), 6) AS mean_logprob_bi,
+                   round(exp(-coalesce(d.mlp, 0)), 6) AS ppl_bi
             FROM documents doc LEFT JOIN d USING (doc_id)
         """,
         # PII scrub: per-pattern RE2 counts on the original text + md5 of

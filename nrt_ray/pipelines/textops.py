@@ -2493,3 +2493,101 @@ def dedup_spans_docs(sf_dir: str, min_span: int = 10, cap: int = 64):
         .map_batches(lambda b: untouched_fn(
             b.select(["doc_id", "text"])), batch_format="pyarrow")
     return touched.union(untouched)
+
+
+# ------------------------------------------------------- bigram LM scores
+
+class BigramScorer:
+    """Per-doc bigram LM score against a broadcast conditional-frequency
+    table: mean ln p(w_i | w_{i-1}) with p = corpus bigram count /
+    left-token continuation total (the model is trained on the corpus
+    itself, so every scored bigram exists — no smoothing needed, and
+    the SQL replay is exact).  Lookups are all-integer: tokens fold to
+    vocabulary codes, bigrams to ``left·V + right`` codes, probed with
+    one ``searchsorted`` per batch."""
+
+    def __init__(self, side_path: str):
+        t = pq.read_table(side_path)
+        self.vocab = np.asarray(t.schema.metadata[b"vocab"]
+                                .decode("utf-8").split("\x1f"),
+                                dtype=object)
+        self.codes = t["code"].to_numpy(zero_copy_only=False)
+        self.logp = t["logp"].to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _doc_tokens(batch)
+        ndocs = batch.num_rows
+        n = np.zeros(ndocs, dtype=np.int64)
+        s = np.zeros(ndocs)
+        if len(flat):
+            V = np.int64(len(self.vocab))
+            tc = np.searchsorted(self.vocab, flat)
+            adj = doc_idx[1:] == doc_idx[:-1]
+            big = tc[:-1][adj] * V + tc[1:][adj]
+            d = doc_idx[1:][adj]
+            w = self.logp[np.searchsorted(self.codes, big)]
+            n = np.bincount(d, minlength=ndocs)
+            s = np.bincount(d, weights=w, minlength=ndocs)
+        mean_lp = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n),
+            "mean_logprob_bi": pa.array(round_away(mean_lp, 6)),
+            "ppl_bi": pa.array(round_away(np.exp(-mean_lp), 6)),
+        })
+
+
+def bigram_lm_scores(sf_dir: str):
+    """Two-pass distributed bigram LM scoring (the KenLM-shaped quality
+    signal one order up from ``unigram_lm_scores``): per-batch bigram
+    count partials → one bigram-vocabulary-sized keyed sum; left-token
+    continuation totals folded from that table; ln(c/cl) broadcast as
+    an integer-coded side file into an actor-pool scoring pass.  At web
+    scale the side table is top-K-pruned with a backoff floor — here
+    the corpus bigram vocabulary is complete."""
+    import tempfile
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _doc_tokens(batch)
+        if not len(flat):
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = doc_idx[1:] == doc_idx[:-1]
+        w1, w2 = flat[:-1][adj], flat[1:][adj]
+        vb, codes = np.unique(np.concatenate([w1, w2]),
+                              return_inverse=True)
+        m = len(w1)
+        pair = codes[:m].astype(np.int64) * len(vb) + codes[m:]
+        up, inv = np.unique(pair, return_inverse=True)
+        return pa.table({"w1": pa.array(vb[up // len(vb)], pa.string()),
+                         "w2": pa.array(vb[up % len(vb)], pa.string()),
+                         "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    bt = _read_docs(sf_dir, columns=("doc_id", "text")) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c"))
+    bt = pa.Table.from_pandas(bt.to_pandas(), preserve_index=False)
+    w1 = np.asarray(bt["w1"].to_pylist(), dtype=object)
+    w2 = np.asarray(bt["w2"].to_pylist(), dtype=object)
+    c = bt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+    vocab = np.unique(np.concatenate([w1, w2]))
+    V = np.int64(len(vocab))
+    i1 = np.searchsorted(vocab, w1)
+    i2 = np.searchsorted(vocab, w2)
+    left_tot = np.zeros(len(vocab))
+    np.add.at(left_tot, i1, c)
+    code = i1 * V + i2
+    order = np.argsort(code)
+    logp = np.log(c / left_tot[i1])
+    side = pa.table({"code": pa.array(code[order]),
+                     "logp": pa.array(logp[order])})
+    side = side.replace_schema_metadata(
+        {b"vocab": "\x1f".join(vocab).encode("utf-8")})
+    side_path = tempfile.mktemp(prefix="nrt_ray_bigram_",
+                                suffix=".parquet")
+    pq.write_table(side, side_path)
+    return _read_docs(sf_dir).map_batches(
+        BigramScorer, fn_constructor_args=(side_path,),
+        batch_format="pyarrow", concurrency=pool_size())

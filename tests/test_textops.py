@@ -337,3 +337,22 @@ def test_int8_quantize_roundtrip_bounds(ray_session):
     half_step = ((m.max(axis=0) - m.min(axis=0)) / 255.0 / 2).max()
     assert (out.max_abs_err <= half_step + 1e-9).all()
     assert (out.max_abs_err > 0).any()
+
+
+def test_bigram_lm_deterministic_sequence(ray_session, tmp_path):
+    """In a corpus where 'a' is always followed by 'b', p(b|a)=1 so the
+    bigram logprob of an all 'a b' doc is 0; a rarer continuation
+    scores negative."""
+    import math
+    docs = ["a b a b a b", "a b c d", "c d c d"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = _tbl(tx.bigram_lm_scores(str(tmp_path))).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "n_bigrams"] == 5
+    # doc 0 bigrams: (a,b)x3 p=1; (b,a)x2 p=2/3 -> mlp=2/5*ln(2/3)
+    exp0 = (3 * 0.0 + 2 * math.log(2 / 3)) / 5
+    assert abs(out.loc[0, "mean_logprob_bi"] - exp0) < 1e-6
+    assert out.loc[1, "mean_logprob_bi"] < out.loc[0, "mean_logprob_bi"]
