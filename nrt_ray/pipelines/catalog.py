@@ -130,6 +130,7 @@ def queries() -> dict:
         "embedding_norms": sim.embedding_norms,
         "embedding_label_centroids": sim.label_centroids,
         "embedding_int8_quantize": sim.embedding_int8_quantize,
+        "embedding_pca_top1": sim.embedding_pca_top1,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
         "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
         # threshold 0.4 for the driver check: the synthetic embeddings
@@ -716,6 +717,9 @@ def oracle_sql() -> dict:
         "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),
         "frame_sample_stats": mm.frame_stats_sql(),
+        # PCA top direction: power iterations unrolled as CTEs with the
+        # same per-iteration 6-decimal normalization checkpoints
+        "embedding_pca_top1": sk.pca_top1_sql(),
         # int8 scalar quantization: per-dim [min,max] → [0,255]; integer
         # checksums + order-independent max dequant error (bit-exact)
         "embedding_int8_quantize": """

@@ -428,3 +428,46 @@ def embedding_int8_quantize(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"]) \
         .map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_pca_top1(sf_dir: str, iters: int = 3):
+    """Power iteration toward the top principal direction of the
+    (uncentered) embedding matrix: ``iters`` fixed steps of v ← XᵀXv
+    from the uniform unit start.  Convergence to the dominant right
+    singular vector is governed by the eigengap — on a corpus with a
+    planted dominant direction a handful of steps lock on (pytest);
+    on near-isotropic data the value is the deterministic distributed
+    primitive itself, not a converged eigenvector.
+
+    Determinism device: after every iteration the direction is
+    normalized and ROUNDED to 6 decimals, which both engines can hit
+    exactly — summation-order drift between Ray's per-batch matmuls
+    and the SQL row sums is ~1e-12, far inside the 5e-7 half-grid, so
+    each iteration restarts from an identical vector (same trick the
+    rollup means use; the unrounded iteration is pytest-compared to
+    numpy SVD).
+
+    Shape: one streaming pass per iteration — a per-batch combiner
+    emits the d-vector partial Xᵀ(Xv); only d×blocks tiny rows reach
+    the driver, never the matrix."""
+    dim = embedding_dim(sf_dir)
+    v = np.full(dim, 1.0 / np.sqrt(float(dim)))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    for _ in range(int(iters)):
+        def partial(batch: pa.Table, v=v) -> pa.Table:
+            X = _emb_matrix(batch)
+            w = X.T @ (X @ v)
+            return pa.table({
+                "dim": pa.array(np.arange(len(w), dtype=np.int64)),
+                "w": pa.array(w),
+            })
+
+        wt = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        w = np.zeros(dim)
+        np.add.at(w, wt["dim"].to_numpy(), wt["w"].to_numpy())
+        v = round_away(w / np.sqrt((w * w).sum()), 6)
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+        "component": pa.array(v),
+    })

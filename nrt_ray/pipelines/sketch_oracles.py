@@ -821,3 +821,38 @@ LEFT JOIN nt USING (doc_id)
 LEFT JOIN rem USING (doc_id)
 LEFT JOIN clean USING (doc_id)
 """
+
+
+def pca_top1_sql(iters: int = 3, d: int = EMB_DIM) -> str:
+    """Oracle for the top principal direction: power iterations on XᵀX
+    unrolled as CTE stages from the uniform unit start, each iteration
+    normalized and rounded to 6 decimals (the same drift checkpoint
+    the pipeline applies, so the vectors re-synchronize exactly)."""
+    parts = [f"""WITH ev AS (
+    SELECT vec_id, unnest(generate_series(1, {d})) AS dim,
+           unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+    FROM embeddings
+),
+v0 AS (
+    SELECT unnest(generate_series(1, {d})) AS dim,
+           1.0 / sqrt({d}.0) AS v
+)"""]
+    for t in range(1, int(iters) + 1):
+        parts.append(f""",
+p{t} AS (
+    SELECT e.vec_id, sum(e.x * v.v) AS t
+    FROM ev e JOIN v{t - 1} v USING (dim) GROUP BY e.vec_id
+),
+w{t} AS (
+    SELECT e.dim, sum(e.x * p.t) AS w
+    FROM ev e JOIN p{t} p USING (vec_id) GROUP BY e.dim
+),
+v{t} AS (
+    SELECT dim,
+           round(w / (SELECT sqrt(sum(w * w)) FROM w{t}), 6) AS v
+    FROM w{t}
+)""")
+    parts.append(f"""
+SELECT dim, v AS component FROM v{int(iters)}
+""")
+    return "".join(parts)

@@ -356,3 +356,34 @@ def test_bigram_lm_deterministic_sequence(ray_session, tmp_path):
     exp0 = (3 * 0.0 + 2 * math.log(2 / 3)) / 5
     assert abs(out.loc[0, "mean_logprob_bi"] - exp0) < 1e-6
     assert out.loc[1, "mean_logprob_bi"] < out.loc[0, "mean_logprob_bi"]
+
+
+def test_pca_power_iteration_converges_on_planted_direction(
+        ray_session, tmp_path):
+    """With a planted dominant direction the fixed-step power iteration
+    locks onto it; the distributed result equals the local replica of
+    the same rounded recursion exactly."""
+    rng = np.random.default_rng(11)
+    d, n = 16, 300
+    u = np.zeros(d)
+    u[3] = 1.0
+    X = (rng.normal(0, 0.05, (n, d))
+         + np.outer(rng.normal(0, 1, n), u)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = _tbl(sim.embedding_pca_top1(str(tmp_path))).to_pandas()
+    v = out.sort_values("dim")["component"].to_numpy()
+    assert abs(v[3]) > 0.99            # locked onto the planted axis
+
+    # exact equality with the local rounded recursion
+    from nrt_ray.pipelines.relational import round_away
+    Xd = X.astype(np.float64)
+    vl = np.full(d, 1.0 / np.sqrt(float(d)))
+    for _ in range(3):
+        w = Xd.T @ (Xd @ vl)
+        vl = round_away(w / np.sqrt((w * w).sum()), 6)
+    assert np.array_equal(v, vl)
