@@ -69,6 +69,7 @@ def queries() -> dict:
         "rolling_zscore_events": tsq.rolling_zscore_events,
         "m4_downsample_events": tsq.m4_downsample_events,
         "theilsen_trend_events": tsq.theilsen_trend_events,
+        "user_entropy_events": tsq.user_entropy_events,
         "weekly_profile_events": tsq.weekly_profile_events,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
@@ -482,6 +483,25 @@ def oracle_sql() -> dict:
             SELECT user_id, count(*) AS n_pairs,
                    round(quantile_disc(slope, 0.5), 8) AS ts_slope
             FROM p GROUP BY user_id
+        """,
+        # behavioral entropy: Shannon entropy of each user's event-type
+        # mix; 0.0 - sum(...) form avoids IEEE -0.0 on pure users
+        "user_entropy_events": """
+            WITH s AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ),
+            t AS (
+                SELECT user_id, CAST(sum(n) AS DOUBLE) AS tot,
+                       CAST(sum(n) AS BIGINT) AS n_events,
+                       count(*) AS n_types
+                FROM s GROUP BY user_id
+            )
+            SELECT s.user_id, t.n_events, t.n_types,
+                   round(0.0 - sum((s.n / t.tot) * ln(s.n / t.tot)), 6)
+                       AS entropy
+            FROM s JOIN t USING (user_id)
+            GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
         "weekly_profile_events": """

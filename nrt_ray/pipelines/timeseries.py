@@ -1024,3 +1024,56 @@ def weekly_profile_events(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_entropy_events(sf_dir: str):
+    """Behavioral diversity per user: Shannon entropy (nats) of the
+    user's event-type distribution plus distinct-type count — the
+    engagement-mix feature.  Combiner partials on (user, type) → one
+    keyed sum → a per-user fold over the ≤ |types| rows.  The entropy
+    sum runs over alphabetically-ordered types on both engines (the
+    oracle aggregates an ORDER BY type list), and with ≤ 8 terms the
+    6-decimal rounding absorbs any residual summation noise."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import round_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        tu, tc = np.unique(et, return_inverse=True)
+        key = uid * len(tu) + tc
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array((uk // len(tu)).astype(np.int64)),
+            "event_type": pa.array(tu[uk % len(tu)], pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def fold(g: pa.Table) -> pa.Table:
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(et)          # fixed summation order
+        n = n[order]
+        tot = n.sum()
+        p = n / tot
+        # 0.0 - … instead of unary minus: a single-type user has
+        # Σ p·ln p == 0 and -(0.0) is IEEE -0.0, which the oracle's
+        # identical 0.0 - sum(...) form avoids on both engines
+        ent = 0.0 - (p * np.log(p)).sum()
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())],
+                                pa.int64()),
+            "n_events": pa.array([int(tot)], pa.int64()),
+            "n_types": pa.array([len(n)], pa.int64()),
+            "entropy": pa.array([float(round_away(
+                np.array([ent]), 6)[0])]),
+        })
+
+    return agg.groupby("user_id").map_groups(fold,
+                                             batch_format="pyarrow")
