@@ -35,6 +35,9 @@ def queries() -> dict:
         "topk_orders": rel.topk_orders,
         "join_orders_customers": rel.join_orders_customers,
         "join_orders_customers_shuffle": rel.join_orders_customers_shuffle,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -207,6 +210,73 @@ def oracle_sql() -> dict:
                    round(sum(l_quantity) / count(*), 4) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # Q3/Q5 shapes: revenue in exact integer 10⁻⁴ units
+        # (cents · (100 − disc_cents)) so summation order is irrelevant
+        "q3_shipping_priority": """
+            WITH l AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0)
+                                     AS BIGINT)) AS u
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1996-07-01'
+            ),
+            o AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'
+            ),
+            g AS (
+                SELECT l_orderkey, o_orderdate, o_orderpriority,
+                       CAST(sum(u) AS BIGINT) AS units
+                FROM l JOIN o ON o_orderkey = l_orderkey
+                GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            )
+            SELECT l_orderkey, units / 10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM g ORDER BY units DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0)
+                                     AS BIGINT)) AS u
+                FROM lineitem
+            ),
+            o AS (
+                SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT n.n_name,
+                   CAST(sum(l.u) AS BIGINT) / 10000.0 AS revenue
+            FROM l
+            JOIN o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * CAST(round(l_discount * 100, 0)
+                                   AS BIGINT)) AS BIGINT) / 10000.0
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100, 0) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24.0
         """,
         "filter_project_events": """
             SELECT event_id, user_id, round(value * 1.1, 4) AS value_eur

@@ -316,3 +316,265 @@ def user_value_stats(sf_dir: str):
         })
 
     return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _rev_units(batch: pa.Table) -> np.ndarray:
+    """Exact revenue in 10⁻⁴ currency units: prices and discounts are
+    2-decimal, so cents·(100−disc_cents) is an exact int64 — summation
+    order can never perturb the rounded revenue."""
+    cents = round_away(
+        batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0,
+        0).astype(np.int64)
+    disc = round_away(
+        batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+        0).astype(np.int64)
+    return cents * (100 - disc)
+
+
+_Q3_CUTOFF_US = 836179200000000          # 1996-07-01 epoch µs
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         k: int = 10):
+    """TPC-H Q3 shape: the ``k`` highest-revenue orders from one market
+    segment, ordered before the cutoff but (partly) shipped after it.
+
+    Plan: customer is a broadcast semi-filter on the orders side;
+    lineitem pre-aggregates revenue per order INSIDE map_batches
+    (combiner) before the two-sided shuffle hash join on the orderkey;
+    final top-k is a per-batch partial + tiny survivor merge — no
+    global sort.  Revenue is exact integer 10⁻⁴ units end to end."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = pc.equal(cust["c_mktsegment"], segment)
+    keys = np.sort(cust.filter(seg)["c_custkey"]
+                   .to_numpy(zero_copy_only=False))
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        keep = (keys[pos] == ck) & (od < _Q3_CUTOFF_US) if len(keys) \
+            else np.zeros(len(ck), dtype=bool)
+        return batch.select(["o_orderkey", "o_orderdate",
+                             "o_orderpriority"]).filter(pa.array(keep))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(filt_orders, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = sd > _Q3_CUTOFF_US
+        b = batch.filter(pa.array(keep))
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        u = _rev_units(b)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk),
+            "units": pa.array(np.bincount(
+                inv, weights=u.astype(np.float64)).astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "units": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+    agg = joined.groupby(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]) \
+        .aggregate(Sum("units", alias_name="units"))
+
+    def part_topk(batch: pa.Table) -> pa.Table:
+        u = batch["units"].to_numpy(zero_copy_only=False)
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, od, -u))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    surv = agg.map_batches(part_topk, batch_format="pyarrow").to_pandas()
+    surv = surv.sort_values(
+        ["units", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True]).head(k)
+    return pa.table({
+        "l_orderkey": pa.array(surv["l_orderkey"].to_numpy(), pa.int64()),
+        "revenue": pa.array(surv["units"].to_numpy() / 10000.0),
+        "o_orderdate": pa.array(
+            surv["o_orderdate"].to_numpy().astype("datetime64[us]")),
+        "o_orderpriority": pa.array(surv["o_orderpriority"], pa.string()),
+    })
+
+
+def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA",
+                             year_start: str = "1996-01-01"):
+    """TPC-H Q5 shape: revenue per nation of one region from orders
+    placed within one year where the supplying nation equals the
+    customer's nation ("local" supply).
+
+    Plan: region/nation/supplier/customer are broadcast dimension
+    lookups (sorted-key searchsorted); the one large⋈large step —
+    lineitem ⋈ filtered orders on the orderkey — is the two-sided
+    shuffle hash join; the local-supply predicate and the per-nation
+    revenue fold run vectorized inside the join output pass.  Exact
+    integer 10⁻⁴ revenue units."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region["r_name"].to_pylist(),
+                  region["r_regionkey"].to_pylist()))[region_name]
+    nmask = pc.equal(nation["n_regionkey"], rk)
+    asia = nation.filter(nmask)
+    asia_keys = np.sort(asia["n_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    nname = dict(zip(asia["n_nationkey"].to_pylist(),
+                     asia["n_name"].to_pylist()))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = np.argsort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False)[sk]
+    sup_nat = sup["s_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[sk]
+    cu = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    ck = np.argsort(cu["c_custkey"].to_numpy(zero_copy_only=False))
+    cust_keys = cu["c_custkey"].to_numpy(zero_copy_only=False)[ck]
+    cust_nat = cu["c_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[ck]
+
+    t0 = int(np.datetime64(year_start, "us").astype(np.int64))
+    t1 = int(np.datetime64(str(int(year_start[:4]) + 1)
+                           + year_start[4:], "us").astype(np.int64))
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (od >= t0) & (od < t1)
+        return batch.select(["o_orderkey", "o_custkey"]) \
+            .filter(pa.array(keep))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(filt_orders, batch_format="pyarrow")
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "units": pa.array(_rev_units(batch)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "l_suppkey": pa.array([], pa.int64()),
+                         "units": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    def local_fold(batch: pa.Table) -> pa.Table:
+        sup_k = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cst_k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        u = batch["units"].to_numpy(zero_copy_only=False)
+        sp = np.searchsorted(sup_keys, sup_k)
+        cp = np.searchsorted(cust_keys, cst_k)
+        snat = sup_nat[np.minimum(sp, len(sup_nat) - 1)]
+        cnat = cust_nat[np.minimum(cp, len(cust_nat) - 1)]
+        inreg = np.isin(snat, asia_keys)
+        keep = (snat == cnat) & inreg
+        nk, inv = np.unique(snat[keep], return_inverse=True)
+        if not len(nk):
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "units": pa.array([], pa.int64())})
+        return pa.table({
+            "n_nationkey": pa.array(nk),
+            "units": pa.array(np.bincount(
+                inv, weights=u[keep].astype(np.float64))
+                .astype(np.int64)),
+        })
+
+    agg = joined.map_batches(local_fold, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(Sum("units",
+                                              alias_name="units"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nkk = t["n_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nname[int(x)] for x in nkk],
+                               pa.string()),
+            "revenue": pa.array(
+                t["units"].to_numpy(zero_copy_only=False) / 10000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: revenue delta from discount-band lineitems in one
+    ship year (shipdate ∈ 1996, discount ∈ [0.05, 0.07], qty < 24) —
+    the pure scan/predicate benchmark.  One combiner pass, revenue =
+    cents · disc_cents exact integer 10⁻⁴ units; a single global sum."""
+    from ray.data.aggregate import Sum
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = round_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        dc = round_away(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        keep = (sd >= t0) & (sd < t1) & (dc >= 5) & (dc <= 7) \
+            & (qty < 24.0)
+        units = (cents[keep] * dc[keep]).sum()
+        return pa.table({"units": pa.array([int(units)], pa.int64()),
+                         "n_items": pa.array([int(keep.sum())],
+                                             pa.int64())})
+
+    # one scalar row per block reaches the driver; the final fold is a
+    # two-integer sum
+    t = pa.Table.from_pandas(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_quantity", "l_extendedprice",
+               "l_discount"])
+        .map_batches(partial, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    units = int(t["units"].to_numpy(zero_copy_only=False).sum())
+    n = int(t["n_items"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({"revenue": pa.array([units / 10000.0]),
+                     "n_items": pa.array([n], pa.int64())})
