@@ -50,25 +50,50 @@ def _join_partition(n_left: int, on_left: str, on_right: str, empty_fn,
     if not rparts:
         if how == "anti":       # nothing to exclude: keep the left side
             return pa.concat_tables(lparts).drop_columns(["pid"])
+        if how == "left_outer":  # no matches: null-pad the right columns
+            lt = pa.concat_tables(lparts).drop_columns(["pid"])
+            schema = empty_fn().schema
+            for field in schema:
+                if field.name not in lt.column_names:
+                    lt = lt.append_column(
+                        field.name, pa.nulls(lt.num_rows, field.type))
+            return lt.select(schema.names)
         return empty_fn()
     lt = pa.concat_tables(lparts).drop_columns(["pid"])
     rt = pa.concat_tables(rparts).drop_columns(["pid"])
     lk = lt.column(on_left).to_numpy(zero_copy_only=False)
     rk = rt.column(on_right).to_numpy(zero_copy_only=False)
-    if how == "anti":
+    if how in ("anti", "semi"):
         rs = np.sort(rk)
-        if not len(rs):
-            return lt
         idx = np.minimum(np.searchsorted(rs, lk), len(rs) - 1)
-        return lt.filter(pa.array(rs[idx] != lk))
+        hit = rs[idx] == lk
+        return lt.filter(pa.array(hit if how == "semi" else ~hit))
     order = np.argsort(rk, kind="stable")
     rt = rt.take(pa.array(order))
     rk = rk[order]
     lo = np.searchsorted(rk, lk, side="left")
     hi = np.searchsorted(rk, lk, side="right")
     cnt = hi - lo
+    if how == "left_outer":
+        # unmatched left rows survive once with null right columns: give
+        # them a single slot whose right index is masked to null —
+        # Arrow's take() yields nulls at null indices
+        slots = np.maximum(cnt, 1)
+        l_idx = np.repeat(np.arange(len(lk)), slots)
+        total = int(slots.sum())
+        starts = np.repeat(lo, slots)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(slots)[:-1])), slots)
+        r_idx = starts + within
+        matched = np.repeat(cnt > 0, slots)
+        out = lt.take(pa.array(l_idx))
+        rsel = rt.drop_columns([on_right]).take(
+            pa.array(np.where(matched, r_idx, 0), mask=~matched))
+        for name in rsel.column_names:
+            out = out.append_column(name, rsel.column(name))
+        return out
     # expand one-to-many: left row i repeats cnt[i] times; right row
-    # indices are the concatenated ranges [lo[i], hi[i]) — built with
+    # indices are the concatenated ranges [lo[i], hi[i)) — built with
     # the classic repeat/cumsum trick, no Python loop
     l_idx = np.repeat(np.arange(len(lk)), cnt)
     total = int(cnt.sum())
@@ -93,10 +118,15 @@ def shuffle_hash_join(left, right, *, on_left: str, on_right: str,
     minus the right key, one-to-many expanded); ``how='anti'`` returns
     the left rows with NO key match on the right (left columns only) —
     the dedup/filter shape: the exclusion side stays a distributed
-    Dataset instead of a driver-broadcast set.  ``empty_fn() ->
-    pa.Table`` supplies the output schema for empty partitions.
+    Dataset instead of a driver-broadcast set.  ``how='semi'`` returns
+    the left rows WITH a match, left columns only, never expanded (the
+    EXISTS shape); ``how='left_outer'`` keeps every left row, padding
+    right columns with nulls when unmatched.  ``empty_fn() ->
+    pa.Table`` supplies the output schema for empty partitions (for
+    'anti'/'semi' that is the left schema; for 'left_outer' the full
+    joined schema, also used to type the null pads).
     """
-    if how not in ("inner", "anti"):
+    if how not in ("inner", "anti", "semi", "left_outer"):
         raise ValueError(f"unknown join mode {how!r}")
     ltag = left.map_batches(lambda t: _tag(t, on_left, num_partitions),
                             batch_format="pyarrow")

@@ -104,3 +104,83 @@ def test_anti_join(ray_session):
     keep = ~np.isin(lk, [3, 7, 11, 29, 99])
     assert got["lv"].tolist() == np.arange(150)[keep].tolist()
     assert got["k"].tolist() == lk[keep].tolist()
+
+def test_semi_join(ray_session):
+    import ray.data
+    rng = np.random.default_rng(31)
+    lk = rng.integers(0, 30, 150)
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(np.arange(150), pa.int64())})).repartition(3)
+    # duplicated right keys must NOT expand the left side
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([3, 3, 7, 11, 29, 29, 99], pa.int64())}))
+    got = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=4, empty_fn=empty,
+                            how="semi").to_pandas() \
+        .sort_values("lv").reset_index(drop=True)
+    keep = np.isin(lk, [3, 7, 11, 29, 99])
+    assert got["lv"].tolist() == np.arange(150)[keep].tolist()
+    assert got["k"].tolist() == lk[keep].tolist()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_left_outer_join(ray_session, nparts):
+    import ray.data
+    rng = np.random.default_rng(41)
+    lk = rng.integers(0, 30, 120)
+    rk = rng.integers(15, 45, 40)
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64()),
+                         "rv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(np.arange(120), pa.int64())})).repartition(3)
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array(rk, pa.int64()),
+         "rv": pa.array(np.arange(40), pa.int64())})).repartition(2)
+    got = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=nparts, empty_fn=empty,
+                            how="left_outer").to_pandas() \
+        .sort_values(["k", "lv", "rv"], na_position="last") \
+        .reset_index(drop=True)
+    exp = pd.merge(pd.DataFrame({"k": lk, "lv": np.arange(120)}),
+                   pd.DataFrame({"rk": rk, "rv": np.arange(40)}),
+                   left_on="k", right_on="rk", how="left") \
+        .drop(columns=["rk"]) \
+        .sort_values(["k", "lv", "rv"], na_position="last") \
+        .reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+def test_left_outer_join_empty_right(ray_session):
+    import ray.data
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lv": pa.array([], pa.int64()),
+                         "rv": pa.array([], pa.int64())})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "lv": pa.array([10, 20, 30], pa.int64())}))
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([], pa.int64()),
+         "rv": pa.array([], pa.int64())}))
+    got = shuffle_hash_join(lds, rds, on_left="k", on_right="rk",
+                            num_partitions=2, empty_fn=empty,
+                            how="left_outer").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["rv"].isna().all()
