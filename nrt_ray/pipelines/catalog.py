@@ -38,6 +38,13 @@ def queries() -> dict:
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q4_order_priority": rel.q4_order_priority,
+        "q12_priority_lines": rel.q12_priority_lines,
+        "q13_customer_distribution": rel.q13_customer_distribution,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "q18_large_volume_orders": rel.q18_large_volume_orders,
+        "q19_bracketed_revenue": rel.q19_bracketed_revenue,
+        "q22_dormant_customers": rel.q22_dormant_customers,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -277,6 +284,105 @@ def oracle_sql() -> dict:
               AND CAST(round(l_discount * 100, 0) AS BIGINT)
                   BETWEEN 5 AND 7
               AND l_quantity < 24.0
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q12_priority_lines": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-02-01'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue": """
+            WITH l AS (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0)
+                                     AS BIGINT)) AS u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT round(100.0
+                       * CAST(sum(CASE WHEN p_type = 'PROMO' THEN u
+                                       ELSE 0 END) AS BIGINT)
+                       / CAST(sum(u) AS BIGINT), 4) AS promo_revenue_pct
+            FROM l JOIN part ON p_partkey = l_partkey
+        """,
+        "q18_large_volume_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+                     o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        "q19_bracketed_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0)
+                                          AS BIGINT))) AS BIGINT)
+                       / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_dormant_customers": """
+            WITH stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CAST(round(c_acctbal * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS s
+                FROM customer
+                WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0
+            )
+            SELECT c_nationkey,
+                   count(*) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                        AS BIGINT) / 100.0 AS totacctbal
+            FROM customer, stats
+            WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * stats.n
+                  > stats.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate
+                                    >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
         """,
         "filter_project_events": """
             SELECT event_id, user_id, round(value * 1.1, 4) AS value_eur

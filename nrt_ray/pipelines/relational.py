@@ -578,3 +578,408 @@ def q6_forecast_revenue(sf_dir: str):
     n = int(t["n_items"].to_numpy(zero_copy_only=False).sum())
     return pa.table({"revenue": pa.array([units / 10000.0]),
                      "n_items": pa.array([n], pa.int64())})
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: order count per priority for one quarter, keeping
+    only orders where at least one lineitem was returned (EXISTS).
+
+    Plan: the EXISTS is a distributed shuffle SEMI join — orders (left)
+    against returned-lineitem keys (right); duplicated right keys never
+    expand the left side.  Final count is a per-batch partial plus a
+    5-row groupby."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1996-04-01", "us").astype(np.int64))
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.select(["o_orderkey", "o_orderpriority"]) \
+            .filter(pa.array((od >= t0) & (od < t1)))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(filt_orders, batch_format="pyarrow")
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        ok = batch.filter(m)["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": pa.array(np.unique(ok))})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .map_batches(returned_keys, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_orderpriority": pa.array([], pa.string())})
+
+    hit = shuffle_hash_join(orders, li, on_left="o_orderkey",
+                            on_right="l_orderkey",
+                            num_partitions=max(2, pool_size()),
+                            empty_fn=empty, how="semi")
+
+    def part_count(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count")])
+
+    return hit.map_batches(part_count, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("o_orderkey_count", alias_name="order_count"))
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape: per returnflag, how many 1996-shipped lines
+    belong to high-priority (URGENT/HIGH) vs low-priority orders.
+
+    Plan: large⋈large shuffle hash join lineitem⋈orders on the
+    orderkey, priority folded to a 0/1 flag on the build side; counts
+    are per-batch partials into a 3-row groupby."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.select(["l_orderkey", "l_returnflag"]) \
+            .filter(pa.array((sd >= t0) & (sd < t1)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "high": pa.array(high)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "l_returnflag": pa.array([], pa.string()),
+                         "high": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    def part_fold(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "high": batch["high"],
+                      "low": pa.array(
+                          1 - batch["high"].to_numpy(
+                              zero_copy_only=False))})
+        return t.group_by("l_returnflag").aggregate(
+            [("high", "sum"), ("low", "sum")])
+
+    return joined.map_batches(part_fold, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("high_sum", alias_name="high_line_count"),
+                   Sum("low_sum", alias_name="low_line_count"))
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by their number of
+    orders within one month — customers with NO qualifying order must
+    appear in the 0 bucket, which forces a left-OUTER join.
+
+    Plan: per-custkey order counts are combiner partials + one groupby;
+    customer LEFT OUTER ⋈ counts via the shuffle join's left_outer mode
+    (null → 0); the final histogram is another partial + tiny groupby."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1996-02-01", "us").astype(np.int64))
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[
+            (od >= t0) & (od < t1)]
+        uk, cnts = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    counts = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def empty() -> pa.Table:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(cust, counts, on_left="c_custkey",
+                               on_right="o_custkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty, how="left_outer")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
+        uk, cnts = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(uk),
+                         "custdist": pa.array(cnts.astype(np.int64))})
+
+    return joined.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("custdist",
+                                          alias_name="custdist"))
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: % of one month's revenue from PROMO-type parts.
+
+    Plan: part is a broadcast dimension (sorted-key boolean lookup);
+    lineitem folds promo/total revenue per batch into exact integer
+    10⁻⁴ units; the driver's final step divides two scalars."""
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    order = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False)[order]
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False)[order]
+    t0 = int(np.datetime64("1996-03-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1996-04-01", "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sd >= t0) & (sd < t1)))
+        u = _rev_units(b)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        isp = promo[pos] & (pkeys[pos] == pk)
+        return pa.table({
+            "promo_units": pa.array([int(u[isp].sum())], pa.int64()),
+            "total_units": pa.array([int(u.sum())], pa.int64())})
+
+    t = _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    pu = int(t["promo_units"].sum())
+    tu = int(t["total_units"].sum())
+    pct = round_away(np.array([100.0 * pu / tu]), 4) if tu else \
+        np.array([0.0])
+    return pa.table({"promo_revenue_pct": pa.array(pct)})
+
+
+def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 250,
+                            k: int = 100):
+    """TPC-H Q18 shape: the ``k`` largest-by-totalprice orders whose
+    total lineitem quantity exceeds a threshold (HAVING subquery).
+
+    Plan: per-orderkey quantity sums are combiner partials + groupby;
+    the HAVING filter runs distributed; survivors (rare by
+    construction) shuffle-join back to orders, customer names resolve
+    via a broadcast dimension lookup, and the top-k is a per-batch
+    partial + tiny driver merge — no global sort."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        # quantities are integral in this corpus: exact int64 sums
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk),
+            "q": pa.array(np.bincount(inv, weights=q.astype(np.float64))
+                          .astype(np.int64))})
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty"], qty_threshold))
+
+    sums = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty")) \
+        .map_batches(having, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "sum_qty": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(orders, sums, on_left="o_orderkey",
+                               on_right="l_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    corder = np.argsort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)[corder]
+    cnames = np.asarray(cust["c_name"].to_pylist(), dtype=object)[corder]
+
+    def part_topk(batch: pa.Table) -> pa.Table:
+        tp = round_away(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, -tp))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    surv = joined.map_batches(part_topk, batch_format="pyarrow") \
+        .to_pandas()
+    surv["_cents"] = round_away(
+        surv["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+    surv = surv.sort_values(["_cents", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True]).head(k)
+    ck = surv["o_custkey"].to_numpy()
+    pos = np.minimum(np.searchsorted(ckeys, ck), len(ckeys) - 1)
+    return pa.table({
+        "c_name": pa.array(cnames[pos], pa.string()),
+        "c_custkey": pa.array(ck, pa.int64()),
+        "o_orderkey": pa.array(surv["o_orderkey"].to_numpy(), pa.int64()),
+        "o_orderdate": pa.array(
+            surv["o_orderdate"].to_numpy().astype("datetime64[us]")),
+        "o_totalprice": pa.array(surv["_cents"].to_numpy() / 100.0),
+        "sum_qty": pa.array(surv["sum_qty"].to_numpy(), pa.int64()),
+    })
+
+
+def q19_bracketed_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/
+    quantity brackets (OR-of-ANDs predicate over a dimension join).
+
+    Plan: part attributes broadcast as sorted-key arrays; the whole
+    predicate evaluates vectorized per batch; exact integer 10⁻⁴
+    revenue partials fold to one scalar."""
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    order = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False)[order]
+    pbrand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    psize = part["p_size"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    brackets = (("Brand#9", 1, 15, 1, 11),
+                ("Brand#13", 1, 20, 10, 20),
+                ("Brand#20", 1, 25, 20, 30))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        ok = pkeys[pos] == pk
+        br = pbrand[pos]
+        sz = psize[pos]
+        keep = np.zeros(len(pk), dtype=bool)
+        for b, s0, s1, q0, q1 in brackets:
+            keep |= ((br == b) & (sz >= s0) & (sz <= s1)
+                     & (qty >= q0) & (qty <= q1))
+        keep &= ok
+        u = _rev_units(batch)
+        return pa.table({
+            "units": pa.array([int(u[keep].sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    t = _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "revenue": pa.array([int(t["units"].sum()) / 10000.0]),
+        "n_items": pa.array([int(t["n_items"].sum())], pa.int64())})
+
+
+def q22_dormant_customers(sf_dir: str, cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape: per-nation count + balance of above-average-
+    balance customers with NO order since ``cutoff`` (anti-join against
+    a date-windowed fact side).
+
+    Plan: the balance threshold is the exact integer predicate
+    cents·N > Σcents (no float average); qualifying customers
+    shuffle-ANTI-join against recent-order custkeys; the per-nation
+    fold is a combiner partial + tiny groupby.  Balances stay exact
+    cents until the final division."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_acctbal"])
+    cents_all = round_away(
+        cust["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+        0).astype(np.int64)
+    pos_mask = cents_all > 0
+    n_pos = int(pos_mask.sum())
+    sum_pos = int(cents_all[pos_mask].sum())
+
+    def filt_cust(batch: pa.Table) -> pa.Table:
+        cents = round_away(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        keep = cents * n_pos > sum_pos
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_nationkey": batch["c_nationkey"],
+            "cents": pa.array(cents)}).filter(pa.array(keep))
+
+    rich = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(filt_cust, batch_format="pyarrow")
+
+    t0 = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[od >= t0]
+        return pa.table({"o_custkey": pa.array(np.unique(ck))})
+
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(recent_keys, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_nationkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64())})
+
+    dormant = shuffle_hash_join(rich, recent, on_left="c_custkey",
+                                on_right="o_custkey",
+                                num_partitions=max(2, pool_size()),
+                                empty_fn=empty, how="anti")
+
+    def part_fold(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "c_nationkey": pa.array(uk),
+            "numcust": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64))})
+
+    agg = dormant.map_batches(part_fold, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("cents", alias_name="cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "numcust": t["numcust"],
+            "totacctbal": pa.array(
+                t["cents"].to_numpy(zero_copy_only=False) / 100.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
