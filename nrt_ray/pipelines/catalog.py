@@ -45,6 +45,7 @@ def queries() -> dict:
         "q18_large_volume_orders": rel.q18_large_volume_orders,
         "q19_bracketed_revenue": rel.q19_bracketed_revenue,
         "q22_dormant_customers": rel.q22_dormant_customers,
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -362,6 +363,22 @@ def oracle_sql() -> dict:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH stats AS (
+                SELECT l_partkey AS sk,
+                       CAST(sum(l_quantity) AS BIGINT) AS sq,
+                       count(*) AS cnt
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#9'
+                GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                       AS BIGINT)) AS BIGINT)
+                         / 700.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN stats ON sk = l_partkey
+            WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq
         """,
         "q22_dormant_customers": """
             WITH stats AS (

@@ -983,3 +983,79 @@ def q22_dormant_customers(sf_dir: str, cutoff: str = "2000-01-01"):
                 t["cents"].to_numpy(zero_copy_only=False) / 100.0)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#9"):
+    """TPC-H Q17 shape: revenue from lineitems of one brand whose
+    quantity is below 20% of that part's average quantity — the join-
+    against-per-group-aggregate pattern.
+
+    Plan: brand partkeys broadcast; pass 1 folds per-part (Σqty, count)
+    combiner partials into one small groupby; the per-part aggregate
+    broadcasts back into pass 2's filter, where the 20%-of-average
+    predicate evaluates EXACTLY in integers (qty·5·count < Σqty — no
+    float average); revenue folds in exact cents."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    bkeys = np.sort(part.filter(pc.equal(part["p_brand"], brand))
+                    ["p_partkey"].to_numpy(zero_copy_only=False))
+
+    def in_brand(pk: np.ndarray) -> np.ndarray:
+        if not len(bkeys):
+            return np.zeros(len(pk), dtype=bool)
+        pos = np.minimum(np.searchsorted(bkeys, pk), len(bkeys) - 1)
+        return bkeys[pos] == pk
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = in_brand(pk)
+        pk = pk[keep]
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        uk, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(uk),
+            "sq": pa.array(np.bincount(inv, weights=q.astype(np.float64))
+                           .astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    stats = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_partkey") \
+        .aggregate(Sum("sq", alias_name="sq"),
+                   Sum("cnt", alias_name="cnt")).to_pandas()
+    skeys = stats["l_partkey"].to_numpy()
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    ssq = stats["sq"].to_numpy()[order]
+    scnt = stats["cnt"].to_numpy()[order]
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = in_brand(pk)
+        b = batch.filter(pa.array(keep))
+        pk = pk[keep]
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(skeys, pk),
+                         max(len(skeys) - 1, 0))
+        ok = (skeys[pos] == pk) if len(skeys) else \
+            np.zeros(len(pk), dtype=bool)
+        small = ok & (q * 5 * scnt[pos] < ssq[pos])
+        cents = round_away(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "cents": pa.array([int(cents[small].sum())], pa.int64()),
+            "n_items": pa.array([int(small.sum())], pa.int64())})
+
+    t = _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    cents = int(t["cents"].sum())
+    return pa.table({
+        "avg_yearly": pa.array(round_away(
+            np.array([cents / 700.0]), 2)),
+        "n_items": pa.array([int(t["n_items"].sum())], pa.int64())})
