@@ -20,6 +20,15 @@ implementation in ``tests/test_rollup.py``):
 Everything is vectorized over the whole series batch at once (no per-url
 Python loop): buckets are computed on the flattened list values and reduced
 with ``np.add.reduceat``-style segment reductions over run boundaries.
+
+Each tier reduces the RAW flat values rather than cascading from the next
+finer tier (1h→1d→1w).  A cascade would make the coarse tiers
+O(fine-buckets) instead of O(N), but it changes float summation order —
+sum-of-hourly-sums ≠ sum-in-time-order in the last ulp — breaking the
+bit-for-bit tier oracle.  The per-tier reduceat passes are a small
+fraction of partition cost (the shuffle dominates), so exactness wins;
+at 100 TB the trade-off stays the same because each partition still
+holds only its own key range.
 """
 
 from __future__ import annotations
