@@ -82,6 +82,7 @@ def queries() -> dict:
         "theilsen_trend_events": tsq.theilsen_trend_events,
         "user_entropy_events": tsq.user_entropy_events,
         "weekly_profile_events": tsq.weekly_profile_events,
+        "multigrain_events": tsq.multigrain_events,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -697,6 +698,29 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "multigrain_events": """
+            WITH e AS (
+                SELECT event_type,
+                       date_trunc('day', ts) AS day,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type, day, count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+            FROM e GROUP BY event_type, day
+            UNION ALL
+            SELECT event_type, TIMESTAMP '1970-01-01', count(*),
+                   CAST(sum(cents) AS BIGINT) / 100.0
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT '(all)', day, count(*),
+                   CAST(sum(cents) AS BIGINT) / 100.0
+            FROM e GROUP BY day
+            UNION ALL
+            SELECT '(all)', TIMESTAMP '1970-01-01', count(*),
+                   CAST(sum(cents) AS BIGINT) / 100.0
+            FROM e
+        """,
         "weekly_profile_events": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) % 168

@@ -1077,3 +1077,62 @@ def user_entropy_events(sf_dir: str):
 
     return agg.groupby("user_id").map_groups(fold,
                                              batch_format="pyarrow")
+
+
+def multigrain_events(sf_dir: str):
+    """GROUPING-SETS shape: count + exact-cent totals at FOUR grains —
+    (event_type, day), (event_type), (day), () — from ONE pass over the
+    input.
+
+    Plan: the combiner emits only the finest grain (type, day) per
+    batch; after the one small keyed groupby, the three coarser grains
+    are re-aggregations of that finest-grain table (exact: integer
+    cents and counts compose associatively — this is the same
+    partial-reuse trick as the rollup tier cascade, valid here because
+    everything is integer).  Aggregated-out dimensions carry sentinel
+    values ('(all)' / epoch 0) rather than NULLs so value-hash
+    comparison is NULL-semantics-free on both engines."""
+    from ray.data.aggregate import Sum
+    DAY = 86400 * US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY) * DAY
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(day),
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(day), np.int64))})
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    finest = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("cents_sum", alias_name="cents"),
+                   Sum("n_sum", alias_name="n")).to_pandas()
+    # coarser grains re-aggregate the (types × days)-sized finest table
+    by_type = finest.groupby("event_type", as_index=False) \
+        [["cents", "n"]].sum()
+    by_day = finest.groupby("day", as_index=False)[["cents", "n"]].sum()
+    total = finest[["cents", "n"]].sum()
+
+    et = (finest["event_type"].tolist() + by_type["event_type"].tolist()
+          + ["(all)"] * len(by_day) + ["(all)"])
+    day = (finest["day"].tolist() + [0] * len(by_type)
+           + by_day["day"].tolist() + [0])
+    cents = np.concatenate([finest["cents"].to_numpy(),
+                            by_type["cents"].to_numpy(),
+                            by_day["cents"].to_numpy(),
+                            [int(total["cents"])]])
+    n = np.concatenate([finest["n"].to_numpy(), by_type["n"].to_numpy(),
+                        by_day["n"].to_numpy(), [int(total["n"])]])
+    return pa.table({
+        "event_type": pa.array(et, pa.string()),
+        "day": pa.array(np.asarray(day, np.int64),
+                        pa.int64()).cast(pa.timestamp("us")),
+        "n_events": pa.array(n.astype(np.int64)),
+        "total_value": pa.array(cents.astype(np.int64) / 100.0),
+    })
