@@ -83,6 +83,8 @@ def queries() -> dict:
         "user_entropy_events": tsq.user_entropy_events,
         "weekly_profile_events": tsq.weekly_profile_events,
         "multigrain_events": tsq.multigrain_events,
+        "user_interarrival_events": tsq.user_interarrival_events,
+        "top_supplier_per_nation": rel.top_supplier_per_nation,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -698,6 +700,38 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "user_interarrival_events": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   count(gap) AS n_gaps,
+                   round(CAST(min(gap) AS BIGINT) / 1000000.0, 6)
+                       AS min_gap_s,
+                   round(CAST(max(gap) AS BIGINT) / 1000000.0, 6)
+                       AS max_gap_s,
+                   round((CAST(sum(gap) AS BIGINT) / count(gap))
+                         / 1000000.0, 6) AS mean_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id
+        """,
+        "top_supplier_per_nation": """
+            SELECT n_name, s_suppkey, s_name,
+                   round(s_acctbal, 2) AS s_acctbal
+            FROM (
+                SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+                       row_number() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY CAST(round(s_acctbal * 100, 0)
+                                         AS BIGINT) DESC,
+                                    s_suppkey) AS rn
+                FROM supplier
+            ) JOIN nation ON n_nationkey = s_nationkey
+            WHERE rn = 1
+        """,
         "multigrain_events": """
             WITH e AS (
                 SELECT event_type,

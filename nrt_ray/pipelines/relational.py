@@ -1059,3 +1059,51 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#9"):
         "avg_yearly": pa.array(round_away(
             np.array([cents / 700.0]), 2)),
         "n_items": pa.array([int(t["n_items"].sum())], pa.int64())})
+
+
+def top_supplier_per_nation(sf_dir: str):
+    """Argmax-per-group shape (TPC-H Q2's core): for each nation the
+    supplier with the highest account balance, ties broken by lowest
+    suppkey.
+
+    Plan: per-batch argmax partial (one candidate row per nation per
+    batch) → per-nation fold over the ≤ #batches survivors; the
+    ordering key is exact integer cents so the argmax is
+    order-free; nation names resolve from a broadcast dimension."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nk)
+    nkeys = nk[order]
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)[order]
+
+    def best_rows(batch: pa.Table) -> pa.Table:
+        nat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        cents = round_away(
+            batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        ordr = np.lexsort((sk, -cents, nat))
+        _, first = np.unique(nat[ordr], return_index=True)
+        return batch.take(pa.array(np.sort(ordr[first])))
+
+    surv = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+        .map_batches(best_rows, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        return best_rows(g)
+
+    out = surv.groupby("s_nationkey") \
+        .map_groups(final, batch_format="pyarrow").to_pandas()
+    nat = out["s_nationkey"].to_numpy()
+    pos = np.minimum(np.searchsorted(nkeys, nat), len(nkeys) - 1)
+    return pa.table({
+        "n_name": pa.array(nnames[pos], pa.string()),
+        "s_suppkey": pa.array(out["s_suppkey"].to_numpy(), pa.int64()),
+        "s_name": pa.array(out["s_name"].astype(str), pa.string()),
+        "s_acctbal": pa.array(round_away(
+            out["s_acctbal"].to_numpy() * 100.0, 0).astype(np.int64)
+            / 100.0),
+    })

@@ -1136,3 +1136,71 @@ def multigrain_events(sf_dir: str):
         "n_events": pa.array(n.astype(np.int64)),
         "total_value": pa.array(cents.astype(np.int64) / 100.0),
     })
+
+
+def user_interarrival_events(sf_dir: str):
+    """LAG-window shape: per-user inter-arrival gap statistics
+    (count / min / max / mean of consecutive-event time deltas).
+
+    Plan: one user-keyed exchange; inside each partition the fold is
+    fully vectorized — one lexsort, one ``np.diff``, boundary-masked
+    ``reduceat`` segment reductions; no per-user Python loop.  Gaps are
+    exact integer microseconds until the final divide, and the gap
+    MULTISET is invariant to timestamp-tie ordering (sorting by ts
+    alone fixes the consecutive-difference multiset), so the oracle's
+    ``LAG ... ORDER BY ts`` needs no tie-break column."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        d = np.diff(ts)
+        same = u[1:] == u[:-1]
+        gd = d[same]
+        gu = u[1:][same]
+        if not len(gd):
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "min_gap_s": pa.array([], pa.float64()),
+                "max_gap_s": pa.array([], pa.float64()),
+                "mean_gap_s": pa.array([], pa.float64())})
+        uids, starts = np.unique(gu, return_index=True)
+        ends = np.append(starts[1:], len(gu))
+        n = (ends - starts).astype(np.int64)
+        sums = np.add.reduceat(gd, starts)
+        return pa.table({
+            "user_id": pa.array(uids, pa.int64()),
+            "n_gaps": pa.array(n),
+            "min_gap_s": pa.array(round_away(
+                np.minimum.reduceat(gd, starts) / 1000000.0, 6)),
+            "max_gap_s": pa.array(round_away(
+                np.maximum.reduceat(gd, starts) / 1000000.0, 6)),
+            "mean_gap_s": pa.array(round_away(
+                (sums / n) / 1000000.0, 6)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "min_gap_s": pa.array([], pa.float64()),
+            "max_gap_s": pa.array([], pa.float64()),
+            "mean_gap_s": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
