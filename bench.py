@@ -124,6 +124,8 @@ BENCH_QUERIES = (
     "doc_boilerplate_ratio",
     "doc_unigram_lm_scores",
     "join_orders_customers_shuffle",
+    "q5_local_supplier_volume",
+    "q18_large_volume_orders",
     "pack_sequences_docs",
     "curate_corpus_docs",
 )

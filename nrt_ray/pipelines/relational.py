@@ -778,14 +778,14 @@ def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 250,
     """TPC-H Q18 shape: the ``k`` largest-by-totalprice orders whose
     total lineitem quantity exceeds a threshold (HAVING subquery).
 
-    Plan: per-orderkey quantity sums are combiner partials + groupby;
-    the HAVING filter runs distributed; survivors (rare by
-    construction) shuffle-join back to orders, customer names resolve
-    via a broadcast dimension lookup, and the top-k is a per-batch
-    partial + tiny driver merge — no global sort."""
+    Plan: ONE two-sided hash exchange (``shuffle_cogroup``) — lineitem
+    quantity partials co-partition with orders on the orderkey, and the
+    reduce fuses per-key aggregate → HAVING filter → join → local
+    top-k, instead of a groupby all-to-all followed by a join exchange;
+    customer names resolve via a broadcast dimension lookup and the
+    driver merges ≤ k survivor rows per partition — no global sort."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
-    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    from nrt_ray.stages.shuffle_join import shuffle_cogroup
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -798,14 +798,8 @@ def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 250,
             "q": pa.array(np.bincount(inv, weights=q.astype(np.float64))
                           .astype(np.int64))})
 
-    def having(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["sum_qty"], qty_threshold))
-
-    sums = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
-        .map_batches(qty_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty")) \
-        .map_batches(having, batch_format="pyarrow")
-
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_totalprice"])
@@ -818,10 +812,35 @@ def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 250,
             "o_totalprice": pa.array([], pa.float64()),
             "sum_qty": pa.array([], pa.int64())})
 
-    joined = shuffle_hash_join(orders, sums, on_left="o_orderkey",
-                               on_right="l_orderkey",
-                               num_partitions=max(2, pool_size()),
-                               empty_fn=empty)
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt is None or rt is None:
+            return empty()
+        ok = lt["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = lt["q"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=q.astype(np.float64)) \
+            .astype(np.int64)
+        big = sums > qty_threshold
+        bk, bq = uk[big], sums[big]
+        rk = rt["o_orderkey"].to_numpy(zero_copy_only=False)
+        rorder = np.argsort(rk)
+        pos = np.searchsorted(rk[rorder], bk)
+        pos = np.minimum(pos, max(len(rk) - 1, 0))
+        hit = rk[rorder][pos] == bk
+        rows = rt.take(pa.array(rorder[pos[hit]]))
+        rows = rows.append_column("sum_qty", pa.array(bq[hit]))
+        tp = round_away(rows["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0, 0).astype(np.int64)
+        od = rows["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        okk = rows["o_orderkey"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((okk, od, -tp))[:k]
+        return rows.take(pa.array(np.sort(best)))
+
+    joined = shuffle_cogroup(li, orders, on_left="l_orderkey",
+                             on_right="o_orderkey",
+                             num_partitions=max(2, pool_size()),
+                             reduce_fn=reduce_fn, empty_fn=empty)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
@@ -829,17 +848,7 @@ def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 250,
     ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)[corder]
     cnames = np.asarray(cust["c_name"].to_pylist(), dtype=object)[corder]
 
-    def part_topk(batch: pa.Table) -> pa.Table:
-        tp = round_away(batch["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0, 0).astype(np.int64)
-        od = batch["o_orderdate"].cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ok, od, -tp))[:k]
-        return batch.take(pa.array(np.sort(order)))
-
-    surv = joined.map_batches(part_topk, batch_format="pyarrow") \
-        .to_pandas()
+    surv = joined.to_pandas()
     surv["_cents"] = round_away(
         surv["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
     surv = surv.sort_values(["_cents", "o_orderdate", "o_orderkey"],

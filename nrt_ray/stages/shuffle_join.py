@@ -151,3 +151,51 @@ def shuffle_hash_join(left, right, *, on_left: str, on_right: str,
                      + [rsplit[b][p] for b in range(len(rsplit))]))
                for p in range(num_partitions)]
     return ray.data.from_arrow_refs(out)
+
+
+def _cogroup_partition(n_left, reduce_fn, empty_fn, *tables):
+    lparts = [t for t in tables[:n_left] if t is not None and t.num_rows]
+    rparts = [t for t in tables[n_left:] if t is not None and t.num_rows]
+    lt = pa.concat_tables(lparts).drop_columns(["pid"]) if lparts \
+        else None
+    rt = pa.concat_tables(rparts).drop_columns(["pid"]) if rparts \
+        else None
+    if lt is None and rt is None:
+        return empty_fn()
+    return reduce_fn(lt, rt)
+
+
+def shuffle_cogroup(left, right, *, on_left: str, on_right: str,
+                    num_partitions: int, reduce_fn, empty_fn):
+    """Co-group two Datasets on int64 keys: ONE two-sided hash exchange,
+    then ``reduce_fn(left_tbl, right_tbl)`` per partition over the
+    co-partitioned pair (either side may be None when empty).
+
+    This is the fused alternative to groupby-then-join: any chain of
+    per-key aggregate → filter → join → local fold that keys on the
+    SAME column runs in a single all-to-all instead of one per step —
+    the reduce sees every row of its key range from both sides, so
+    per-key aggregates computed inside it are complete.
+    """
+    ltag = left.map_batches(lambda t: _tag(t, on_left, num_partitions),
+                            batch_format="pyarrow")
+    rtag = right.map_batches(lambda t: _tag(t, on_right, num_partitions),
+                             batch_format="pyarrow")
+    red = ray.remote(_cogroup_partition)
+    if num_partitions == 1:
+        lrefs = list(_iter_block_refs(ltag))
+        rrefs = list(_iter_block_refs(rtag))
+        out = [red.remote(len(lrefs), reduce_fn, empty_fn,
+                          *(lrefs + rrefs))]
+    else:
+        split = ray.remote(num_returns=num_partitions)(_split_block)
+        lsplit = [split.remote(r, num_partitions)
+                  for r in _iter_block_refs(ltag)]
+        rsplit = [split.remote(r, num_partitions)
+                  for r in _iter_block_refs(rtag)]
+        out = [red.remote(
+                   len(lsplit), reduce_fn, empty_fn,
+                   *([lsplit[b][p] for b in range(len(lsplit))]
+                     + [rsplit[b][p] for b in range(len(rsplit))]))
+               for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(out)

@@ -184,3 +184,49 @@ def test_left_outer_join_empty_right(ray_session):
         .sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == [1, 2, 3]
     assert got["rv"].isna().all()
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_cogroup_fused_aggregate_join(ray_session, nparts):
+    """cogroup sees every row of a key range from both sides, so a
+    per-key aggregate computed inside the reduce is complete."""
+    import ray.data
+    from nrt_ray.stages.shuffle_join import shuffle_cogroup
+    rng = np.random.default_rng(51)
+    lk = rng.integers(0, 25, 200)
+    lv = rng.integers(1, 10, 200)
+    rk = np.arange(25)
+
+    def empty():
+        return pa.table({"k": pa.array([], pa.int64()),
+                         "lsum": pa.array([], pa.int64()),
+                         "rcnt": pa.array([], pa.int64())})
+
+    def reduce_fn(lt, rt):
+        if lt is None or rt is None:
+            return empty()
+        keys = lt["k"].to_numpy(zero_copy_only=False)
+        v = lt["lv"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        lsum = np.bincount(inv, weights=v.astype(np.float64)) \
+            .astype(np.int64)
+        rkeys = np.sort(rt["rk"].to_numpy(zero_copy_only=False))
+        rcnt = np.searchsorted(rkeys, uk, side="right") \
+            - np.searchsorted(rkeys, uk, side="left")
+        return pa.table({"k": pa.array(uk), "lsum": pa.array(lsum),
+                         "rcnt": pa.array(rcnt.astype(np.int64))})
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(lv, pa.int64())})).repartition(3)
+    rds = ray.data.from_arrow(pa.table(
+        {"rk": pa.array(rk, pa.int64())})).repartition(2)
+    got = shuffle_cogroup(lds, rds, on_left="k", on_right="rk",
+                          num_partitions=nparts, reduce_fn=reduce_fn,
+                          empty_fn=empty).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = pd.DataFrame({"k": lk, "lv": lv}).groupby("k", as_index=False) \
+        .agg(lsum=("lv", "sum"))
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lsum"].tolist() == exp["lsum"].tolist()
+    assert (got["rcnt"] == 1).all()
