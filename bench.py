@@ -156,6 +156,12 @@ def main() -> None:
     import logging
     import warnings
     warnings.filterwarnings("ignore")
+    # quiet worker-side Ray Data console logging (see data_logging.yaml);
+    # must be set before ray.init so workers inherit it
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "nrt_ray", "data_logging.yaml"))
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
