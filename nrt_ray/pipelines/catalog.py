@@ -85,6 +85,7 @@ def queries() -> dict:
         "multigrain_events": tsq.multigrain_events,
         "user_interarrival_events": tsq.user_interarrival_events,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
+        "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
         "sessionize_events": win.sessionize_events,
         "hopping_1h_15m_events": win.hopping_windows_events,
@@ -717,6 +718,24 @@ def oracle_sql() -> dict:
                          / 1000000.0, 6) AS mean_gap_s
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id
+        """,
+        "supplier_network_hops": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            ),
+            walk(ntype, key, hop) AS (
+                SELECT 'c', 0, 0
+                UNION
+                SELECT CASE WHEN w.ntype = 'c' THEN 's' ELSE 'c' END,
+                       CASE WHEN w.ntype = 'c' THEN e.s ELSE e.c END,
+                       w.hop + 1
+                FROM walk w JOIN e ON (w.ntype = 'c' AND e.c = w.key)
+                                  OR (w.ntype = 's' AND e.s = w.key)
+                WHERE w.hop < 4
+            )
+            SELECT ntype, key AS node_key, min(hop) AS hop
+            FROM walk GROUP BY ntype, key
         """,
         "top_supplier_per_nation": """
             SELECT n_name, s_suppkey, s_name,

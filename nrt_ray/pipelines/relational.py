@@ -1116,3 +1116,112 @@ def top_supplier_per_nation(sf_dir: str):
             out["s_acctbal"].to_numpy() * 100.0, 0).astype(np.int64)
             / 100.0),
     })
+
+
+def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4):
+    """Iterative BFS over the customer–supplier bipartite graph: minimum
+    hop distance from one seed customer, where an edge means "at least
+    one order line" — the graph-traversal shape (frontier expansion)
+    composed entirely from the engine's join primitives.
+
+    Plan: the edge list is lineitem⋈orders (two-sided shuffle join)
+    deduplicated by composite key; each BFS level is edges SEMI-joined
+    against the frontier (matched edges → neighbor projection →
+    distinct) then ANTI-joined against the visited set — all
+    distributed Datasets, no driver-side adjacency structure.  Hop
+    arithmetic is pure integers, so results are bit-exact.  At scale
+    the edge table would be hash-split once and reused across levels
+    (the per-level re-tag here is the simple form of the same plan);
+    frontier/visited stay node-sized Datasets."""
+    from ray.data.aggregate import Count
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    nparts = max(2, pool_size())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ejoin_empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "l_suppkey": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64())})
+
+    pairs = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                              on_right="o_orderkey",
+                              num_partitions=nparts,
+                              empty_fn=ejoin_empty)
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        k = np.unique((c.astype(np.int64) << 32) | s.astype(np.int64))
+        return pa.table({"k": pa.array(k)})
+
+    def from_key(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array(k >> 32),
+                         "s": pa.array(k & ((1 << 32) - 1))})
+
+    edges = pairs.map_batches(to_key, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="_n")) \
+        .map_batches(from_key, batch_format="pyarrow").materialize()
+
+    def node_tbl(arr, hop: int) -> pa.Table:
+        return pa.table({"node": pa.array(np.asarray(arr, np.int64)),
+                         "hop": pa.array(
+                             np.full(len(arr), hop, np.int64))})
+
+    def node_empty() -> pa.Table:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "hop": pa.array([], pa.int64())})
+
+    def edge_empty() -> pa.Table:
+        return pa.table({"c": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64())})
+
+    import ray.data as rd
+    frontier = rd.from_arrow(node_tbl([seed], 0))
+    visited = {"c": frontier, "s": rd.from_arrow(node_empty())}
+    levels = [frontier]
+    side = "c"                      # frontier's node type
+    for hop in range(1, max_hops + 1):
+        other = "s" if side == "c" else "c"
+        touched = shuffle_hash_join(edges, frontier, on_left=side,
+                                    on_right="node",
+                                    num_partitions=nparts,
+                                    empty_fn=edge_empty, how="semi")
+
+        def proj(batch: pa.Table, col=other, h=hop) -> pa.Table:
+            u = np.unique(batch[col].to_numpy(zero_copy_only=False))
+            return node_tbl(u, h)
+
+        def dedup(batch: pa.Table, h=hop) -> pa.Table:
+            u = np.unique(batch["node"].to_numpy(zero_copy_only=False))
+            return node_tbl(u, h)
+
+        cand = touched.map_batches(proj, batch_format="pyarrow") \
+            .groupby("node").aggregate(Count(alias_name="_n")) \
+            .map_batches(lambda t, h=hop: node_tbl(
+                t["node"].to_numpy(zero_copy_only=False), h),
+                batch_format="pyarrow")
+        new = shuffle_hash_join(cand, visited[other], on_left="node",
+                                on_right="node",
+                                num_partitions=nparts,
+                                empty_fn=node_empty,
+                                how="anti").materialize()
+        if new.count() == 0:
+            break
+        levels.append(new)
+        visited[other] = visited[other].union(new).materialize()
+        frontier, side = new, other
+
+    out = levels[0].union(*levels[1:]) if len(levels) > 1 else levels[0]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hop = batch["hop"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ntype": pa.array(np.where(hop % 2 == 0, "c", "s"),
+                              pa.string()),
+            "node_key": batch["node"],
+            "hop": batch["hop"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
