@@ -84,6 +84,7 @@ def queries() -> dict:
         "weekly_profile_events": tsq.weekly_profile_events,
         "multigrain_events": tsq.multigrain_events,
         "user_interarrival_events": tsq.user_interarrival_events,
+        "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -701,6 +702,23 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "user_time_weighted_avg": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS tus,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_obs,
+                   round(CAST(sum(CAST(cents AS HUGEINT)
+                                  * (nxt - tus)) AS DOUBLE)
+                         / CAST(max(tus) - min(tus) AS DOUBLE)
+                         / 100.0, 6) AS twa
+            FROM t GROUP BY user_id
+            HAVING max(tus) > min(tus)
+        """,
         "user_interarrival_events": """
             WITH g AS (
                 SELECT user_id,

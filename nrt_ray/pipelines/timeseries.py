@@ -1204,3 +1204,85 @@ def user_interarrival_events(sf_dir: str):
                                columns=["user_id", "ts"]) \
         .map_batches(prep, batch_format="pyarrow")
     return exchange_dataset(ds, nparts, fold, empty)
+
+
+def user_time_weighted_avg(sf_dir: str):
+    """Time-weighted average (LOCF integral) per user — the TSDB
+    ``time_weight`` shape: each observation holds its value until the
+    next one, so TWA = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first), which
+    weights sparse-period values by how long they persisted (a plain
+    mean overweights bursts).
+
+    Exactness: the numerator Σ cents·Δµs can reach ~10²⁰ (past both
+    int64 and float64-exact range), so it accumulates as an exact
+    128-bit integer — Δµs split into 32-bit halves, two int64
+    ``reduceat`` sums, recombined per user as arbitrary-precision ints
+    — mirroring the oracle's HUGEINT sum; both engines then perform
+    the identical double divisions.  Timestamp ties order by event_id
+    on both sides (which value persists across a tie matters).  One
+    user-keyed exchange, diff/reduceat, per-user work only at the
+    final recombine."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(cents),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        d = np.diff(ts)
+        same = (u[1:] == u[:-1]).astype(np.int64)
+        # exact Σ cents·Δµs via 32-bit split: per-term products and
+        # their partition sums each fit int64 (cents ≤ 10⁶,
+        # hi ≤ span/2³², lo < 2³², ≲10³ obs/user)
+        hi = (d >> 32) * same
+        lo = (d & np.int64(0xFFFFFFFF)) * same
+        term_hi = c[:-1] * hi
+        term_lo = c[:-1] * lo
+        uids, starts = np.unique(u, return_index=True)
+        ends = np.append(starts[1:], len(u))
+        tstarts = np.minimum(starts, max(len(d) - 1, 0))
+        if len(d):
+            s_hi = np.add.reduceat(term_hi, tstarts)
+            s_lo = np.add.reduceat(term_lo, tstarts)
+            s_hi[starts >= len(d)] = 0
+            s_lo[starts >= len(d)] = 0
+        else:
+            s_hi = s_lo = np.zeros(len(uids), np.int64)
+        span_us = ts[ends - 1] - ts[starts]
+        ok = np.flatnonzero(span_us > 0)
+        twa = np.empty(len(ok), np.float64)
+        for j, i in enumerate(ok):
+            num = (int(s_hi[i]) << 32) + int(s_lo[i])   # exact 128-bit
+            twa[j] = float(num) / float(span_us[i]) / 100.0
+        return pa.table({
+            "user_id": pa.array(uids[ok], pa.int64()),
+            "n_obs": pa.array((ends - starts)[ok].astype(np.int64)),
+            "twa": pa.array(round_away(twa, 6)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_obs": pa.array([], pa.int64()),
+                         "twa": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
