@@ -85,6 +85,7 @@ def queries() -> dict:
         "multigrain_events": tsq.multigrain_events,
         "user_interarrival_events": tsq.user_interarrival_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
+        "user_ohlc_daily": tsq.user_ohlc_daily,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -702,6 +703,27 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "user_ohlc_daily": """
+            WITH t AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('day', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            )
+            SELECT user_id, day, count(*) AS n_obs,
+                   CAST(max(CASE WHEN rn_a = 1 THEN cents END)
+                        AS BIGINT) / 100.0 AS open,
+                   CAST(max(cents) AS BIGINT) / 100.0 AS high,
+                   CAST(min(cents) AS BIGINT) / 100.0 AS low,
+                   CAST(max(CASE WHEN rn_d = 1 THEN cents END)
+                        AS BIGINT) / 100.0 AS close
+            FROM t GROUP BY user_id, day
+        """,
         "user_time_weighted_avg": """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS tus,

@@ -1286,3 +1286,68 @@ def user_time_weighted_avg(sf_dir: str):
                                         "value"]) \
         .map_batches(prep, batch_format="pyarrow")
     return exchange_dataset(ds, nparts, fold, empty)
+
+
+def user_ohlc_daily(sf_dir: str):
+    """OHLC bars per (user, day): open / high / low / close / count —
+    the financial candlestick downsample, all exact cents.
+
+    Plan: one user-keyed exchange; the fold lexsorts once by (user,
+    day, ts, event_id) and segment-reduces over (user, day) run
+    boundaries — open/close are the run endpoints, high/low are
+    min/max ``reduceat``; no per-user Python loop.  Ties in ts order
+    by event_id on both engines (which trade "opens" a bar matters)."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(cents),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        day = (ts // DAY) * DAY
+        order = np.lexsort((eid, ts, day, u))
+        u, day, c = u[order], day[order], c[order]
+        starts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                      | (day[1:] != day[:-1])])
+        ends = np.r_[starts[1:], len(u)]
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "day": pa.array(day[starts],
+                            pa.int64()).cast(pa.timestamp("us")),
+            "n_obs": pa.array((ends - starts).astype(np.int64)),
+            "open": pa.array(c[starts] / 100.0),
+            "high": pa.array(np.maximum.reduceat(c, starts) / 100.0),
+            "low": pa.array(np.minimum.reduceat(c, starts) / 100.0),
+            "close": pa.array(c[ends - 1] / 100.0),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "day": pa.array([], pa.timestamp("us")),
+            "n_obs": pa.array([], pa.int64()),
+            "open": pa.array([], pa.float64()),
+            "high": pa.array([], pa.float64()),
+            "low": pa.array([], pa.float64()),
+            "close": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
