@@ -86,6 +86,7 @@ def queries() -> dict:
         "user_interarrival_events": tsq.user_interarrival_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
+        "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -703,6 +704,17 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "clicks_before_purchase_1h": """
+            SELECT p.event_id, p.user_id,
+                   count(c.event_id) AS n_clicks
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+        """,
         "user_ohlc_daily": """
             WITH t AS (
                 SELECT user_id, date_trunc('day', ts) AS day,
