@@ -87,6 +87,7 @@ def queries() -> dict:
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
+        "props_json_stats": tsq.props_json_stats,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -704,6 +705,16 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "props_json_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
         "clicks_before_purchase_1h": """
             SELECT p.event_id, p.user_id,
                    count(c.event_id) AS n_clicks

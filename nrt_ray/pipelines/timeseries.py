@@ -1428,3 +1428,36 @@ def clicks_before_purchase_1h(sf_dir: str, window_s: int = 3600):
                                         "event_type"]) \
         .map_batches(prep, batch_format="pyarrow")
     return exchange_dataset(ds, nparts, fold, empty)
+
+
+def props_json_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the events' JSON ``props`` column and aggregate it per event type —
+    the "JSON sidecar" shape every log pipeline has.
+
+    Plan: extraction is a single vectorized Arrow ``extract_regex``
+    kernel over the whole batch (no per-row json.loads), exact int64
+    stats via combiner partials + a tiny groupby.  The regex is
+    correct for this corpus's flat one-key objects; a nested-JSON
+    corpus would swap in a real parser behind the same batch
+    interface."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"],
+                              r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": batch["event_type"],
+                      "k": pa.array(k)})
+        return t.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("k_count", alias_name="n_events"),
+                   Sum("k_sum", alias_name="sum_k"),
+                   Min("k_min", alias_name="min_k"),
+                   Max("k_max", alias_name="max_k"))
