@@ -84,6 +84,17 @@ def main(argv=None) -> int:
                      help="tokens per packed bin")
     cur.add_argument("--num-cpus", type=int, default=None)
 
+    exp = sub.add_parser("export", help="convert a parquet table to "
+                                        "JSONL or CSV shards (timestamps "
+                                        "as epoch microseconds)")
+    exp.add_argument("--input", required=True, help="parquet file/dir")
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--format", default="jsonl",
+                     choices=["jsonl", "csv"])
+    exp.add_argument("--drop-binary", action="store_true",
+                     help="drop binary columns (not representable)")
+    exp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -114,6 +125,25 @@ def main(argv=None) -> int:
             ds = top_recent_breaks(args.out, k=args.k)
             for row in ds.take_all():
                 print(json.dumps(row, default=str))
+        elif args.cmd == "export":
+            import pyarrow as pa
+            import ray.data
+            from nrt_ray.sources import formats
+            ds = ray.data.read_parquet(args.input)
+            if args.drop_binary:
+                drop = [f.name for f in ds.schema().base_schema
+                        if pa.types.is_binary(f.type)
+                        or pa.types.is_large_binary(f.type)]
+                if drop:
+                    ds = ds.drop_columns(drop)
+            if args.format == "jsonl":
+                ts_cols = formats.dataset_to_jsonl(ds, args.out)
+            else:
+                ts_cols = formats.dataset_to_csv(ds, args.out)
+            import os as _os
+            print(json.dumps({"out": args.out, "format": args.format,
+                              "ts_columns": ts_cols,
+                              "shards": len(_os.listdir(args.out))}))
         elif args.cmd == "curate":
             import pyarrow.compute as pc
             import pyarrow.dataset as pds
