@@ -88,6 +88,7 @@ def queries() -> dict:
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
+        "user_running_total_events": tsq.user_running_total_events,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -705,6 +706,15 @@ def oracle_sql() -> dict:
             GROUP BY s.user_id, t.n_events, t.n_types
         """,
         # hour-of-week seasonal profile: exact integer-cent means
+        "user_running_total_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) / 100.0 AS running_total
+            FROM events
+        """,
         "props_json_stats": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(json_extract(props, '$.k')

@@ -1461,3 +1461,62 @@ def props_json_stats(sf_dir: str):
                    Sum("k_sum", alias_name="sum_k"),
                    Min("k_min", alias_name="min_k"),
                    Max("k_max", alias_name="max_k"))
+
+
+def user_running_total_events(sf_dir: str):
+    """Cumulative window shape (``SUM OVER … ROWS UNBOUNDED
+    PRECEDING``): every event annotated with its user's running value
+    total up to and including it — the running-balance / cumulative-
+    metric pattern, exact integer cents throughout.
+
+    Plan: one user-keyed exchange; the fold lexsorts by (user, ts,
+    event_id) and computes all users' cumulative sums in one
+    vectorized pass (global cumsum minus each group's starting
+    offset) — no per-user loop, output is input-sized and streams
+    back as a Dataset."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(cents),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, c = u[order], ts[order], eid[order], c[order]
+        cs = np.cumsum(c)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(c)])
+        # subtract the cumulative total just before each group start
+        # (repeat, not accumulate: works for negative values too)
+        base = np.r_[0, cs[starts[1:] - 1]] if len(starts) else \
+            np.array([], np.int64)
+        run = cs - np.repeat(base, sizes)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "running_total": pa.array(run / 100.0)})
+
+    def empty() -> pa.Table:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "user_id": pa.array([], pa.int64()),
+                         "running_total": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
