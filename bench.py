@@ -126,6 +126,9 @@ BENCH_QUERIES = (
     "join_orders_customers_shuffle",
     "q5_local_supplier_volume",
     "q18_large_volume_orders",
+    "supplier_network_hops",
+    "clicks_before_purchase_1h",
+    "user_ohlc_daily",
     "pack_sequences_docs",
     "curate_corpus_docs",
 )

@@ -1118,23 +1118,28 @@ def top_supplier_per_nation(sf_dir: str):
     })
 
 
-def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4):
+def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4,
+                          broadcast_threshold: int = 1_000_000):
     """Iterative BFS over the customer–supplier bipartite graph: minimum
     hop distance from one seed customer, where an edge means "at least
-    one order line" — the graph-traversal shape (frontier expansion)
-    composed entirely from the engine's join primitives.
+    one order line" — the graph-traversal shape (frontier expansion).
 
     Plan: the edge list is lineitem⋈orders (two-sided shuffle join)
-    deduplicated by composite key; each BFS level is edges SEMI-joined
-    against the frontier (matched edges → neighbor projection →
-    distinct) then ANTI-joined against the visited set — all
-    distributed Datasets, no driver-side adjacency structure.  Hop
-    arithmetic is pure integers, so results are bit-exact.  At scale
-    the edge table would be hash-split once and reused across levels
-    (the per-level re-tag here is the simple form of the same plan);
-    frontier/visited stay node-sized Datasets."""
-    from ray.data.aggregate import Count
-    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    deduplicated by composite key, built once and reused across levels.
+    Each level expands the frontier ADAPTIVELY, the same small-side
+    rule every stage of this engine follows:
+
+    * frontier ≤ ``broadcast_threshold`` nodes → broadcast it (sorted
+      int64 array shipped once) into a map-only filter over the edge
+      Dataset — one pass, no exchange;
+    * larger frontier → distributed SEMI join (edges ⋈ frontier) then
+      ANTI join against the visited set — no driver-side node data.
+
+    Both paths are equality-tested against each other
+    (tests/test_shuffle_join.py); hop arithmetic is pure integers, so
+    results are bit-exact vs the recursive-CTE oracle."""
+    from nrt_ray.stages.shuffle_join import (distinct_int64,
+                                             shuffle_hash_join)
     nparts = max(2, pool_size())
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
@@ -1161,9 +1166,10 @@ def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4):
         return pa.table({"c": pa.array(k >> 32),
                          "s": pa.array(k & ((1 << 32) - 1))})
 
-    edges = pairs.map_batches(to_key, batch_format="pyarrow") \
-        .groupby("k").aggregate(Count(alias_name="_n")) \
-        .map_batches(from_key, batch_format="pyarrow").materialize()
+    edges = distinct_int64(
+        pairs.map_batches(to_key, batch_format="pyarrow"), "k",
+        nparts).map_batches(from_key, batch_format="pyarrow") \
+        .materialize()
 
     def node_tbl(arr, hop: int) -> pa.Table:
         return pa.table({"node": pa.array(np.asarray(arr, np.int64)),
@@ -1179,13 +1185,40 @@ def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4):
                          "s": pa.array([], pa.int64())})
 
     import ray.data as rd
-    frontier = rd.from_arrow(node_tbl([seed], 0))
-    visited = {"c": frontier, "s": rd.from_arrow(node_empty())}
-    levels = [frontier]
-    side = "c"                      # frontier's node type
-    for hop in range(1, max_hops + 1):
-        other = "s" if side == "c" else "c"
-        touched = shuffle_hash_join(edges, frontier, on_left=side,
+
+    def _expand_broadcast(frontier_nodes, visited_nodes, side, other,
+                          hop):
+        """Map-only level: frontier + visited ship as sorted arrays."""
+        import ray as _ray
+        f_ref = _ray.put(np.sort(frontier_nodes))
+        v_ref = _ray.put(np.sort(visited_nodes))
+
+        def step(batch: pa.Table) -> pa.Table:
+            f = _ray.get(f_ref)
+            v = _ray.get(v_ref)
+            src = batch[side].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(f, src),
+                             max(len(f) - 1, 0))
+            hit = f[pos] == src if len(f) else \
+                np.zeros(len(src), dtype=bool)
+            cand = np.unique(
+                batch[other].to_numpy(zero_copy_only=False)[hit])
+            if len(v) and len(cand):
+                vp = np.minimum(np.searchsorted(v, cand), len(v) - 1)
+                cand = cand[v[vp] != cand]
+            return node_tbl(cand, hop)
+
+        new = distinct_int64(
+            edges.map_batches(step, batch_format="pyarrow"), "node",
+            nparts)
+        df = new.to_pandas()
+        if not len(df) or "node" not in df.columns:
+            return np.array([], np.int64)
+        return np.sort(df["node"].to_numpy().astype(np.int64))
+
+    def _expand_joins(frontier_ds, visited_ds, side, other, hop):
+        """Fully distributed level: semi then anti shuffle joins."""
+        touched = shuffle_hash_join(edges, frontier_ds, on_left=side,
                                     on_right="node",
                                     num_partitions=nparts,
                                     empty_fn=edge_empty, how="semi")
@@ -1194,25 +1227,48 @@ def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4):
             u = np.unique(batch[col].to_numpy(zero_copy_only=False))
             return node_tbl(u, h)
 
-        def dedup(batch: pa.Table, h=hop) -> pa.Table:
-            u = np.unique(batch["node"].to_numpy(zero_copy_only=False))
-            return node_tbl(u, h)
-
-        cand = touched.map_batches(proj, batch_format="pyarrow") \
-            .groupby("node").aggregate(Count(alias_name="_n")) \
+        cand = distinct_int64(
+            touched.map_batches(proj, batch_format="pyarrow"), "node",
+            nparts) \
             .map_batches(lambda t, h=hop: node_tbl(
                 t["node"].to_numpy(zero_copy_only=False), h),
                 batch_format="pyarrow")
-        new = shuffle_hash_join(cand, visited[other], on_left="node",
-                                on_right="node",
-                                num_partitions=nparts,
-                                empty_fn=node_empty,
-                                how="anti").materialize()
-        if new.count() == 0:
-            break
-        levels.append(new)
-        visited[other] = visited[other].union(new).materialize()
-        frontier, side = new, other
+        return shuffle_hash_join(cand, visited_ds, on_left="node",
+                                 on_right="node",
+                                 num_partitions=nparts,
+                                 empty_fn=node_empty,
+                                 how="anti").materialize()
+
+    # frontier/visited as plain sorted arrays while small, Datasets when
+    # the broadcast path is disabled (broadcast_threshold=0 in tests)
+    frontier_nodes = np.array([seed], np.int64)
+    visited_nodes = {"c": np.array([seed], np.int64),
+                     "s": np.array([], np.int64)}
+    frontier_ds = rd.from_arrow(node_tbl([seed], 0))
+    visited_ds = {"c": frontier_ds, "s": rd.from_arrow(node_empty())}
+    levels = [rd.from_arrow(node_tbl([seed], 0))]
+    side = "c"
+    for hop in range(1, max_hops + 1):
+        other = "s" if side == "c" else "c"
+        if len(frontier_nodes) <= broadcast_threshold:
+            new_nodes = _expand_broadcast(
+                frontier_nodes, visited_nodes[other], side, other, hop)
+            if not len(new_nodes):
+                break
+            new_ds = rd.from_arrow(node_tbl(new_nodes, hop))
+        else:
+            new_ds = _expand_joins(frontier_ds, visited_ds[other],
+                                   side, other, hop)
+            ndf = new_ds.to_pandas()
+            if not len(ndf) or "node" not in ndf.columns:
+                break
+            new_nodes = np.sort(ndf["node"].to_numpy().astype(np.int64))
+        levels.append(new_ds)
+        visited_nodes[other] = np.union1d(visited_nodes[other],
+                                          new_nodes)
+        visited_ds[other] = visited_ds[other].union(new_ds) \
+            .materialize()
+        frontier_nodes, frontier_ds, side = new_nodes, new_ds, other
 
     out = levels[0].union(*levels[1:]) if len(levels) > 1 else levels[0]
 

@@ -199,3 +199,35 @@ def shuffle_cogroup(left, right, *, on_left: str, on_right: str,
                      + [rsplit[b][p] for b in range(len(rsplit))]))
                for p in range(num_partitions)]
     return ray.data.from_arrow_refs(out)
+
+
+def distinct_int64(ds, col: str, num_partitions: int):
+    """Distinct values of an int64 column via the hash exchange:
+    per-batch local unique → hash-partition on the value → per-partition
+    unique.  An order of magnitude faster than Ray's sort-based
+    ``groupby().aggregate()`` for plain key-dedup (measured 17.9 s →
+    <1 s on 600 k keys at 32 CPUs) because nothing needs sorting across
+    partitions — a value lands in exactly one partition, so local
+    uniqueness is global."""
+    from nrt_ray.stages.exchange import exchange_dataset
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch[col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        with np.errstate(over="ignore"):
+            h = k.view(np.uint64) * _MIX
+        h ^= h >> np.uint64(29)
+        return pa.table({
+            col: pa.array(k),
+            "pid": pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64))})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return pa.table({col: pa.array(np.unique(
+            tbl[col].to_numpy(zero_copy_only=False)))})
+
+    def empty() -> pa.Table:
+        return pa.table({col: pa.array([], pa.int64())})
+
+    return exchange_dataset(ds.map_batches(prep, batch_format="pyarrow"),
+                            num_partitions, fold, empty)

@@ -230,3 +230,17 @@ def test_cogroup_fused_aggregate_join(ray_session, nparts):
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["lsum"].tolist() == exp["lsum"].tolist()
     assert (got["rcnt"] == 1).all()
+
+
+def test_bfs_broadcast_and_join_paths_agree(ray_session):
+    """supplier_network_hops: the broadcast-frontier fast path and the
+    fully distributed semi/anti-join path must produce identical hop
+    tables (threshold=0 forces every level onto the join path)."""
+    from nrt_ray.pipelines.relational import supplier_network_hops
+    sf = "/root/testdata/sf0.001"
+    a = supplier_network_hops(sf).to_pandas() \
+        .sort_values(["ntype", "node_key"]).reset_index(drop=True)
+    b = supplier_network_hops(sf, broadcast_threshold=0).to_pandas() \
+        .sort_values(["ntype", "node_key"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["hop"] == 0).sum() == 1          # the seed
