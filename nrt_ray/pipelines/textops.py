@@ -320,13 +320,14 @@ def tfidf_scores(sf_dir: str):
     partials + one vocabulary-sized ``groupby(token).sum`` shuffle;
     idf = ln(N/df) broadcast into an actor-pool scoring stage."""
     import tempfile
-    from ray.data.aggregate import Sum
+    from nrt_ray.stages.hashagg import keyed_sum
     n_docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
-    dft = _read_docs(sf_dir, columns=("text",)) \
-        .map_batches(_partial_df, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("df", alias_name="df_total"))
-    dft = pa.Table.from_pandas(dft.to_pandas(), preserve_index=False)
+    dft = keyed_sum(_read_docs(sf_dir, columns=("text",))
+                    .map_batches(_partial_df, batch_format="pyarrow"),
+                    "token", ["df"], max(2, pool_size()))
+    dft = pa.Table.from_pandas(dft.to_pandas(), preserve_index=False) \
+        .rename_columns(["token", "df_total"])
     idf = np.log(n_docs
                  / dft["df_total"].to_numpy(zero_copy_only=False))
     idf_path = tempfile.mktemp(prefix="nrt_ray_idf_", suffix=".parquet")
@@ -358,10 +359,16 @@ def vocab_top_tokens(sf_dir: str, k: int = 100):
     token per batch) → small ``groupby(token).sum`` shuffle → sort over
     the aggregated vocabulary only.  Ties break alphabetically for a
     deterministic result."""
-    from ray.data.aggregate import Sum
-    return _read_docs(sf_dir, columns=("text",)) \
-        .map_batches(_partial_vocab, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n_total")) \
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "n_total"])
+
+    return keyed_sum(_read_docs(sf_dir, columns=("text",))
+                     .map_batches(_partial_vocab,
+                                  batch_format="pyarrow"),
+                     "token", ["n"], max(2, pool_size())) \
+        .map_batches(rename, batch_format="pyarrow") \
         .sort(["n_total", "token"], descending=[True, False]).limit(k)
 
 
@@ -1464,11 +1471,12 @@ def unigram_lm_scores(sf_dir: str, with_lang: bool = False):
     shuffle; ``logp = ln(count/total)`` broadcast into an actor-pool
     scoring stage (side-file, plain ctor arg — ray#53727-safe)."""
     import tempfile
-    from ray.data.aggregate import Sum
-    vt = _read_docs(sf_dir, columns=("text",)) \
-        .map_batches(_partial_vocab, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n_total"))
-    vt = pa.Table.from_pandas(vt.to_pandas(), preserve_index=False)
+    from nrt_ray.stages.hashagg import keyed_sum
+    vt = keyed_sum(_read_docs(sf_dir, columns=("text",))
+                   .map_batches(_partial_vocab, batch_format="pyarrow"),
+                   "token", ["n"], max(2, pool_size()))
+    vt = pa.Table.from_pandas(vt.to_pandas(), preserve_index=False) \
+        .rename_columns(["token", "n_total"])
     cnt = vt["n_total"].to_numpy(zero_copy_only=False).astype(np.float64)
     logp = np.log(cnt / cnt.sum())
     lp_path = tempfile.mktemp(prefix="nrt_ray_unigram_", suffix=".parquet")

@@ -244,3 +244,32 @@ def test_bfs_broadcast_and_join_paths_agree(ray_session):
         .sort_values(["ntype", "node_key"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert (a["hop"] == 0).sum() == 1          # the seed
+
+
+@pytest.mark.parametrize("keytype", ["int", "str"])
+def test_keyed_sum_matches_pandas(ray_session, keytype):
+    import ray.data
+    from nrt_ray.stages.hashagg import keyed_sum
+    rng = np.random.default_rng(61)
+    if keytype == "int":
+        keys = rng.integers(0, 50, 300)
+        karr = pa.array(keys, pa.int64())
+        kdtype = pa.int64()
+    else:
+        keys = np.array([f"tok{i}" for i in
+                         rng.integers(0, 50, 300)], dtype=object)
+        karr = pa.array(keys, pa.string())
+        kdtype = pa.string()
+    a = rng.integers(-5, 100, 300)
+    b = rng.integers(0, 10, 300)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": karr, "a": pa.array(a, pa.int64()),
+         "b": pa.array(b, pa.int64())})).repartition(4)
+    got = keyed_sum(ds, "k", ["a", "b"], 3, key_dtype=kdtype) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = pd.DataFrame({"k": keys, "a": a, "b": b}) \
+        .groupby("k", as_index=False).sum().sort_values("k") \
+        .reset_index(drop=True)
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert got["b"].tolist() == exp["b"].tolist()
