@@ -201,56 +201,81 @@ class IncrementProcessor:
 
     # -------------------------------------------------------------------
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        pid = int(group.column("pid")[0].as_py())
-        series = assemble_series(group)
-
+    def load_partition(self, pid: int) -> dict:
+        """Read a partition's checkpointed artifacts (None where absent)."""
         state_path = os.path.join(manifest.partition_dir(
             self.out_dir, "state", pid), "part.parquet")
-        old_state = pq.read_table(state_path) if os.path.exists(state_path) \
-            else None
-        if old_state is not None:
-            new_state = self._update_state(old_state, series)
+        old_state = pq.read_table(state_path) \
+            if os.path.exists(state_path) else None
+        old_tiers = {}
+        for tier in self.tiers:
+            p = os.path.join(manifest.partition_dir(
+                self.out_dir, f"rollup_{tier.name}", pid), "part.parquet")
+            old_tiers[tier.name] = pq.read_table(p) \
+                if os.path.exists(p) else None
+        return {"state": old_state, "tiers": old_tiers}
+
+    def update_partition(self, group: pa.Table, old: dict) -> dict:
+        """Pure update: old artifacts + new observations → new artifacts.
+
+        ``old`` is ``load_partition``'s shape; no disk I/O here, so a
+        long-lived actor can keep artifacts cached between micro-batches
+        and persist on its own checkpoint cadence.
+        """
+        series = assemble_series(group)
+        if old["state"] is not None:
+            new_state = self._update_state(old["state"], series)
         else:
             new_state = self.stage(series)  # brand-new partition
-        manifest.write_partition_table(self.out_dir, "state", pid,
-                                       new_state)
-
         tier_tables = {}
         points = 0
         for tier in self.tiers:
-            tier_dir = os.path.join(manifest.partition_dir(
-                self.out_dir, f"rollup_{tier.name}", pid), "part.parquet")
-            old = pq.read_table(tier_dir) if os.path.exists(tier_dir) \
-                else None
-            merged = self._merge_tier(old, series, tier)
+            merged = self._merge_tier(old["tiers"].get(tier.name),
+                                      series, tier)
             tier_tables[tier.name] = merged
             points += merged.num_rows
-            manifest.write_partition_table(self.out_dir,
-                                           f"rollup_{tier.name}", pid,
-                                           merged)
         segments = compress.segments_from_rollups(tier_tables)
-        manifest.write_partition_table(self.out_dir, "segments", pid,
-                                       segments)
         alerts = new_state.filter(pc.equal(new_state.column("status"), 3)) \
             .select([c for c in ("url", "strategy", "detection_date",
                                  "process", "boundary")
                      if c in new_state.column_names])
-        manifest.write_partition_table(self.out_dir, "alerts", pid, alerts)
-        checksum = manifest.state_checksum(new_state)
+        return {"state": new_state, "tiers": tier_tables,
+                "segments": segments, "alerts": alerts,
+                "rollup_points": points,
+                "input_rows": group.num_rows, "series_rows": series.num_rows}
+
+    def persist_partition(self, pid: int, art: dict) -> str:
+        """Atomically write a partition's artifacts + manifest commit;
+        returns the state checksum."""
+        manifest.write_partition_table(self.out_dir, "state", pid,
+                                       art["state"])
+        for name, merged in art["tiers"].items():
+            manifest.write_partition_table(self.out_dir, f"rollup_{name}",
+                                           pid, merged)
+        manifest.write_partition_table(self.out_dir, "segments", pid,
+                                       art["segments"])
+        manifest.write_partition_table(self.out_dir, "alerts", pid,
+                                       art["alerts"])
+        checksum = manifest.state_checksum(art["state"])
         manifest.commit_partition(self.out_dir, self.run_id, pid, {
             "num_partitions": self.config["num_partitions"],
-            "row_counts": {"input": group.num_rows,
-                           "series": series.num_rows},
+            "row_counts": {"input": art["input_rows"],
+                           "series": art["series_rows"]},
             "state_checksum": checksum,
             "strategy": self.config["strategy"],
             "high_water_us": self.new_hw,
             "increment": True,
         })
+        return checksum
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group.column("pid")[0].as_py())
+        art = self.update_partition(group, self.load_partition(pid))
+        checksum = self.persist_partition(pid, art)
         return pa.table({
             "pid": pa.array([pid], pa.int32()),
-            "input_rows": pa.array([group.num_rows], pa.int64()),
-            "rollup_points": pa.array([points], pa.int64()),
+            "input_rows": pa.array([art["input_rows"]], pa.int64()),
+            "rollup_points": pa.array([art["rollup_points"]], pa.int64()),
             "state_checksum": pa.array([checksum], pa.string()),
         })
 
