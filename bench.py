@@ -44,14 +44,16 @@ BENCH_URLS = int(os.environ.get("NRT_BENCH_URLS", "20000"))
 WEBTEXT_CACHE = f"/tmp/nrt_ray_bench_webtext_{BENCH_URLS}"
 # fixed partition count so every parallelism level does identical work.
 # Default scales with input so the per-partition working set stays
-# roughly constant (~70 k rows / ~1.1 M rollup points per task): bigger
-# partitions blow the shared L3 under concurrency (measured: 50 k urls
-# at 64 partitions ran 1.65x slower than at 128 on the same host phase;
-# per-row cost at scaled partitioning matches the 20 k-url baseline).
-# This is the multi-node sizing rule too — partition count grows
-# linearly with data, partition size stays cache/heap-friendly.
+# cache/heap-friendly (~100 urls / ~23 k rows / ~370 k rollup points per
+# task): bigger partitions blow the shared L3 under concurrency.
+# Measured (round 2): 20 k urls at 64 partitions → 2→8-CPU task-second
+# inflation 16-17% and efficiency 0.68-0.78; at 192 partitions the
+# inflation vanishes (63.4 vs 60.5 task-s) and efficiency measures
+# 0.935 / 0.846, with the 32-CPU headline also 12% faster (13.6 s vs
+# 15.4 s).  This is the multi-node sizing rule too — partition count
+# grows linearly with data, partition size stays constant.
 BENCH_PARTITIONS = int(os.environ.get("NRT_BENCH_PARTITIONS",
-                                      str(max(64, BENCH_URLS // 400))))
+                                      str(max(64, BENCH_URLS // 100))))
 # scaling legs: must both sit below the sandbox's EFFECTIVE core count
 # (measured ~10 delivered cores regardless of the 32 advertised CPUs —
 # see BASELINE.md); 2 vs 8 is the honest N vs 4N proxy here
