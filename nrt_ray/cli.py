@@ -63,6 +63,21 @@ def main(argv=None) -> int:
     inc.add_argument("--out", required=True)
     inc.add_argument("--num-cpus", type=int, default=None)
 
+    st = sub.add_parser("stream", help="continuous mode: apply inputs as "
+                                       "successive micro-batches through "
+                                       "the stateful actor pool, "
+                                       "checkpointing every K batches")
+    st.add_argument("--inputs", nargs="+", required=True,
+                    help="parquet files/dirs applied in order")
+    st.add_argument("--out", required=True,
+                    help="output dir of a previous `run` (state is "
+                         "resumed from its checkpoint)")
+    st.add_argument("--pool", type=int, default=None,
+                    help="actor pool size (default: cpu-based)")
+    st.add_argument("--checkpoint-every", type=int, default=0,
+                    help="flush every K micro-batches (0 = only at end)")
+    st.add_argument("--num-cpus", type=int, default=None)
+
     rep = sub.add_parser("report", help="top-k recent confirmed breaks")
     rep.add_argument("--out", required=True)
     rep.add_argument("--k", type=int, default=100)
@@ -120,6 +135,24 @@ def main(argv=None) -> int:
             from nrt_ray.pipelines.monitor_pipeline import ingest_webtext
             summary = run_increment(args.out, ingest_webtext(args.input))
             print(json.dumps(summary))
+        elif args.cmd == "stream":
+            from nrt_ray.pipelines.continuous import ContinuousMonitor
+            from nrt_ray.pipelines.monitor_pipeline import ingest_webtext
+            cm = ContinuousMonitor(args.out, pool=args.pool)
+            try:
+                totals = {"input_rows": 0, "late_rows": 0, "batches": 0}
+                for i, path in enumerate(args.inputs, 1):
+                    s = cm.ingest(ingest_webtext(path))
+                    totals["input_rows"] += s["input_rows"]
+                    totals["late_rows"] += s["late_rows"]
+                    totals["batches"] += 1
+                    if args.checkpoint_every \
+                            and i % args.checkpoint_every == 0:
+                        cm.checkpoint()
+                ck = cm.checkpoint()
+            finally:
+                cm.close()
+            print(json.dumps({**totals, **ck}))
         elif args.cmd == "report":
             from nrt_ray.pipelines.monitor_pipeline import top_recent_breaks
             ds = top_recent_breaks(args.out, k=args.k)
