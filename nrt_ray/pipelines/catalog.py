@@ -46,6 +46,11 @@ def queries() -> dict:
         "q19_bracketed_revenue": rel.q19_bracketed_revenue,
         "q22_dormant_customers": rel.q22_dormant_customers,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        "q8_market_share": rel.q8_market_share,
+        "q9_product_profit": rel.q9_product_profit,
+        "q10_returned_items": rel.q10_returned_items,
+        "q15_top_supplier": rel.q15_top_supplier,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -325,6 +330,120 @@ def oracle_sql() -> dict:
                    AND o_orderdate < TIMESTAMP '1996-02-01'
                   GROUP BY c_custkey)
             GROUP BY c_count
+        """,
+        "q7_volume_shipping": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       EXTRACT(year FROM l_shipdate) AS l_year,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100, 0)
+                                     AS BIGINT)) AS u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   l.l_year,
+                   CAST(sum(l.u) AS BIGINT) / 10000.0 AS revenue
+            FROM l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+               OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                       CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0)
+                                     AS BIGINT)) AS u,
+                       s.s_nationkey AS sn
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'STANDARD'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                  AND r.r_name = 'ASIA'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN sn = (SELECT n_nationkey
+                                             FROM nation
+                                             WHERE n_name = 'NATION_5')
+                                  THEN u ELSE 0 END) * 1.0
+                         / sum(u), 6) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            WITH l AS (
+                SELECT l.l_orderkey, s.s_nationkey AS sn,
+                       CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0)
+                                     AS BIGINT))
+                       - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                         * CAST(round(l.l_quantity * 100, 0) AS BIGINT)
+                           AS profit_u
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_name LIKE '%widget%'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            )
+            SELECT n.n_name,
+                   EXTRACT(year FROM o.o_orderdate) AS o_year,
+                   CAST(sum(l.profit_u) AS BIGINT) / 10000.0 AS profit
+            FROM l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON n.n_nationkey = l.sn
+            GROUP BY 1, 2
+        """,
+        "q10_returned_items": """
+            WITH agg AS (
+                SELECT o.o_custkey,
+                       CAST(sum(
+                           CAST(round(l.l_extendedprice * 100, 0)
+                                AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100, 0)
+                                         AS BIGINT))) AS BIGINT) AS u
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+                GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   agg.u / 10000.0 AS revenue
+            FROM agg
+            JOIN customer c ON c.c_custkey = agg.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY agg.u DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "q15_top_supplier": """
+            WITH agg AS (
+                SELECT l_suppkey,
+                       CAST(sum(
+                           CAST(round(l_extendedprice * 100, 0)
+                                AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100, 0)
+                                         AS BIGINT))) AS BIGINT) AS u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   agg.u / 10000.0 AS total_revenue
+            FROM agg JOIN supplier s ON s.s_suppkey = agg.l_suppkey
+            WHERE agg.u = (SELECT max(u) FROM agg)
         """,
         "q14_promo_revenue": """
             WITH l AS (

@@ -1281,3 +1281,476 @@ def supplier_network_hops(sf_dir: str, seed: int = 0, max_hops: int = 4,
             "hop": batch["hop"]})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7/Q8/Q9/Q10/Q15 shapes (adapted to the available columns: no
+# partsupp table, so Q9's supplycost is played by p_retailprice; all money
+# folds in exact integer 10⁻⁴ units like the other TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+def _sorted_lookup(tbl: pa.Table, key: str, val: str):
+    """(sorted_keys, values_in_key_order) for searchsorted lookups."""
+    k = tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(k)
+    return k[order], tbl[val].to_numpy(zero_copy_only=False)[order]
+
+
+def _years_of(ts_us: np.ndarray) -> np.ndarray:
+    """Calendar year of epoch-microsecond int64s (vectorized)."""
+    return ts_us.astype("datetime64[us]").astype("datetime64[Y]") \
+        .astype(np.int64) + 1970
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_18",
+                       nation_b: str = "NATION_19"):
+    """TPC-H Q7 shape: shipping volume between two nations per year.
+
+    Plan: supplier/customer/nation are broadcast lookups; the one
+    large⋈large step (lineitem ⋈ orders) is the two-sided shuffle hash
+    join; the nation-pair predicate and per-(supp_nation, cust_nation,
+    year) fold run inside the join output pass."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nid = dict(zip(nation["n_name"].to_pylist(),
+                   nation["n_nationkey"].to_pylist()))
+    ka, kb = int(nid[nation_a]), int(nid[nation_b])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys, snat = _sorted_lookup(sup, "s_suppkey", "s_nationkey")
+    cu = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    ckeys, cnat = _sorted_lookup(cu, "c_custkey", "c_nationkey")
+
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sd >= t0) & (sd < t1)))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = snat[np.minimum(np.searchsorted(skeys, sk),
+                             len(skeys) - 1)].astype(np.int64)
+        keep = (sn == ka) | (sn == kb)
+        b = b.filter(pa.array(keep))
+        yr = _years_of(b["l_shipdate"].cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nat": pa.array(sn[keep], pa.int64()),
+            "l_year": pa.array(yr, pa.int64()),
+            "units": pa.array(_rev_units(b)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "supp_nat": pa.array([], pa.int64()),
+                         "l_year": pa.array([], pa.int64()),
+                         "units": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    def pair_fold(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nat"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cnat[np.minimum(np.searchsorted(ckeys, ck),
+                             len(ckeys) - 1)].astype(np.int64)
+        keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))
+        b = batch.filter(pa.array(keep))
+        return pa.table({
+            "supp_nat": b["supp_nat"],
+            "cust_nat": pa.array(cn[keep], pa.int64()),
+            "l_year": b["l_year"],
+            "units": b["units"],
+        })
+
+    agg = joined.map_batches(pair_fold, batch_format="pyarrow") \
+        .groupby(["supp_nat", "cust_nat", "l_year"]) \
+        .aggregate(Sum("units", alias_name="units"))
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pa.array(
+                [nname[int(x)] for x in t["supp_nat"].to_pylist()],
+                pa.string()),
+            "cust_nation": pa.array(
+                [nname[int(x)] for x in t["cust_nat"].to_pylist()],
+                pa.string()),
+            "l_year": t["l_year"],
+            "revenue": pa.array(
+                t["units"].to_numpy(zero_copy_only=False) / 10000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q8_market_share(sf_dir: str, region_name: str = "ASIA",
+                    share_nation: str = "NATION_5",
+                    part_type: str = "STANDARD"):
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, per order year.
+
+    Plan: part/supplier/customer/nation/region broadcast; lineitem is
+    pre-filtered by part type (prunes before the shuffle); lineitem ⋈
+    orders is the shuffle hash join; share = exact-integer nation
+    revenue / region revenue per year."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = dict(zip(region["r_name"].to_pylist(),
+                    region["r_regionkey"].to_pylist()))[region_name]
+    region_nations = np.sort(
+        nation.filter(pc.equal(nation["n_regionkey"], rkey))
+        ["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    share_key = int(dict(zip(nation["n_name"].to_pylist(),
+                             nation["n_nationkey"].to_pylist()))
+                    [share_nation])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys, ptype = _sorted_lookup(part, "p_partkey", "p_type")
+    want = ptype == part_type
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys, snat = _sorted_lookup(sup, "s_suppkey", "s_nationkey")
+    cu = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    ckeys, cnat = _sorted_lookup(cu, "c_custkey", "c_nationkey")
+
+    t0 = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    t1 = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        keep = want[pos] & (pkeys[pos] == pk)
+        b = batch.filter(pa.array(keep))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = snat[np.minimum(np.searchsorted(skeys, sk),
+                             len(skeys) - 1)].astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nat": pa.array(sn, pa.int64()),
+            "units": pa.array(_rev_units(b)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (od >= t0) & (od < t1)
+        b = batch.filter(pa.array(keep))
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = cnat[np.minimum(np.searchsorted(ckeys, ck),
+                             len(ckeys) - 1)].astype(np.int64)
+        inreg = np.isin(cn, region_nations)
+        b = b.filter(pa.array(inreg))
+        yr = _years_of(b["o_orderdate"].cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pa.array(yr, pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "supp_nat": pa.array([], pa.int64()),
+                         "units": pa.array([], pa.int64()),
+                         "o_year": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    def share_fold(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nat"].to_numpy(zero_copy_only=False)
+        u = batch["units"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": batch["o_year"],
+            "nation_units": pa.array(np.where(sn == share_key, u, 0),
+                                     pa.int64()),
+            "total_units": pa.array(u, pa.int64()),
+        })
+
+    agg = joined.map_batches(share_fold, batch_format="pyarrow") \
+        .groupby("o_year") \
+        .aggregate(Sum("nation_units", alias_name="nation_units"),
+                   Sum("total_units", alias_name="total_units"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nu = t["nation_units"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tu = t["total_units"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = np.where(tu > 0, nu / tu, 0.0)
+        return pa.table({"o_year": t["o_year"],
+                         "mkt_share": pa.array(round_away(share, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q9_product_profit(sf_dir: str, name_substr: str = "widget"):
+    """TPC-H Q9 shape: profit per supplier nation per order year for
+    parts whose name contains a substring.  No partsupp table in this
+    schema, so cost is played by ``p_retailprice·quantity`` (documented
+    adaptation); profit folds in exact integer 10⁻⁴ units.
+
+    Plan: part broadcast filter prunes lineitem BEFORE the shuffle;
+    lineitem ⋈ orders (for the year) is the shuffle hash join."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"])
+    keep_part = pc.match_substring(part["p_name"], name_substr) \
+        .to_numpy(zero_copy_only=False)
+    pkeys, _pn = _sorted_lookup(part, "p_partkey", "p_name")
+    order = np.argsort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    pwant = keep_part[order]
+    pretail = round_away(
+        part["p_retailprice"].to_numpy(zero_copy_only=False)[order]
+        * 100.0, 0).astype(np.int64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys, snat = _sorted_lookup(sup, "s_suppkey", "s_nationkey")
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pkeys, pk), len(pkeys) - 1)
+        keep = pwant[pos] & (pkeys[pos] == pk)
+        b = batch.filter(pa.array(keep))
+        bpos = pos[keep]
+        qty = round_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        cost = pretail[bpos] * qty        # 10⁻⁴ units, exact
+        profit = _rev_units(b) - cost
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        sn = snat[np.minimum(np.searchsorted(skeys, sk),
+                             len(skeys) - 1)].astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nat": pa.array(sn, pa.int64()),
+            "profit_units": pa.array(profit, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        yr = _years_of(batch["o_orderdate"].cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_year": pa.array(yr, pa.int64())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "supp_nat": pa.array([], pa.int64()),
+                         "profit_units": pa.array([], pa.int64()),
+                         "o_year": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    agg = joined.map_batches(
+        lambda t: t.select(["supp_nat", "o_year", "profit_units"]),
+        batch_format="pyarrow") \
+        .groupby(["supp_nat", "o_year"]) \
+        .aggregate(Sum("profit_units", alias_name="profit_units"))
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array(
+                [nname[int(x)] for x in t["supp_nat"].to_pylist()],
+                pa.string()),
+            "o_year": t["o_year"],
+            "profit": pa.array(
+                t["profit_units"].to_numpy(zero_copy_only=False)
+                / 10000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q10_returned_items(sf_dir: str, quarter_start: str = "1996-01-01",
+                       k: int = 20):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns for
+    orders placed in one quarter.
+
+    Plan: orders filtered to the quarter; lineitem filtered to
+    returnflag='R'; shuffle hash join on orderkey; per-custkey integer
+    revenue aggregate; top-k via per-batch partial + survivor sort;
+    customer/nation names attached by broadcast at the end (k rows)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    t0 = int(np.datetime64(quarter_start, "us").astype(np.int64))
+    m = int(quarter_start[5:7]) + 3
+    y = int(quarter_start[:4]) + (1 if m > 12 else 0)
+    m = m if m <= 12 else m - 12
+    t1 = int(np.datetime64(f"{y}-{m:02d}-01", "us").astype(np.int64))
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "units": pa.array(_rev_units(b))})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.select(["o_orderkey", "o_custkey"]) \
+            .filter(pa.array((od >= t0) & (od < t1)))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    def empty() -> pa.Table:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "units": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64())})
+
+    joined = shuffle_hash_join(li, orders, on_left="l_orderkey",
+                               on_right="o_orderkey",
+                               num_partitions=max(2, pool_size()),
+                               empty_fn=empty)
+
+    agg = joined.map_batches(
+        lambda t: t.select(["o_custkey", "units"]),
+        batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("units", alias_name="units"))
+
+    keys, desc = ["units", "o_custkey"], [True, False]
+    top = agg.map_batches(
+        lambda t: batch_topk(t, keys, desc, k),
+        batch_format="pyarrow") \
+        .sort(keys, descending=desc).limit(k)
+
+    cu = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_name", "c_nationkey"])
+    ckeys = cu["c_custkey"].to_numpy(zero_copy_only=False)
+    corder = np.argsort(ckeys)
+    ckeys = ckeys[corder]
+    cname = cu["c_name"].to_numpy(zero_copy_only=False)[corder]
+    cnatk = cu["c_nationkey"].to_numpy(zero_copy_only=False)[corder] \
+        .astype(np.int64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ck)
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": pa.array(cname[pos], pa.string()),
+            "n_name": pa.array([nname[int(x)] for x in cnatk[pos]],
+                               pa.string()),
+            "revenue": pa.array(
+                t["units"].to_numpy(zero_copy_only=False) / 10000.0),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def q15_top_supplier(sf_dir: str, quarter_start: str = "1996-01-01"):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over one
+    quarter (ties all returned, as the spec requires).
+
+    Plan: no join for the wide side at all — per-suppkey integer
+    revenue is a partial-then-final aggregate; the max filter runs on
+    the (small) aggregate; supplier names broadcast at the end."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    t0 = int(np.datetime64(quarter_start, "us").astype(np.int64))
+    m = int(quarter_start[5:7]) + 3
+    y = int(quarter_start[:4]) + (1 if m > 12 else 0)
+    m = m if m <= 12 else m - 12
+    t1 = int(np.datetime64(f"{y}-{m:02d}-01", "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((sd >= t0) & (sd < t1)))
+        u = _rev_units(b)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sk, return_inverse=True)
+        if not len(uk):
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "units": pa.array([], pa.int64())})
+        return pa.table({
+            "l_suppkey": pa.array(uk),
+            "units": pa.array(np.bincount(
+                inv, weights=u.astype(np.float64)).astype(np.int64)),
+        })
+
+    agg = _read(sf_dir, "lineitem",
+                ["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("units", alias_name="units")) \
+        .materialize()   # tiny (one row per supplier); scanned twice below
+    best = agg.max("units")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    skeys, sname = _sorted_lookup(sup, "s_suppkey", "s_name")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["units"], pa.scalar(best)))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, sk)
+        return pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "s_name": pa.array(sname[pos], pa.string()),
+            "total_revenue": pa.array(
+                t["units"].to_numpy(zero_copy_only=False) / 10000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
