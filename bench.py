@@ -127,6 +127,7 @@ BENCH_QUERIES = (
     "doc_unigram_lm_scores",
     "join_orders_customers_shuffle",
     "q5_local_supplier_volume",
+    "q9_product_profit",
     "q18_large_volume_orders",
     "supplier_network_hops",
     "clicks_before_purchase_1h",

@@ -73,6 +73,17 @@ def queries() -> dict:
         "monitor_mosum_events": partial(tsq.monitor_events,
                                         strategy="MOSUM"),
         "monitor_ccdc_events": partial(tsq.monitor_events, strategy="CCDC"),
+        # update_mask=False (reference nrt/monitor/__init__.py:100-104):
+        # the unfrozen trajectory — breaks never freeze state
+        "monitor_cusum_nofreeze_events": partial(
+            tsq.monitor_events, strategy="CUSUM",
+            monitor_params={"update_mask": False}),
+        "monitor_ewma_nofreeze_events": partial(
+            tsq.monitor_events, strategy="EWMA",
+            monitor_params={"update_mask": False}),
+        "monitor_iqr_nofreeze_events": partial(
+            tsq.monitor_events, strategy="IQR",
+            monitor_params={"update_mask": False}),
         "segments_1d_events": tsq.segments_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
@@ -1247,6 +1258,9 @@ def oracle_sql() -> dict:
         "monitor_ewma_events": mo.ewma_sql(),
         "monitor_cusum_events": mo.cusum_sql(),
         "monitor_iqr_events": mo.iqr_sql(),
+        "monitor_cusum_nofreeze_events": mo.cusum_sql(freeze=False),
+        "monitor_ewma_nofreeze_events": mo.ewma_sql(freeze=False),
+        "monitor_iqr_nofreeze_events": mo.iqr_sql(freeze=False),
         "monitor_ccdc_events": mo.ccdc_sql(),
         "monitor_mosum_events": mo.mosum_sql(),
         # robust IRLS fit: every iteration of the kernel's control flow

@@ -108,15 +108,18 @@ final AS (
            min(j) FILTER (WHERE abs(p) >= bound) AS jstar,
            arg_min(days, j) FILTER (WHERE abs(p) >= bound) AS det_days,
            coalesce(arg_min(p, j) FILTER (WHERE abs(p) >= bound),
-                    arg_max(p, j)) AS p
+                    arg_max(p, j)) AS p,
+           arg_max(p, j) AS plast
     FROM traj GROUP BY user_id
 )"""
 
 
 def ewma_sql(lambda_: float = 0.3, sensitivity: float = 2.0,
-             threshold_outlier: float = 10.0) -> str:
+             threshold_outlier: float = 10.0,
+             freeze: bool = True) -> str:
     lam = repr(float(lambda_))
     om = repr(1.0 - float(lambda_))  # (1 − λ)
+    freeze_lit = "TRUE" if freeze else "FALSE"
     return _BASE + "," + _fit_k1("any_value(f.nh)") + f""",
 fitb AS (
     SELECT *, {repr(float(sensitivity))} * sigma
@@ -150,13 +153,15 @@ traj AS (
 SELECT u.user_id,
        CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
             WHEN s.seed > f.bound THEN 2
-            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
-       CAST(CASE WHEN f.nh IS NOT NULL AND f.nh > 1
+            WHEN {freeze_lit} AND fin.jstar IS NOT NULL THEN 3
+            ELSE 1 END AS status,
+       CAST(CASE WHEN {freeze_lit} AND f.nh IS NOT NULL AND f.nh > 1
                  AND NOT (s.seed > f.bound) AND fin.jstar IS NOT NULL
                  THEN fin.det_days ELSE 0 END AS BIGINT) AS detection_date,
        round(CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 0.0
                   WHEN s.seed > f.bound THEN s.seed
-                  ELSE coalesce(fin.p, s.seed) END, 6) AS process
+                  WHEN {freeze_lit} THEN coalesce(fin.p, s.seed)
+                  ELSE coalesce(fin.plast, s.seed) END, 6) AS process
 FROM users u
 LEFT JOIN fitb f USING (user_id)
 LEFT JOIN seedt s USING (user_id)
@@ -164,8 +169,9 @@ LEFT JOIN final fin USING (user_id)
 """
 
 
-def cusum_sql(sensitivity: float = 0.05) -> str:
+def cusum_sql(sensitivity: float = 0.05, freeze: bool = True) -> str:
     crit = repr(float(ols_cusum_crit(sensitivity)))
+    freeze_lit = "TRUE" if freeze else "FALSE"
     x = "((f.nh + m.j) / CAST(f.nh AS DOUBLE))"
     return _BASE + "," + _fit_k1("any_value(f.nh) - 1") + f""",
 seedt AS (
@@ -184,10 +190,13 @@ traj AS (
 {_CROSS_FINAL}
 SELECT u.user_id,
        CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
-            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
-       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+            WHEN {freeze_lit} AND fin.jstar IS NOT NULL THEN 3
+            ELSE 1 END AS status,
+       CAST(CASE WHEN {freeze_lit} THEN coalesce(fin.det_days, 0)
+                 ELSE 0 END AS BIGINT) AS detection_date,
        round(CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 0.0
-                  ELSE coalesce(fin.p, s.seed) END, 6) AS process
+                  WHEN {freeze_lit} THEN coalesce(fin.p, s.seed)
+                  ELSE coalesce(fin.plast, s.seed) END, 6) AS process
 FROM users u
 LEFT JOIN fit f USING (user_id)
 LEFT JOIN seedt s USING (user_id)
@@ -195,8 +204,10 @@ LEFT JOIN final fin USING (user_id)
 """
 
 
-def iqr_sql(sensitivity: float = 1.5, boundary: int = 3) -> str:
+def iqr_sql(sensitivity: float = 1.5, boundary: int = 3,
+            freeze: bool = True) -> str:
     s = repr(float(sensitivity))
+    freeze_lit = "TRUE" if freeze else "FALSE"
     return _BASE + f""",
 f1 AS (
     SELECT user_id, count(*) AS nh, avg(value) AS beta0 FROM hist
@@ -224,9 +235,12 @@ traj AS (
 {_CROSS_FINAL}
 SELECT u.user_id,
        CASE WHEN f.nh IS NULL OR f.nh <= 1 THEN 4
-            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
-       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
-       round(coalesce(fin.p, 0.0), 6) AS process
+            WHEN {freeze_lit} AND fin.jstar IS NOT NULL THEN 3
+            ELSE 1 END AS status,
+       CAST(CASE WHEN {freeze_lit} THEN coalesce(fin.det_days, 0)
+                 ELSE 0 END AS BIGINT) AS detection_date,
+       round(CASE WHEN {freeze_lit} THEN coalesce(fin.p, 0.0)
+                  ELSE coalesce(fin.plast, 0.0) END, 6) AS process
 FROM users u
 LEFT JOIN fit f USING (user_id)
 LEFT JOIN final fin USING (user_id)
