@@ -129,6 +129,10 @@ class PartitionProcessor:
                 "state_checksum": checksum,
                 "strategy": self.stage.strategy,
                 "high_water_us": self.high_water_us,
+                # per-partition metrics (north rule: lineage + metrics)
+                "metrics": {"elapsed_s": round(
+                                time.perf_counter() - t0, 4),
+                            "rollup_points": points},
             })
         ts_flat = series.column("ts").combine_chunks().flatten() \
             .cast(pa.int64()) if series.num_rows else None
