@@ -141,3 +141,42 @@ def test_continuous_late_rows_dead_lettered(ray_session, chunked_webtext,
         assert _by_url(state_before).equals(_by_url(state_after))
     finally:
         cm.close()
+
+
+def test_continuous_actor_crash_recovery(ray_session, chunked_webtext,
+                                         tmp_path):
+    """Actors die after an un-checkpointed ingest → rebuild the pool from
+    the last committed checkpoint, replay the lost micro-batch, and the
+    final output equals the uninterrupted run (the manifest contract:
+    nothing between checkpoints is ever persisted, so replay is clean)."""
+    import ray as _ray
+    d = chunked_webtext
+
+    mp.run_pipeline(str(d / "webtext.parquet"), str(tmp_path / "full"),
+                    **COMMON)
+
+    out = str(tmp_path / "crash")
+    mp.run_pipeline(str(d / "chunk0.parquet"), out, **COMMON)
+    cm = ContinuousMonitor(out, pool=2)
+    cm.ingest(mp.ingest_webtext(str(d / "chunk1.parquet")))
+    cm.checkpoint()                       # chunk1 committed
+    cm.ingest(mp.ingest_webtext(str(d / "chunk2.parquet")))
+    # crash before the chunk2 checkpoint: all cached state is lost
+    for a in cm.actors:
+        _ray.kill(a)
+    # a further ingest on the dead pool raises (driver sees actor death)
+    with pytest.raises(Exception):
+        cm.ingest(mp.ingest_webtext(str(d / "chunk2.parquet")))
+
+    # recovery: fresh pool resumes from the last committed checkpoint —
+    # run.json still carries chunk1's high-water, so chunk2 replays clean
+    cm2 = ContinuousMonitor(out, pool=2)
+    try:
+        assert cm2.high_water_us < cm.high_water_us
+        s = cm2.ingest(mp.ingest_webtext(str(d / "chunk2.parquet")))
+        assert s["late_rows"] == 0 and s["input_rows"] > 0
+        cm2.checkpoint()
+    finally:
+        cm2.close()
+
+    _assert_outputs_equal(out, str(tmp_path / "full"))
