@@ -17,3 +17,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Ray-level parallelism replaces BLAS threads: every kernel runs inside a
+# Ray task/actor that is already sized in CPUs, so nested BLAS thread
+# pools only oversubscribe (the reference documents the same guard for
+# its numba workers, docs/gallery/plot_parallel_computing.py:30-34).
+# Set before numpy's first threaded call in each worker process — workers
+# import this package during task deserialization, so setdefault here
+# covers driver and workers alike without clobbering explicit settings.
+import os as _os
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "BLIS_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
