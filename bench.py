@@ -158,6 +158,91 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+INCREMENT_CUT = os.environ.get("NRT_BENCH_INCREMENT_CUT", "2022-01-01")
+INCREMENT_BATCHES = int(os.environ.get("NRT_BENCH_INCREMENT_BATCHES", "6"))
+
+
+def increment_bench(num_cpus: int) -> dict:
+    """Near-real-time path: fit/monitor/rollup a base run on snapshots
+    before ``INCREMENT_CUT``, then apply the holdout as
+    ``INCREMENT_BATCHES`` chronological micro-batches — the steady-state
+    cost of operating the engine.  Two modes over identical bases:
+
+    * discrete: one ``run_increment`` per micro-batch (re-reads each
+      partition's checkpoint and atomically rewrites it every batch);
+    * continuous: the stateful actor pool ingests every micro-batch from
+      cached in-memory state and checkpoints ONCE at the end — the mode
+      exists precisely to amortize the checkpoint round-trip across
+      micro-batches.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from nrt_ray.pipelines import incremental as inc
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    from nrt_ray.pipelines.continuous import ContinuousMonitor
+
+    path = ensure_webtext()
+    cut_us = int(np.datetime64(INCREMENT_CUT, "us").astype(np.int64))
+    base_path = f"{WEBTEXT_CACHE}_base_{INCREMENT_CUT}.parquet"
+    if not os.path.exists(base_path):
+        t = pq.read_table(path)
+        cut = pa.scalar(cut_us, pa.int64()).cast(pa.timestamp("us"))
+        pq.write_table(t.filter(pc.less_equal(t.column("warc_ts"), cut)),
+                       base_path)
+    k = INCREMENT_BATCHES
+    batch_paths = [f"{WEBTEXT_CACHE}_hold_{INCREMENT_CUT}_{i}of{k}.parquet"
+                   for i in range(k)]
+    if not all(os.path.exists(p) for p in batch_paths):
+        t = pq.read_table(path)
+        ts = t.column("warc_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hold_ts = np.sort(np.unique(ts[ts > cut_us]))
+        edges = [cut_us] + [int(hold_ts[min(len(hold_ts) - 1,
+                                            (i + 1) * len(hold_ts) // k)])
+                            for i in range(k - 1)] + [int(hold_ts[-1])]
+        for i, p in enumerate(batch_paths):
+            m = (ts > edges[i]) & (ts <= edges[i + 1])
+            pq.write_table(t.filter(pa.array(m)), p)
+
+    out = {}
+    for mode in ("discrete", "continuous"):
+        base_out = tempfile.mkdtemp(prefix=f"nrt_incr_{mode}_")
+        mp.run_pipeline(
+            base_path, base_out, strategy="EWMA",
+            monitor_start="2021-01-01", monitor_params={"trend": False},
+            num_partitions=BENCH_PARTITIONS, resume=False,
+            reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
+        rows = points = 0
+        t0 = time.perf_counter()
+        if mode == "discrete":
+            for p in batch_paths:
+                s = inc.run_increment(base_out, mp.ingest_webtext(p))
+                rows += s["input_rows"]
+                points = s["rollup_points"]
+        else:
+            cm = ContinuousMonitor(base_out)
+            try:
+                for p in batch_paths:
+                    s = cm.ingest(mp.ingest_webtext(p))
+                    rows += s["input_rows"]
+                    points = s["rollup_points"]
+                cm.checkpoint()
+            finally:
+                cm.close()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(base_out, ignore_errors=True)
+        out[mode] = {
+            "seconds": round(dt, 3),
+            "micro_batches": k,
+            "increment_rows": rows,
+            "rows_per_sec": round(rows / dt),
+            "merged_rollup_points": points,
+        }
+    return out
+
+
 def main() -> None:
     import logging
     import warnings
@@ -270,8 +355,34 @@ def scaling() -> None:
     }))
 
 
+def increment_main() -> None:
+    import logging
+    import warnings
+    warnings.filterwarnings("ignore")
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "nrt_ray", "data_logging.yaml"))
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    out = increment_bench(NUM_CPUS)
+    print(json.dumps({"metric": "incremental ingest (state zipper + "
+                                "mergeable tier merge) wall time",
+                      "cut": INCREMENT_CUT, "num_cpus": NUM_CPUS,
+                      "partitions": BENCH_PARTITIONS, **out}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--increment" in sys.argv:
+        increment_main()
     else:
         main()

@@ -72,12 +72,16 @@ class PartitionMonitorActor:
 
     def apply(self, pid: int, new_hw_us: int, *tables) -> dict:
         """Apply one micro-batch's slice for ``pid``; returns summary."""
+        import time
+        t0 = time.perf_counter()
         parts = [t for t in tables if t is not None and t.num_rows]
         if not parts:
-            return {"pid": pid, "input_rows": 0, "rollup_points": 0}
+            return {"pid": pid, "input_rows": 0, "rollup_points": 0,
+                    "elapsed_s": 0.0, "load_s": 0.0}
         group = pa.concat_tables(parts)
         self.proc.new_hw = new_hw_us
         old = self._artifacts(pid)
+        t_load = time.perf_counter() - t0
         art = self.proc.update_partition(group, old)
         # cache the new artifacts for the next micro-batch (strip the
         # per-batch counters; keep what load_partition would return)
@@ -85,7 +89,9 @@ class PartitionMonitorActor:
         self.cache[pid]["_pending"] = art
         self.dirty.add(pid)
         return {"pid": pid, "input_rows": art["input_rows"],
-                "rollup_points": art["rollup_points"]}
+                "rollup_points": art["rollup_points"],
+                "elapsed_s": round(time.perf_counter() - t0, 4),
+                "load_s": round(t_load, 4)}
 
     def checkpoint(self, run_id: str, high_water_us: int) -> list[dict]:
         """Flush dirty partitions via atomic writes + manifest commits."""
@@ -120,7 +126,14 @@ class ContinuousMonitor:
         self.config = inc.read_run_config(out_dir)
         self.P = int(self.config["num_partitions"])
         self.high_water_us = int(self.config["high_water_us"])
-        self.pool = max(1, min(pool or pool_size(), self.P))
+        if pool is None:
+            # one actor per core by default: actors are the unit of both
+            # parallelism AND state residency here (each holds P/pool
+            # partitions' cached state), unlike a transient task pool
+            cpus = int(ray.cluster_resources().get("CPU", 0)) \
+                if ray.is_initialized() else 0
+            pool = max(pool_size(), cpus)
+        self.pool = max(1, min(pool, self.P))
         self.actors = [PartitionMonitorActor.remote(out_dir, self.config)
                        for _ in range(self.pool)]
         self._split = ray.remote(num_returns=self.P)(_split_block) \
