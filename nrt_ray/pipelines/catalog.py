@@ -84,6 +84,12 @@ def queries() -> dict:
         "monitor_iqr_nofreeze_events": partial(
             tsq.monitor_events, strategy="IQR",
             monitor_params={"update_mask": False}),
+        "monitor_mosum_nofreeze_events": partial(
+            tsq.monitor_events, strategy="MOSUM",
+            monitor_params={"update_mask": False}),
+        "monitor_ccdc_nofreeze_events": partial(
+            tsq.monitor_events, strategy="CCDC",
+            monitor_params={"update_mask": False}),
         "segments_1d_events": tsq.segments_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
@@ -1261,6 +1267,8 @@ def oracle_sql() -> dict:
         "monitor_cusum_nofreeze_events": mo.cusum_sql(freeze=False),
         "monitor_ewma_nofreeze_events": mo.ewma_sql(freeze=False),
         "monitor_iqr_nofreeze_events": mo.iqr_sql(freeze=False),
+        "monitor_mosum_nofreeze_events": mo.mosum_sql(freeze=False),
+        "monitor_ccdc_nofreeze_events": mo.ccdc_sql(freeze=False),
         "monitor_ccdc_events": mo.ccdc_sql(),
         "monitor_mosum_events": mo.mosum_sql(),
         # robust IRLS fit: every iteration of the kernel's control flow

@@ -248,9 +248,10 @@ LEFT JOIN final fin USING (user_id)
 
 
 def ccdc_sql(sensitivity: float = 3.0, boundary: int = 3,
-             threshold: float = 3.0) -> str:
+             threshold: float = 3.0, freeze: bool = True) -> str:
     s = repr(float(sensitivity))
     t = repr(float(threshold))
+    freeze_lit = "TRUE" if freeze else "FALSE"
     return _BASE + "," + _FIT_TREND + f""",
 fstat AS (
     SELECT hr.user_id, sqrt(avg(hr.r * hr.r)) AS rmse,
@@ -283,9 +284,12 @@ traj AS (
 SELECT u.user_id,
        CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 4
             WHEN NOT f.stable THEN 2
-            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
-       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
-       round(coalesce(fin.p, 0.0), 6) AS process
+            WHEN {freeze_lit} AND fin.jstar IS NOT NULL THEN 3
+            ELSE 1 END AS status,
+       CAST(CASE WHEN {freeze_lit} THEN coalesce(fin.det_days, 0)
+                 ELSE 0 END AS BIGINT) AS detection_date,
+       round(CASE WHEN {freeze_lit} THEN coalesce(fin.p, 0.0)
+                  ELSE coalesce(fin.plast, 0.0) END, 6) AS process
 FROM users u
 LEFT JOIN fit f USING (user_id)
 LEFT JOIN final fin USING (user_id)
@@ -410,9 +414,11 @@ FROM p{int(maxiter) - 1} p JOIN g0 g USING (user_id)
     return "".join(parts)
 
 
-def mosum_sql(sensitivity: float = 0.05, h: float = 0.25) -> str:
+def mosum_sql(sensitivity: float = 0.05, h: float = 0.25,
+              freeze: bool = True) -> str:
     crit = repr(float(mosum_crit(sensitivity, h=h, period=10,
                                  functional="max")))
+    freeze_lit = "TRUE" if freeze else "FALSE"
     hh = repr(float(h))
     x = "((f.nh + m.j) / CAST(f.nh AS DOUBLE))"
     return _BASE + "," + _FIT_TREND + f""",
@@ -463,10 +469,13 @@ initsum AS (
 )
 SELECT u.user_id,
        CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 4
-            WHEN fin.jstar IS NOT NULL THEN 3 ELSE 1 END AS status,
-       CAST(coalesce(fin.det_days, 0) AS BIGINT) AS detection_date,
+            WHEN {freeze_lit} AND fin.jstar IS NOT NULL THEN 3
+            ELSE 1 END AS status,
+       CAST(CASE WHEN {freeze_lit} THEN coalesce(fin.det_days, 0)
+                 ELSE 0 END AS BIGINT) AS detection_date,
        round(CASE WHEN f.nh IS NULL OR f.nh < 3 THEN 0.0
-                  ELSE coalesce(fin.p, i.p0, 0.0) END, 6) AS process
+                  WHEN {freeze_lit} THEN coalesce(fin.p, i.p0, 0.0)
+                  ELSE coalesce(fin.plast, i.p0, 0.0) END, 6) AS process
 FROM users u
 LEFT JOIN fit f USING (user_id)
 LEFT JOIN final fin USING (user_id)
