@@ -90,6 +90,14 @@ def queries() -> dict:
         "monitor_ccdc_nofreeze_events": partial(
             tsq.monitor_events, strategy="CCDC",
             monitor_params={"update_mask": False}),
+        # parameter variants: second MOSUM crit-table point (h=0.5) and a
+        # faster EWMA forgetting factor
+        "monitor_mosum_h50_events": partial(
+            tsq.monitor_events, strategy="MOSUM",
+            monitor_params={"h": 0.5}),
+        "monitor_ewma_lambda50_events": partial(
+            tsq.monitor_events, strategy="EWMA",
+            monitor_params={"lambda_": 0.5}),
         "segments_1d_events": tsq.segments_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
@@ -1269,6 +1277,8 @@ def oracle_sql() -> dict:
         "monitor_iqr_nofreeze_events": mo.iqr_sql(freeze=False),
         "monitor_mosum_nofreeze_events": mo.mosum_sql(freeze=False),
         "monitor_ccdc_nofreeze_events": mo.ccdc_sql(freeze=False),
+        "monitor_mosum_h50_events": mo.mosum_sql(h=0.5),
+        "monitor_ewma_lambda50_events": mo.ewma_sql(lambda_=0.5),
         "monitor_ccdc_events": mo.ccdc_sql(),
         "monitor_mosum_events": mo.mosum_sql(),
         # robust IRLS fit: every iteration of the kernel's control flow
