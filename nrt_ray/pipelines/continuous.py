@@ -75,17 +75,27 @@ class PartitionMonitorActor:
         import time
         t0 = time.perf_counter()
         parts = [t for t in tables if t is not None and t.num_rows]
-        if not parts:
-            return {"pid": pid, "input_rows": 0, "rollup_points": 0,
-                    "elapsed_s": 0.0, "load_s": 0.0}
-        group = pa.concat_tables(parts)
         self.proc.new_hw = new_hw_us
-        old = self._artifacts(pid)
-        t_load = time.perf_counter() - t0
-        art = self.proc.update_partition(group, old)
+        if not parts:
+            # no new rows: advance retention on cached artifacts so the
+            # new high-water mark applies everywhere (one-shot parity)
+            old = self._artifacts(pid)
+            art = self.proc.sweep_update(old)
+            if art is None:
+                return {"pid": pid, "input_rows": 0, "rollup_points": 0,
+                        "elapsed_s": round(time.perf_counter() - t0, 4),
+                        "load_s": 0.0}
+            t_load = 0.0
+        else:
+            group = pa.concat_tables(parts)
+            old = self._artifacts(pid)
+            t_load = time.perf_counter() - t0
+            art = self.proc.update_partition(group, old)
         # cache the new artifacts for the next micro-batch (strip the
-        # per-batch counters; keep what load_partition would return)
-        self.cache[pid] = {"state": art["state"], "tiers": art["tiers"]}
+        # per-batch counters; keep what load_partition would return —
+        # segments included, so the next batch's reuse path sees them)
+        self.cache[pid] = {"state": art["state"], "tiers": art["tiers"],
+                           "segments": art["segments"]}
         self.cache[pid]["_pending"] = art
         self.dirty.add(pid)
         return {"pid": pid, "input_rows": art["input_rows"],

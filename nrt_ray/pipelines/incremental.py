@@ -132,8 +132,62 @@ class IncrementProcessor:
 
     # -- rollup merge ---------------------------------------------------
 
+    def _retention_filter(self, table: pa.Table, tier: rollup.TierSpec) \
+            -> tuple[pa.Table, np.ndarray]:
+        """Advance retention on already-committed tier rows WITHOUT
+        re-rolling them: a plain cutoff filter, provably identical to
+        re-running trim+gapfill+retention when no new observations
+        arrived (gap-fill anchors are observed buckets, which don't move
+        when only the cutoff advances).  Returns ``(filtered,
+        urls_with_dropped_rows)``."""
+        if tier.retention_us is None or not table.num_rows:
+            return table, np.array([], dtype=object)
+        cutoff = self.new_hw - tier.retention_us
+        bts = table.column("bucket_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = bts + tier.width_us > cutoff
+        if keep.all():
+            return table, np.array([], dtype=object)
+        uu_ = table.column("url").to_pandas().to_numpy(dtype=object)
+        uu, inv = np.unique(uu_, return_inverse=True)
+        before = np.bincount(inv, minlength=len(uu))
+        after = np.bincount(inv[keep], minlength=len(uu))
+        return (table.filter(pa.array(keep, pa.bool_())),
+                uu[before != after])
+
     def _merge_tier(self, old: pa.Table | None, series: pa.Table,
-                    tier: rollup.TierSpec) -> pa.Table:
+                    tier: rollup.TierSpec) -> tuple[pa.Table, np.ndarray]:
+        """Merge one tier; returns ``(merged_table, changed_urls)``.
+
+        O(touched) design: only urls with new observations are re-merged,
+        re-gapfilled and re-retention'd; UNTOUCHED urls' old rows pass
+        through a plain retention filter, which is provably identical to
+        re-running trim+gapfill+retention on them — gap-fill interpolates
+        between OBSERVED anchor buckets, and those anchors don't move when
+        only the retention cutoff advances (the boundary-gap fills were
+        already materialized from the same anchors at the previous
+        commit).  ``changed_urls`` (touched ∪ retention-trimmed) tells the
+        segment stage which (url, tier) payloads must be re-encoded; the
+        rest are reused byte-identical.
+        """
+        touched = np.unique(np.asarray(series.column("url").to_pandas(),
+                                       dtype=object))
+        passthrough = None
+        if old is not None and old.num_rows:
+            ou = old.column("url").to_pandas().to_numpy(dtype=object)
+            tmask = np.isin(ou, touched)
+            untouched = old.filter(pa.array(~tmask, pa.bool_()))
+            old = old.filter(pa.array(tmask, pa.bool_()))
+            changed_untouched = np.array([], dtype=object)
+            if untouched.num_rows:
+                untouched, changed_untouched = \
+                    self._retention_filter(untouched, tier)
+                passthrough = untouched
+            changed = np.union1d(touched, changed_untouched)
+        else:
+            old = None
+            changed = touched
+
         new = rollup.rollup_series_table(
             series, tiers=[rollup.TierSpec(tier.name, tier.width_us,
                                            gapfill=False)],
@@ -184,7 +238,7 @@ class IncrementProcessor:
         rolled = rollup.apply_retention(rolled, tier.width_us,
                                         tier.retention_us, self.new_hw)
         uniq_urls = urls[starts] if len(urls) else urls
-        return pa.table({
+        rebuilt = pa.table({
             "url": pa.array(uniq_urls, pa.string()).take(
                 pa.array(rolled.pop("series_idx"))),
             "bucket_ts": pa.array(rolled["bucket_ts"], pa.int64()).cast(
@@ -198,6 +252,13 @@ class IncrementProcessor:
                              from_pandas=True),
             "gapfilled": pa.array(rolled["gapfilled"], pa.bool_()),
         })
+        if passthrough is not None and passthrough.num_rows:
+            rebuilt = pa.concat_tables(
+                [passthrough.select(rebuilt.column_names), rebuilt],
+                promote_options="default")
+            rebuilt = rebuilt.take(pc.sort_indices(rebuilt, sort_keys=[
+                ("url", "ascending"), ("bucket_ts", "ascending")]))
+        return rebuilt, changed
 
     # -------------------------------------------------------------------
 
@@ -213,7 +274,12 @@ class IncrementProcessor:
                 self.out_dir, f"rollup_{tier.name}", pid), "part.parquet")
             old_tiers[tier.name] = pq.read_table(p) \
                 if os.path.exists(p) else None
-        return {"state": old_state, "tiers": old_tiers}
+        segp = os.path.join(manifest.partition_dir(
+            self.out_dir, "segments", pid), "part.parquet")
+        old_segments = pq.read_table(segp) if os.path.exists(segp) \
+            else None
+        return {"state": old_state, "tiers": old_tiers,
+                "segments": old_segments}
 
     def update_partition(self, group: pa.Table, old: dict) -> dict:
         """Pure update: old artifacts + new observations → new artifacts.
@@ -228,13 +294,17 @@ class IncrementProcessor:
         else:
             new_state = self.stage(series)  # brand-new partition
         tier_tables = {}
+        changed_urls = {}
         points = 0
         for tier in self.tiers:
-            merged = self._merge_tier(old["tiers"].get(tier.name),
-                                      series, tier)
+            merged, changed = self._merge_tier(
+                old["tiers"].get(tier.name), series, tier)
             tier_tables[tier.name] = merged
+            changed_urls[tier.name] = changed
             points += merged.num_rows
-        segments = compress.segments_from_rollups(tier_tables)
+        segments = compress.segments_from_rollups(
+            tier_tables, changed_urls=changed_urls,
+            old_segments=old.get("segments"))
         alerts = new_state.filter(pc.equal(new_state.column("status"), 3)) \
             .select([c for c in ("url", "strategy", "detection_date",
                                  "process", "boundary")
@@ -243,6 +313,49 @@ class IncrementProcessor:
                 "segments": segments, "alerts": alerts,
                 "rollup_points": points,
                 "input_rows": group.num_rows, "series_rows": series.num_rows}
+
+    def sweep_update(self, old: dict) -> dict | None:
+        """Pure retention advance for a partition with NO new rows this
+        increment (one-shot equivalence requires every partition to see
+        the new high-water mark, not just the ones with data).  A cutoff
+        filter per retention tier; returns the new artifacts, or None
+        when nothing dropped (nothing needs rewriting)."""
+        if old["state"] is None:
+            return None
+        tier_tables = {}
+        changed_urls = {}
+        any_changed = False
+        for tier in self.tiers:
+            told = old["tiers"].get(tier.name)
+            if told is None:
+                continue
+            filtered, changed = self._retention_filter(told, tier)
+            tier_tables[tier.name] = filtered
+            changed_urls[tier.name] = changed
+            any_changed = any_changed or len(changed) > 0
+        if not any_changed:
+            return None
+        segments = compress.segments_from_rollups(
+            tier_tables, changed_urls=changed_urls,
+            old_segments=old.get("segments"))
+        state = old["state"]
+        alerts = state.filter(pc.equal(state.column("status"), 3)) \
+            .select([c for c in ("url", "strategy", "detection_date",
+                                 "process", "boundary")
+                     if c in state.column_names])
+        return {"state": state, "tiers": tier_tables,
+                "segments": segments, "alerts": alerts,
+                "rollup_points": sum(t.num_rows
+                                     for t in tier_tables.values()),
+                "input_rows": 0, "series_rows": 0}
+
+    def sweep_partition(self, pid: int) -> bool:
+        """Disk-backed :meth:`sweep_update`; returns True if rewritten."""
+        art = self.sweep_update(self.load_partition(pid))
+        if art is None:
+            return False
+        self.persist_partition(pid, art)
+        return True
 
     def persist_partition(self, pid: int, art: dict) -> str:
         """Atomically write a partition's artifacts + manifest commit;
@@ -329,10 +442,23 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     from nrt_ray.stages.exchange import exchange_map_groups
     tables = exchange_map_groups(ds, P, process)
     rows = [row for t in tables for row in t.to_pylist()]
+    # partitions that received no rows still need the new high-water
+    # mark applied to their retention tiers (one-shot equivalence);
+    # the sweep is a cheap cutoff filter and rewrites only on change
+    swept = 0
+    empty_pids = sorted(set(range(P)) - {r["pid"] for r in rows})
+    if empty_pids and new_hw > old_hw:
+        import ray as _ray
+        sweep_remote = _ray.remote(
+            lambda pid: IncrementProcessor(
+                out_dir, run_id, config, new_hw).sweep_partition(pid))
+        swept = sum(_ray.get([sweep_remote.remote(p)
+                              for p in empty_pids]))
     config["high_water_us"] = new_hw
     write_run_config(out_dir, config)
     return {
         "partitions_processed": len(rows),
+        "partitions_swept": int(swept),
         "input_rows": int(sum(r["input_rows"] for r in rows)),
         "rollup_points": int(sum(r["rollup_points"] for r in rows)),
         "late_rows": int(late_rows),

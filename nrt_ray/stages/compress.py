@@ -166,17 +166,41 @@ def decode_xor(buf: bytes) -> np.ndarray:
     return np.bitwise_xor.accumulate(stream).view(np.float64)
 
 
-def segments_from_rollups(tier_tables: dict, max_points: int = 4096):
+def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
+                          changed_urls: dict | None = None,
+                          old_segments=None):
     """Build the compressed segment table from rolled-up tier tables.
 
     One segment per (url, tier) chunk of at most ``max_points`` rollup
     points: timestamps dod-coded, means xor-coded.
+
+    Incremental reuse (O(touched) increments): when ``changed_urls``
+    maps each tier name to the urls whose rollup rows changed this
+    increment and ``old_segments`` is the previous commit's segment
+    table, payloads for UNCHANGED (url, tier) pairs are carried over
+    byte-identical instead of re-encoded — the codecs are deterministic,
+    so re-encoding identical points would produce identical bytes.
 
     Returns:
         pyarrow.Table (url, tier, seg_start, seg_end, n_points,
         codec, payload_ts, payload_value)
     """
     import pyarrow as pa
+    reused = []
+    if changed_urls is not None and old_segments is not None \
+            and old_segments.num_rows:
+        import pyarrow.compute as pc
+        keep_parts = []
+        for tier_name in tier_tables:
+            ch = np.asarray(changed_urls.get(tier_name, ()), dtype=object)
+            tmask = pc.equal(old_segments.column("tier"), tier_name)
+            tier_old = old_segments.filter(tmask)
+            if not tier_old.num_rows:
+                continue
+            ou = tier_old.column("url").to_pandas().to_numpy(dtype=object)
+            keep_parts.append(tier_old.filter(
+                pa.array(~np.isin(ou, ch), pa.bool_())))
+        reused = [t for t in keep_parts if t.num_rows]
     rows = {k: [] for k in ("url", "tier", "seg_start", "seg_end",
                             "n_points", "codec", "payload_ts",
                             "payload_value")}
@@ -184,6 +208,14 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096):
         if table.num_rows == 0:
             continue
         urls = table.column("url").to_pandas().to_numpy(dtype=object)
+        if changed_urls is not None and old_segments is not None \
+                and old_segments.num_rows:
+            ch = np.asarray(changed_urls.get(tier_name, ()), dtype=object)
+            m = np.isin(urls, ch)
+            if not m.any():
+                continue
+            table = table.filter(pa.array(m, pa.bool_()))
+            urls = urls[m]
         ts = table.column("bucket_ts").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         mean = table.column("mean").to_numpy(zero_copy_only=False)
@@ -201,7 +233,7 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096):
                 rows["codec"].append("dod+xor")
                 rows["payload_ts"].append(encode_dod(ts[c:d]))
                 rows["payload_value"].append(encode_xor(mean[c:d]))
-    return pa.table({
+    out = pa.table({
         "url": pa.array(rows["url"], pa.string()),
         "tier": pa.array(rows["tier"], pa.string()),
         "seg_start": pa.array(rows["seg_start"], pa.int64()).cast(
@@ -213,3 +245,11 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096):
         "payload_ts": pa.array(rows["payload_ts"], pa.binary()),
         "payload_value": pa.array(rows["payload_value"], pa.binary()),
     })
+    if reused:
+        import pyarrow.compute as pc
+        out = pa.concat_tables(reused + [out],
+                               promote_options="default")
+        out = out.take(pc.sort_indices(out, sort_keys=[
+            ("tier", "ascending"), ("url", "ascending"),
+            ("seg_start", "ascending")]))
+    return out

@@ -107,3 +107,104 @@ def test_late_rows_dead_lettered(ray_session, split_webtext, tmp_path):
     assert os.path.isdir(dead)
     state_after = mp.read_output_table(out, "state")
     assert _by_url(state_before).equals(_by_url(state_after))
+
+
+def test_sparse_increment_reuses_segments(ray_session, tmp_path):
+    """An increment touching a FEW urls must (a) still produce outputs
+    identical to the one-shot run — including compressed segment BYTES —
+    and (b) only re-encode the touched urls' segments (O(touched)
+    increments)."""
+    from unittest import mock
+
+    from nrt_ray.stages import compress as cz
+
+    d = tmp_path / "wt"
+    info = synthetic.generate_webtext(str(d), n_urls=40, seed=53)
+    t = pq.read_table(info["webtext"])
+    urls = t.column("url").to_pandas().to_numpy(dtype=object)
+    hot = np.unique(urls)[:4]                     # the 4 touched urls
+    cut = pa.scalar(int(CUT.astype(np.int64)), pa.int64()) \
+        .cast(pa.timestamp("us"))
+    # early = everything ≤ cut; late = post-cut rows of the hot urls ONLY;
+    # the reference "all" excludes other urls' post-cut rows so that
+    # one-shot(all) ≡ early + late exactly
+    is_post = pc.greater(t.column("warc_ts"), cut)
+    late_mask = pc.and_(is_post, pa.array(np.isin(urls, hot), pa.bool_()))
+    early = t.filter(pc.invert(is_post))
+    pq.write_table(early, str(d / "early.parquet"))
+    pq.write_table(t.filter(late_mask), str(d / "late.parquet"))
+    pq.write_table(pa.concat_tables([early, t.filter(late_mask)]),
+                   str(d / "all.parquet"))
+
+    common = dict(strategy="IQR", fit_method="OLS",
+                  monitor_params={"trend": False, "harmonic_order": 1},
+                  monitor_start="2021-01-01", num_partitions=3,
+                  tiers=TIERS)
+    mp.run_pipeline(str(d / "all.parquet"), str(tmp_path / "full"),
+                    **common)
+    mp.run_pipeline(str(d / "early.parquet"), str(tmp_path / "inc"),
+                    **common)
+
+    n_encoded = {"n": 0}
+    real_xor = cz.encode_xor
+
+    def counting_xor(vals):
+        n_encoded["n"] += 1
+        return real_xor(vals)
+
+    # drive the per-partition update IN-PROCESS (what the exchange's
+    # reduce tasks run) so the encode-counting mock can observe it
+    from nrt_ray.stages.assemble import add_bucket_column
+    cfg = inc.read_run_config(str(tmp_path / "inc"))
+    flat = mp.ingest_webtext(str(d / "late.parquet")).materialize()
+    ft = pa.concat_tables([b for b in
+                           flat.iter_batches(batch_format="pyarrow")],
+                          promote_options="default")
+    ft = add_bucket_column(ft, cfg["num_partitions"])
+    new_hw = int(pc.max(ft.column("warc_ts")).cast(pa.int64()).as_py())
+    proc = inc.IncrementProcessor(str(tmp_path / "inc"), "incr", cfg,
+                                  new_hw)
+    total = 0
+    swept = 0
+    with mock.patch.object(cz, "encode_xor", counting_xor):
+        for pid in range(cfg["num_partitions"]):
+            group = ft.filter(pc.equal(ft.column("pid"), pid))
+            if group.num_rows:
+                proc(group)
+                total += group.num_rows
+            else:
+                # empty partitions get the retention sweep (the new
+                # high-water mark applies everywhere)
+                swept += proc.sweep_partition(pid)
+    cfg["high_water_us"] = new_hw
+    inc.write_run_config(str(tmp_path / "inc"), cfg)
+    assert total > 0 and swept >= 1
+
+    # (b) fewer encodes than a full rebuild (~40 urls × 2 tiers = 80):
+    # only the touched urls plus the retention-trimmed untouched urls
+    # (the 1w tier's advancing cutoff legitimately dirties more, incl.
+    # the swept empty partition's urls)
+    assert 0 < n_encoded["n"] < 60
+
+    # (a) outputs identical to one-shot, segments byte-for-byte
+    for name in ("rollup_1d", "rollup_1w"):
+        ta = _by_url(mp.read_output_table(str(tmp_path / "full"), name),
+                     extra=("bucket_ts",))
+        tb = _by_url(mp.read_output_table(str(tmp_path / "inc"), name),
+                     extra=("bucket_ts",))
+        assert ta.num_rows == tb.num_rows
+        for col in ("url", "bucket_ts", "count", "gapfilled"):
+            assert ta.column(col).to_pylist() == tb.column(col).to_pylist()
+    sa = mp.read_output_table(str(tmp_path / "full"), "segments")
+    sb = mp.read_output_table(str(tmp_path / "inc"), "segments")
+    key = [("tier", "ascending"), ("url", "ascending"),
+           ("seg_start", "ascending")]
+    sa = sa.take(pc.sort_indices(sa, sort_keys=key))
+    sb = sb.take(pc.sort_indices(sb, sort_keys=key))
+    assert sa.num_rows == sb.num_rows
+    for col in ("url", "tier", "seg_start", "seg_end", "n_points"):
+        assert sa.column(col).to_pylist() == sb.column(col).to_pylist(), col
+    assert sa.column("payload_ts").to_pylist() == \
+        sb.column("payload_ts").to_pylist()
+    assert sa.column("payload_value").to_pylist() == \
+        sb.column("payload_value").to_pylist()
