@@ -1,0 +1,74 @@
+"""CLI surface smoke: each subcommand runs in a subprocess (the CLI owns
+its own Ray session) and prints one parseable JSON summary line."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _run(args, cwd):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli"] + args + ["--num-cpus", "4"],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_run_stream_increment_report(tmp_path):
+    d = str(tmp_path)
+    gen = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "generate",
+         "--out", "wt", "--urls", "60"],
+        cwd=d, env=dict(os.environ, PYTHONPATH="/root/repo"),
+        capture_output=True, text=True, timeout=300)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    info = json.loads(gen.stdout.strip().splitlines()[-1])
+    assert info["n_urls"] == 60
+
+    # chronological split for the streaming path
+    t = pq.read_table(os.path.join(d, "wt", "webtext.parquet"))
+    cut = pa.scalar(int(np.datetime64("2021-09-01", "us")
+                        .astype(np.int64)), pa.int64()) \
+        .cast(pa.timestamp("us"))
+    pq.write_table(t.filter(pc.less_equal(t.column("warc_ts"), cut)),
+                   os.path.join(d, "early.parquet"))
+    pq.write_table(t.filter(pc.greater(t.column("warc_ts"), cut)),
+                   os.path.join(d, "late.parquet"))
+
+    s = _run(["run", "--input", "early.parquet", "--out", "out",
+              "--strategy", "CUSUM", "--partitions", "3"], d)
+    assert s["partitions_processed"] == 3 and s["series"] == 60
+
+    # resume: everything committed → nothing recomputed
+    s2 = _run(["run", "--input", "early.parquet", "--out", "out",
+               "--strategy", "CUSUM", "--partitions", "3"], d)
+    assert s2["partitions_processed"] == 0 and s2["partitions_skipped"] == 3
+
+    st = _run(["stream", "--inputs", "late.parquet", "--out", "out",
+               "--pool", "2"], d)
+    assert st["input_rows"] > 0 and st["late_rows"] == 0
+    assert st["partitions_flushed"] == 3
+
+    # replaying the same rows is all-late now → dead-lettered
+    i = _run(["increment", "--input", "late.parquet", "--out", "out"], d)
+    assert i["input_rows"] == 0 and i["late_rows"] > 0
+
+    rep = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "report", "--out", "out",
+         "--k", "3", "--num-cpus", "4"],
+        cwd=d, env=dict(os.environ, PYTHONPATH="/root/repo"),
+        capture_output=True, text=True, timeout=300)
+    assert rep.returncode == 0, rep.stderr[-2000:]
+    lines = [ln for ln in rep.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert 0 < len(lines) <= 3
+    assert "url" in json.loads(lines[0])
