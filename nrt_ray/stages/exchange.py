@@ -25,6 +25,16 @@ task starts as soon as its own split inputs exist — Ray's ref scheduling
 provides the only barrier a shuffle inherently needs.  Reduce results are
 collected with ``ray.wait`` as they finish rather than one final
 ``ray.get`` gate.
+
+Scale bound: the flat exchange creates ``blocks × P`` object refs, and a
+reduce task takes ``blocks`` refs as arguments — fine for the P≈10²-10³
+partitions this engine targets per job (partition size is held constant,
+so a 256-node cluster runs MANY exchanges over data/time slices rather
+than one exchange with a huge P; the incremental path then merges slices
+mergeably).  If a single job ever genuinely needed P≫10³, the upgrade
+path is hierarchical: split to √P coarse buckets, then re-split each
+bucket — O(blocks·√P + P·√P) refs — or Ray Data's built-in push-based
+shuffle; the partitioning key and manifest contract stay unchanged.
 """
 
 from __future__ import annotations
