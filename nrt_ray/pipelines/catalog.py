@@ -51,6 +51,7 @@ def queries() -> dict:
         "q9_product_profit": rel.q9_product_profit,
         "q10_returned_items": rel.q10_returned_items,
         "q15_top_supplier": rel.q15_top_supplier,
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -164,6 +165,7 @@ def queries() -> dict:
         "ccnet_lm_buckets": tx.ccnet_lm_buckets,
         "doc_boilerplate_ratio": tx.boilerplate_ratio,
         "top_docs_per_lang": tx.top_docs_per_lang,
+        "lang_length_quantiles": tx.lang_length_quantiles,
         "docs_length_band": tx.docs_length_band,
         "inverted_index_stats": ivx.inverted_index_stats,
         "doc_simhashes": tx.simhashes,
@@ -183,6 +185,8 @@ def queries() -> dict:
         "embedding_int8_quantize": sim.embedding_int8_quantize,
         "embedding_pca_top1": sim.embedding_pca_top1,
         "embedding_lsh_topk_cosine": sim.lsh_topk_cosine,
+        "embedding_topk_dot": sim.topk_dot,
+        "embedding_topk_l2": sim.topk_l2,
         "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
         # threshold 0.4 for the driver check: the synthetic embeddings
         # are near-orthogonal (max pairwise cosine ~0.5), so the 0.98
@@ -469,6 +473,61 @@ def oracle_sql() -> dict:
                    agg.u / 10000.0 AS total_revenue
             FROM agg JOIN supplier s ON s.s_suppkey = agg.l_suppkey
             WHERE agg.u = (SELECT max(u) FROM agg)
+        """,
+        "q21_waiting_suppliers": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END) AS has_r
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ),
+            o AS (
+                SELECT l_orderkey, count(*) AS nsupp,
+                       sum(has_r) AS nr
+                FROM l GROUP BY l_orderkey
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM l
+            JOIN o USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE o.nsupp >= 2 AND o.nr = 1 AND l.has_r = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 10
+        """,
+        "lang_length_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.50) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75,
+                   quantile_disc(n_chars, 0.90) AS p90
+            FROM documents GROUP BY lang
+        """,
+        "embedding_topk_dot": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   round(list_dot_product(
+                       list_transform(embedding, x -> x::DOUBLE),
+                       list_transform((SELECT qe FROM q),
+                                      x -> x::DOUBLE)), 5) AS dot
+            FROM embeddings
+            ORDER BY dot DESC, vec_id DESC LIMIT 10
+        """,
+        "embedding_topk_l2": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   round(list_distance(
+                       list_transform(embedding, x -> x::DOUBLE),
+                       list_transform((SELECT qe FROM q),
+                                      x -> x::DOUBLE)), 5) AS l2_dist
+            FROM embeddings
+            ORDER BY l2_dist ASC, vec_id ASC LIMIT 10
         """,
         "q14_promo_revenue": """
             WITH l AS (

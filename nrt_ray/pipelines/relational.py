@@ -1754,3 +1754,100 @@ def q15_top_supplier(sf_dir: str, quarter_start: str = "1996-01-01"):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+#: composite (orderkey, suppkey) int key base — suppkey < 1e6 at every
+#: test scale; orderkey·BASE stays far below 2⁶³ (documented bound)
+_Q21_BASE = 1_000_003
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 10):
+    """TPC-H Q21 shape (adapted: ``l_returnflag='R'`` plays the
+    late-delivery predicate — this schema has no commit/receipt dates):
+    suppliers who were the ONLY supplier with flagged lines on
+    multi-supplier orders, ranked by number of such orders.
+
+    Plan: per-batch combiner → hash-exchange (order, supplier) fold →
+    per-order (supplier count, flagged-supplier count) fold → the
+    qualifying-order set stays a DATASET and semi-joins back (no
+    driver-side key list) → per-supplier count → broadcast names →
+    top-k."""
+    import pyarrow.parquet as pq
+    from nrt_ray.stages.hashagg import keyed_sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    P = max(2, pool_size())
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = pc.equal(batch["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ok * _Q21_BASE + sk
+        uk, inv = np.unique(ck, return_inverse=True)
+        rc = np.zeros(len(uk), np.int64)
+        np.add.at(rc, inv, r)
+        return pa.table({"ck": pa.array(uk), "r_cnt": pa.array(rc)})
+
+    pairs = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(combiner, batch_format="pyarrow")
+    pairs = keyed_sum(pairs, "ck", ["r_cnt"], P, key_dtype=pa.int64())
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        ok = ck // _Q21_BASE
+        has_r = (batch["r_cnt"].to_numpy(zero_copy_only=False) > 0) \
+            .astype(np.int64)
+        return pa.table({"okey": pa.array(ok),
+                         "nsupp": pa.array(np.ones(len(ok), np.int64)),
+                         "nr": pa.array(has_r)})
+
+    per_order = keyed_sum(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        "okey", ["nsupp", "nr"], P, key_dtype=pa.int64())
+    qualifying = per_order.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["nsupp"], 2),
+                                   pc.equal(t["nr"], 1)))
+        .select(["okey"]), batch_format="pyarrow")
+
+    def flagged_rows(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        m = batch["r_cnt"].to_numpy(zero_copy_only=False) > 0
+        return pa.table({"okey": pa.array((ck // _Q21_BASE)[m]),
+                         "skey": pa.array((ck % _Q21_BASE)[m])})
+
+    def empty() -> pa.Table:
+        return pa.table({"okey": pa.array([], pa.int64()),
+                         "skey": pa.array([], pa.int64())})
+
+    culprit = shuffle_hash_join(
+        pairs.map_batches(flagged_rows, batch_format="pyarrow"),
+        qualifying, on_left="okey", on_right="okey",
+        num_partitions=P, empty_fn=empty, how="semi")
+
+    per_supp = keyed_sum(
+        culprit.map_batches(
+            lambda t: pa.table({
+                "skey": t["skey"],
+                "numwait": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "skey", ["numwait"], P, key_dtype=pa.int64())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    skeys, sname = _sorted_lookup(sup, "s_suppkey", "s_name")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sk = t["skey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, sk)
+        return pa.table({"s_name": pa.array(sname[pos], pa.string()),
+                         "numwait": t["numwait"]})
+
+    keys, desc = ["numwait", "s_name"], [True, False]
+    return per_supp.map_batches(finish, batch_format="pyarrow") \
+        .map_batches(lambda t: batch_topk(t, keys, desc, k),
+                     batch_format="pyarrow") \
+        .sort(keys, descending=desc).limit(k)

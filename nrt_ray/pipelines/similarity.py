@@ -471,3 +471,73 @@ def embedding_pca_top1(sf_dir: str, iters: int = 3):
         "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
         "component": pa.array(v),
     })
+
+
+class InnerProductScorer:
+    """Batch transform: raw inner product (MIPS) to a broadcast query,
+    batch-local top-k — the un-normalized sibling of CosineScorer (the
+    retrieval metric for embeddings trained with dot-product losses)."""
+
+    def __init__(self, query, k: int | None = None):
+        self.q = np.asarray(query, dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        sims = M @ self.q
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if self.k is not None and len(sims) > self.k:
+            keep = np.argpartition(-sims, self.k)[:self.k]
+            ids, sims = ids[keep], sims[keep]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "dot": pa.array(sims, pa.float64())})
+
+
+def topk_dot(sf_dir: str, k: int = 10):
+    """Maximum-inner-product top-k: per-batch matmul + local top-k, then
+    a global sort over only the survivors."""
+    def round_dot(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["vec_id"],
+                         "dot": pa.array(round_away(batch["dot"], 5))})
+
+    return _read_emb(sf_dir) \
+        .map_batches(InnerProductScorer,
+                     fn_constructor_args=(query_vector(sf_dir), k),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .sort(["dot", "vec_id"], descending=[True, True]).limit(k) \
+        .map_batches(round_dot, batch_format="pyarrow")
+
+
+class L2Scorer:
+    """Batch transform: Euclidean distance to a broadcast query,
+    batch-local BOTTOM-k (nearest)."""
+
+    def __init__(self, query, k: int | None = None):
+        self.q = np.asarray(query, dtype=np.float64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        d = np.sqrt(np.sum((M - self.q[None, :]) ** 2, axis=1))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if self.k is not None and len(d) > self.k:
+            keep = np.argpartition(d, self.k)[:self.k]
+            ids, d = ids[keep], d[keep]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "l2_dist": pa.array(d, pa.float64())})
+
+
+def topk_l2(sf_dir: str, k: int = 10):
+    """Nearest-neighbor (Euclidean) top-k, same physical plan as the
+    cosine/MIPS variants (ascending sort on the survivors)."""
+    def round_d(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["vec_id"],
+                         "l2_dist": pa.array(
+                             round_away(batch["l2_dist"], 5))})
+
+    return _read_emb(sf_dir) \
+        .map_batches(L2Scorer,
+                     fn_constructor_args=(query_vector(sf_dir), k),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .sort(["l2_dist", "vec_id"]).limit(k) \
+        .map_batches(round_d, batch_format="pyarrow")

@@ -2599,3 +2599,65 @@ def bigram_lm_scores(sf_dir: str):
     return _read_docs(sf_dir).map_batches(
         BigramScorer, fn_constructor_args=(side_path,),
         batch_format="pyarrow", concurrency=pool_size())
+
+
+def lang_length_quantiles(sf_dir: str, qs=((25, "p25"), (50, "p50"),
+                                           (75, "p75"), (90, "p90"))):
+    """EXACT per-language discrete quantiles of document length.
+
+    Scale shape: grouped exact quantiles via a value HISTOGRAM — the
+    per-batch combiner emits (lang, n_chars, count) partials, one hash
+    aggregate folds them (histogram size = distinct lengths × languages,
+    tiny vs the corpus), and the quantile selection walks each
+    language's cumulative histogram.  ``ceil(n·q)−1`` element selection
+    = DuckDB ``quantile_disc`` — exact by construction, no float
+    interpolation."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    P = max(2, pool_size())
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # language → stable small int via sorted unique per batch is NOT
+        # stable across batches — key on the string itself instead
+        key = np.char.add(np.char.add(langs.astype(str), "\x1f"),
+                          np.char.zfill(nch.astype(str), 8))
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"lk": pa.array(uk.astype(object), pa.string()),
+                         "cnt": pa.array(cnt)})
+
+    hist = keyed_sum(_read_docs(sf_dir, columns=("lang", "n_chars"))
+                     .map_batches(combiner, batch_format="pyarrow"),
+                     "lk", ["cnt"], P)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        lk = np.asarray(t["lk"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        split = np.array([k.split("\x1f") for k in lk], dtype=object)
+        langs, nch = split[:, 0], split[:, 1].astype(np.int64)
+        order = np.lexsort((nch, langs))
+        langs, nch, cnt = langs[order], nch[order], cnt[order]
+        out = {"lang": [], **{name: [] for _, name in qs}}
+        for lang in np.unique(langs):
+            m = langs == lang
+            v, c = nch[m], cnt[m]
+            cum = np.cumsum(c)
+            n = cum[-1]
+            out["lang"].append(lang)
+            for num, name in qs:
+                idx = max(-((-n * num) // 100) - 1, 0)  # ceil(n·q)−1
+                out[name].append(int(v[np.searchsorted(cum, idx,
+                                                       side="right")]))
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            **{name: pa.array(out[name], pa.int64()) for _, name in qs}})
+
+    # the folded histogram is tiny — finalize needs each language whole,
+    # so repartition(1) then one vectorized pass
+    return hist.repartition(1).map_batches(finalize,
+                                           batch_format="pyarrow")
