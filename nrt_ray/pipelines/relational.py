@@ -82,9 +82,26 @@ def round_away_tol_sql(expr: str, digits: int) -> str:
     return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    """Column-pruned (and optionally predicate-pushed) parquet scan.
+
+    ``filter`` is a pyarrow dataset expression evaluated at the fragment
+    scan: row groups whose min/max statistics exclude the predicate are
+    never read — at crawl scale a one-year slice of a decade of data
+    reads ~10% of the bytes.  Semantically exact (pyarrow applies the
+    residual filter row-level), so downstream per-batch filters stay as
+    cheap no-ops."""
+    kw = {"columns": columns}
+    if filter is not None:
+        kw["filter"] = filter
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+def _ts_between(col: str, lo: str, hi: str):
+    """Pushdown expression ``lo <= col < hi`` for timestamp columns."""
+    import pyarrow.dataset as pds
+    return ((pds.field(col) >= pa.scalar(np.datetime64(lo, "us")))
+            & (pds.field(col) < pa.scalar(np.datetime64(hi, "us"))))
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -477,7 +494,10 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA",
             .filter(pa.array(keep))
 
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=_ts_between(
+                       "o_orderdate", year_start,
+                       str(int(year_start[:4]) + 1) + year_start[4:])) \
         .map_batches(filt_orders, batch_format="pyarrow")
 
     def li_prep(batch: pa.Table) -> pa.Table:
@@ -571,7 +591,9 @@ def q6_forecast_revenue(sf_dir: str):
     t = pa.Table.from_pandas(
         _read(sf_dir, "lineitem",
               ["l_shipdate", "l_quantity", "l_extendedprice",
-               "l_discount"])
+               "l_discount"],
+              filter=_ts_between("l_shipdate", "1996-01-01",
+                                 "1997-01-01"))
         .map_batches(partial, batch_format="pyarrow").to_pandas(),
         preserve_index=False)
     units = int(t["units"].to_numpy(zero_copy_only=False).sum())
@@ -1348,7 +1370,9 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_18",
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice",
-                "l_discount", "l_shipdate"]) \
+                "l_discount", "l_shipdate"],
+               filter=_ts_between("l_shipdate", "1996-01-01",
+                                  "1998-01-01")) \
         .map_batches(li_prep, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
@@ -1474,7 +1498,9 @@ def q8_market_share(sf_dir: str, region_name: str = "ASIA",
                          "o_year": pa.array(yr, pa.int64())})
 
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=_ts_between("o_orderdate", "1996-01-01",
+                                      "1998-01-01")) \
         .map_batches(o_prep, batch_format="pyarrow")
 
     def empty() -> pa.Table:
@@ -1647,7 +1673,9 @@ def q10_returned_items(sf_dir: str, quarter_start: str = "1996-01-01",
             .filter(pa.array((od >= t0) & (od < t1)))
 
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=_ts_between("o_orderdate", quarter_start,
+                                      f"{y}-{m:02d}-01")) \
         .map_batches(o_prep, batch_format="pyarrow")
 
     def empty() -> pa.Table:
@@ -1732,7 +1760,9 @@ def q15_top_supplier(sf_dir: str, quarter_start: str = "1996-01-01"):
 
     agg = _read(sf_dir, "lineitem",
                 ["l_suppkey", "l_extendedprice", "l_discount",
-                 "l_shipdate"]) \
+                 "l_shipdate"],
+                filter=_ts_between("l_shipdate", quarter_start,
+                                   f"{y}-{m:02d}-01")) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("l_suppkey").aggregate(Sum("units", alias_name="units")) \
         .materialize()   # tiny (one row per supplier); scanned twice below
