@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                                            "existing output")
     inc.add_argument("--input", required=True)
     inc.add_argument("--out", required=True)
+    inc.add_argument("--prune-ingested", action="store_true",
+                     help="push the committed high-water mark into the "
+                          "parquet scan (row groups at/below it are "
+                          "never read; skips the late-row dead-letter "
+                          "audit for pruned rows)")
     inc.add_argument("--num-cpus", type=int, default=None)
 
     st = sub.add_parser("stream", help="continuous mode: apply inputs as "
@@ -131,9 +136,13 @@ def main(argv=None) -> int:
                 reduce_num_cpus=args.reduce_cpus)
             print(json.dumps(summary))
         elif args.cmd == "increment":
-            from nrt_ray.pipelines.incremental import run_increment
+            from nrt_ray.pipelines.incremental import (read_run_config,
+                                                       run_increment)
             from nrt_ray.pipelines.monitor_pipeline import ingest_webtext
-            summary = run_increment(args.out, ingest_webtext(args.input))
+            hw = read_run_config(args.out)["high_water_us"] \
+                if args.prune_ingested else None
+            summary = run_increment(
+                args.out, ingest_webtext(args.input, min_warc_ts_us=hw))
             print(json.dumps(summary))
         elif args.cmd == "stream":
             from nrt_ray.pipelines.continuous import ContinuousMonitor

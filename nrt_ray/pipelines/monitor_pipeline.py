@@ -152,15 +152,33 @@ class PartitionProcessor:
 
 def ingest_webtext(input_path, verify_extract: bool = False,
                    override_num_blocks: int | None = None,
-                   aux: bool = False):
+                   aux: bool = False,
+                   min_warc_ts_us: int | None = None):
     """Read a webtext Parquet table and extract the flat signal rows.
 
     ``aux=True`` additionally emits the CCDC_RIRLS secondary-signal
-    columns (kept off otherwise so the shuffle stays narrow)."""
+    columns (kept off otherwise so the shuffle stays narrow).
+
+    ``min_warc_ts_us``: high-water predicate PUSHED INTO THE SCAN
+    (``warc_ts > min``): row groups whose max timestamp is at or below
+    the mark are never read — the fragment-pruned incremental read
+    SURVEY §2.1 calls for.  Crawl files are written roughly
+    time-ordered, so a daily increment over a deep archive reads a
+    sliver of the bytes.  Note the trade-off: rows at or below the mark
+    never surface, so `run_increment`'s dead-letter AUDIT of late rows
+    is skipped for them — use it when the archive is append-only and
+    audit is not needed (the CLI exposes it as ``--prune-ingested``)."""
     columns = ["url", "warc_ts", "text"] + (
         ["html"] if verify_extract else [])
+    kw = {}
+    if min_warc_ts_us is not None:
+        import pyarrow.dataset as pds
+        kw["filter"] = (pds.field("warc_ts")
+                        > pa.scalar(min_warc_ts_us, pa.int64())
+                        .cast(pa.timestamp("us")))
     ds = ray.data.read_parquet(input_path, columns=columns,
-                               override_num_blocks=override_num_blocks)
+                               override_num_blocks=override_num_blocks,
+                               **kw)
     return ds.map_batches(ExtractSignal(verify=verify_extract, aux=aux),
                           batch_format="pyarrow")
 

@@ -62,6 +62,11 @@ def test_cli_run_stream_increment_report(tmp_path):
     i = _run(["increment", "--input", "late.parquet", "--out", "out"], d)
     assert i["input_rows"] == 0 and i["late_rows"] > 0
 
+    # with scan pruning the already-ingested rows are never read at all
+    i2 = _run(["increment", "--input", "late.parquet", "--out", "out",
+               "--prune-ingested"], d)
+    assert i2["input_rows"] == 0 and i2["late_rows"] == 0
+
     rep = subprocess.run(
         [sys.executable, "-m", "nrt_ray.cli", "report", "--out", "out",
          "--k", "3", "--num-cpus", "4"],
