@@ -83,6 +83,18 @@ def main(argv=None) -> int:
                     help="flush every K micro-batches (0 = only at end)")
     st.add_argument("--num-cpus", type=int, default=None)
 
+    fg = sub.add_parser("forget", help="right-to-be-forgotten: remove "
+                                       "urls from every output artifact "
+                                       "by rebuilding only the owning "
+                                       "partitions")
+    fg.add_argument("--input", required=True,
+                    help="the run's original input parquet")
+    fg.add_argument("--out", required=True)
+    fg.add_argument("--urls", nargs="+", default=None)
+    fg.add_argument("--urls-file", default=None,
+                    help="newline-delimited url list")
+    fg.add_argument("--num-cpus", type=int, default=None)
+
     rep = sub.add_parser("report", help="top-k recent confirmed breaks")
     rep.add_argument("--out", required=True)
     rep.add_argument("--k", type=int, default=100)
@@ -162,6 +174,15 @@ def main(argv=None) -> int:
             finally:
                 cm.close()
             print(json.dumps({**totals, **ck}))
+        elif args.cmd == "forget":
+            from nrt_ray.pipelines.incremental import run_forget
+            urls = list(args.urls or [])
+            if args.urls_file:
+                with open(args.urls_file) as f:
+                    urls += [ln.strip() for ln in f if ln.strip()]
+            if not urls:
+                raise SystemExit("forget: need --urls or --urls-file")
+            print(json.dumps(run_forget(args.out, args.input, urls)))
         elif args.cmd == "report":
             from nrt_ray.pipelines.monitor_pipeline import top_recent_breaks
             ds = top_recent_breaks(args.out, k=args.k)

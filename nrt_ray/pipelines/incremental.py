@@ -77,7 +77,9 @@ class IncrementProcessor:
             strategy=config["strategy"],
             monitor_start=config["monitor_start"],
             monitor_params=config.get("monitor_params"),
-            fit_params=config.get("fit_params"))
+            fit_params=config.get("fit_params"),
+            fit_method=config.get("fit_method"),
+            screen_outliers=config.get("screen_outliers", "default"))
 
     # -- state update ---------------------------------------------------
 
@@ -463,4 +465,79 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
         "rollup_points": int(sum(r["rollup_points"] for r in rows)),
         "late_rows": int(late_rows),
         "high_water_us": new_hw,
+    }
+
+
+def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
+               reduce_num_cpus: float = 1.0) -> dict:
+    """Right-to-be-forgotten: remove ``urls`` from every output artifact
+    (state, rollup tiers, compressed segments, alerts) by REBUILDING only
+    the partitions that own them from the original input minus those
+    urls — everything else is untouched (hash-pinned partitioning makes
+    the blast radius exactly ``len({hash(url) % P})`` partitions).
+
+    Result is identical to a fresh run over the input with the urls
+    filtered out, except the committed high-water mark is preserved (it
+    may have been set by a forgotten url's last snapshot; shrinking it
+    would re-classify other urls' already-ingested rows as new).  The
+    ``dead_letter`` audit table, if any, is NOT scrubbed (it is an
+    append-only audit log outside the queryable outputs).
+
+    Not supported for runs with salted hot urls (merged partitions have
+    composite membership) — raises RuntimeError.
+    """
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    from nrt_ray.stages.assemble import bucket_of
+
+    config = read_run_config(out_dir)
+    P = int(config["num_partitions"])
+    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
+        raise RuntimeError("run_forget does not support salted runs "
+                           "(merged hot partitions present)")
+    urls_arr = np.asarray(sorted(set(urls)), dtype=object)
+    pids = sorted(set(bucket_of(urls_arr, P).tolist()))
+    manifest.uncommit_partitions(out_dir, pids)
+
+    def drop_urls(t: pa.Table) -> pa.Table:
+        keep = ~np.isin(np.asarray(t.column("url").to_pandas(),
+                                   dtype=object), urls_arr)
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    flat = mp.ingest_webtext(input_path) \
+        .map_batches(drop_urls, batch_format="pyarrow")
+    summary = mp.run_pipeline(
+        input_path, out_dir,
+        strategy=config["strategy"],
+        monitor_start=config["monitor_start"],
+        num_partitions=P,
+        tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+        monitor_params=config.get("monitor_params"),
+        fit_params=config.get("fit_params"),
+        fit_method=config.get("fit_method"),
+        screen_outliers=config.get("screen_outliers", "default"),
+        high_water_us=int(config["high_water_us"]),
+        resume=True, run_id=run_id, flat_dataset=flat,
+        reduce_num_cpus=reduce_num_cpus)
+
+    # a partition whose every url was forgotten gets no exchange rows →
+    # its stale tables must be dropped and an empty commit recorded
+    still_open = set(pids) - manifest.committed_partitions(out_dir)
+    for pid in sorted(still_open):
+        for table in (["state", "alerts", "segments"]
+                      + [f"rollup_{t['name']}" for t in config["tiers"]]):
+            p = os.path.join(manifest.partition_dir(out_dir, table, pid),
+                             "part.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+        manifest.commit_partition(out_dir, run_id, pid, {
+            "num_partitions": P, "row_counts": {"input": 0},
+            "state_checksum": "", "strategy": config["strategy"],
+            "high_water_us": int(config["high_water_us"]),
+            "forgotten_empty": True,
+        })
+    return {
+        "partitions_rebuilt": int(summary["partitions_processed"]),
+        "partitions_emptied": len(still_open),
+        "urls_forgotten": int(len(urls_arr)),
+        "affected_pids": pids,
     }

@@ -428,6 +428,7 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         "strategy": strategy, "monitor_start": monitor_start,
         "num_partitions": num_partitions,
         "monitor_params": monitor_params, "fit_params": fit_params,
+        "fit_method": fit_method, "screen_outliers": screen_outliers,
         "tiers": [t.to_dict() for t in tiers],
         "high_water_us": hw_cfg,
     })

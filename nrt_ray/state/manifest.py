@@ -105,3 +105,18 @@ def check_partitioning(out_dir: str, num_partitions: int) -> None:
             raise ValueError(
                 f"manifest was written with num_partitions={p}, "
                 f"got {num_partitions}; partitioning is pinned per output")
+
+
+def uncommit_partitions(out_dir: str, pids) -> list[int]:
+    """Remove the commit records for ``pids`` so a resumed run rebuilds
+    them (the forget/rebuild path).  Output tables stay on disk until
+    the rebuild overwrites them — a crash between uncommit and rebuild
+    is safe: the partitions simply rebuild on the next resume."""
+    d = os.path.join(out_dir, MANIFEST_DIR)
+    removed = []
+    for pid in pids:
+        p = os.path.join(d, f"partition-{pid:05d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(int(pid))
+    return removed
