@@ -100,6 +100,19 @@ def main(argv=None) -> int:
     rep.add_argument("--k", type=int, default=100)
     rep.add_argument("--num-cpus", type=int, default=None)
 
+    sts = sub.add_parser("stats", help="manifest summary: committed "
+                                       "partitions, row counts, metrics")
+    sts.add_argument("--out", required=True)
+
+    dec = sub.add_parser("decode", help="decode compressed segments back "
+                                        "to rollup points (parquet out)")
+    dec.add_argument("--out", required=True,
+                     help="pipeline output dir (reads its segments)")
+    dec.add_argument("--tier", default=None)
+    dec.add_argument("--dest", required=True,
+                     help="destination parquet directory")
+    dec.add_argument("--num-cpus", type=int, default=None)
+
     gen = sub.add_parser("generate", help="seeded synthetic webtext table")
     gen.add_argument("--out", required=True)
     gen.add_argument("--urls", type=int, default=512)
@@ -128,6 +141,24 @@ def main(argv=None) -> int:
     exp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        from nrt_ray.state import manifest as mf
+        records = mf.load_manifest(args.out)
+        rows = {}
+        points = 0
+        for r in records:
+            for k, v in (r.get("row_counts") or {}).items():
+                rows[k] = rows.get(k, 0) + int(v)
+            points += int((r.get("metrics") or {})
+                          .get("rollup_points", 0))
+        print(json.dumps({
+            "partitions_committed": len(records),
+            "row_counts": rows,
+            "rollup_points": points,
+            "runs": sorted({r.get("run_id") for r in records}),
+        }))
+        return 0
 
     if args.cmd == "generate":
         from nrt_ray.sources.synthetic import generate_webtext
@@ -183,6 +214,17 @@ def main(argv=None) -> int:
             if not urls:
                 raise SystemExit("forget: need --urls or --urls-file")
             print(json.dumps(run_forget(args.out, args.input, urls)))
+        elif args.cmd == "decode":
+            import ray.data
+            from nrt_ray.stages.compress import decode_segments_table
+            ds = ray.data.read_parquet(
+                f"{args.out}/segments").map_batches(
+                lambda t: decode_segments_table(t, tier=args.tier),
+                batch_format="pyarrow")
+            ds.write_parquet(args.dest)
+            import pyarrow.dataset as pds_
+            n = pds_.dataset(args.dest).count_rows()
+            print(json.dumps({"points": int(n), "dest": args.dest}))
         elif args.cmd == "report":
             from nrt_ray.pipelines.monitor_pipeline import top_recent_breaks
             ds = top_recent_breaks(args.out, k=args.k)

@@ -253,3 +253,40 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
             ("tier", "ascending"), ("url", "ascending"),
             ("seg_start", "ascending")]))
     return out
+
+
+def decode_segments_table(segments, tier: str | None = None):
+    """Decode a segment table back to rollup points — the storage-layer
+    read path (``(url, tier, bucket_ts, mean)`` rows).
+
+    Runs fine inside ``map_batches`` over segment batches: each row
+    decodes independently, so the read path scales exactly like the
+    write path.
+    """
+    import pyarrow as pa
+    if tier is not None:
+        import pyarrow.compute as pc
+        segments = segments.filter(pc.equal(segments.column("tier"),
+                                            tier))
+    urls, tiers, ts_out, mean_out = [], [], [], []
+    pts = segments.column("payload_ts").to_pylist()
+    pvs = segments.column("payload_value").to_pylist()
+    su = segments.column("url").to_pylist()
+    st = segments.column("tier").to_pylist()
+    for u, t, bts, bval in zip(su, st, pts, pvs):
+        ts = decode_dod(bts)
+        val = decode_xor(bval)
+        urls.extend([u] * len(ts))
+        tiers.extend([t] * len(ts))
+        ts_out.append(ts)
+        mean_out.append(val)
+    ts_all = np.concatenate(ts_out) if ts_out else np.array([], np.int64)
+    mean_all = np.concatenate(mean_out) if mean_out else \
+        np.array([], np.float64)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "tier": pa.array(tiers, pa.string()),
+        "bucket_ts": pa.array(ts_all, pa.int64()).cast(
+            pa.timestamp("us")),
+        "mean": pa.array(mean_all, pa.float64()),
+    })

@@ -101,3 +101,35 @@ def test_segments_from_rollups_roundtrip():
     dec = np.concatenate([compress.decode_xor(r["payload_value"])
                           for r in a_rows])
     np.testing.assert_array_equal(dec, mean[:40])
+
+
+def test_decode_segments_table_roundtrip():
+    """decode_segments_table returns exactly the (bucket_ts, mean) points
+    the segments were encoded from."""
+    import pyarrow as pa
+
+    from nrt_ray.stages.compress import (decode_segments_table,
+                                         segments_from_rollups)
+
+    rng = np.random.default_rng(7)
+    urls, ts, mean = [], [], []
+    for u in ("a", "b", "c"):
+        n = int(rng.integers(3, 40))
+        t0 = int(rng.integers(0, 10**6))
+        urls += [u] * n
+        ts += (t0 + np.arange(n) * 3600).tolist()
+        mean += rng.normal(size=n).tolist()
+    tier = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "bucket_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "mean": pa.array(mean, pa.float64()),
+    })
+    seg = segments_from_rollups({"1h": tier}, max_points=16)
+    dec = decode_segments_table(seg, tier="1h")
+    dec = dec.take(pa.compute.sort_indices(dec, sort_keys=[
+        ("url", "ascending"), ("bucket_ts", "ascending")]))
+    assert dec.column("url").to_pylist() == urls
+    assert dec.column("bucket_ts").cast(pa.int64()).to_pylist() == ts
+    np.testing.assert_array_equal(
+        np.array(dec.column("mean").to_pylist()).view(np.uint64),
+        np.array(mean).view(np.uint64))
