@@ -67,6 +67,16 @@ def test_cli_run_stream_increment_report(tmp_path):
                "--prune-ingested"], d)
     assert i2["input_rows"] == 0 and i2["late_rows"] == 0
 
+    # stats: manifest summary (no Ray session — returns immediately)
+    stat = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "stats", "--out", "out"],
+        cwd=d, env=dict(os.environ, PYTHONPATH="/root/repo"),
+        capture_output=True, text=True, timeout=60)
+    assert stat.returncode == 0, stat.stderr[-2000:]
+    sm = json.loads(stat.stdout.strip().splitlines()[-1])
+    assert sm["partitions_committed"] == 3
+    assert sm["row_counts"]["state"] == 60
+
     rep = subprocess.run(
         [sys.executable, "-m", "nrt_ray.cli", "report", "--out", "out",
          "--k", "3", "--num-cpus", "4"],
