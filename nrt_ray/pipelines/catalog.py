@@ -117,6 +117,7 @@ def queries() -> dict:
         "user_interarrival_events": tsq.user_interarrival_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
+        "user_autocorr_daily": tsq.user_autocorr_daily,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -473,6 +474,35 @@ def oracle_sql() -> dict:
                    agg.u / 10000.0 AS total_revenue
             FROM agg JOIN supplier s ON s.s_suppkey = agg.l_suppkey
             WHERE agg.u = (SELECT max(u) FROM agg)
+        """,
+        "user_autocorr_daily": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events GROUP BY user_id, day
+            ),
+            s AS (
+                SELECT user_id, cents AS a,
+                       lead(cents) OVER (PARTITION BY user_id
+                                         ORDER BY day) AS b
+                FROM d
+            ),
+            agg AS (
+                SELECT user_id, count(*) AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+                       sum(a * a) AS saa, sum(b * b) AS sbb
+                FROM s WHERE b IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id, n + 1 AS n_days,
+                   round(CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
+                         6) AS r1
+            FROM agg
+            WHERE n >= 2 AND n * saa - sa * sa > 0
+              AND n * sbb - sb * sb > 0
         """,
         "q21_waiting_suppliers": """
             WITH l AS (

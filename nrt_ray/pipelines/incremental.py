@@ -476,6 +476,12 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
     urls — everything else is untouched (hash-pinned partitioning makes
     the blast radius exactly ``len({hash(url) % P})`` partitions).
 
+    ``input_path`` must cover EVERYTHING the run has ingested (original
+    input plus any increment batches — ``read_parquet`` accepts a list),
+    since affected partitions rebuild from source; rows above the
+    committed high-water mark, if any, are naturally re-ingested by the
+    rebuild.
+
     Result is identical to a fresh run over the input with the urls
     filtered out, except the committed high-water mark is preserved (it
     may have been set by a forgotten url's last snapshot; shrinking it

@@ -1520,3 +1520,98 @@ def user_running_total_events(sf_dir: str):
                                         "value"]) \
         .map_batches(prep, batch_format="pyarrow")
     return exchange_dataset(ds, nparts, fold, empty)
+
+
+def user_autocorr_daily(sf_dir: str):
+    """Lag-1 autocorrelation of each user's daily spend sequence — the
+    "is today like yesterday" signal, over OBSERVED days in day order.
+
+    Exactness: daily sums are exact integer cents; the correlation's
+    five sufficient statistics (Σa, Σb, Σab, Σa², Σb² over consecutive
+    observed-day pairs) are exact Python/HUGEINT integers on both
+    engines, and the final float expression is evaluated identically —
+    so the rounded r₁ matches bit-for-bit.  Users need ≥3 observed days
+    and nonzero variance on both sides of the lag (else excluded, same
+    HAVING in SQL).
+
+    Shape: per-batch (user, day, cents) combiner → one hash fold on the
+    composite key → one user-keyed exchange whose fold walks each
+    user's day-ordered run (histogram-sized data by then)."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)      # day-number < 2²² (≈11k yrs)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"ck": pa.array(uk), "cents": pa.array(acc)})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["cents"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        uid = ck // BASE
+        return batch.append_column(
+            "pid", pa.array((uid % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        uid, day = ck // BASE, ck % BASE
+        order = np.lexsort((day, uid))
+        uid, cents = uid[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        import math
+        out_u, out_n, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            n_days = e - s
+            if n_days < 3:
+                continue
+            x = [int(v) for v in cents[s:e]]       # exact python ints
+            a, b = x[:-1], x[1:]
+            n = n_days - 1
+            sa, sb = sum(a), sum(b)
+            sab = sum(p * q for p, q in zip(a, b))
+            saa = sum(p * p for p in a)
+            sbb = sum(q * q for q in b)
+            va, vb = n * saa - sa * sa, n * sbb - sb * sb
+            if va <= 0 or vb <= 0:
+                continue
+            r1 = float(n * sab - sa * sb) / (math.sqrt(float(va))
+                                             * math.sqrt(float(vb)))
+            out_u.append(int(uid[s]))
+            out_n.append(int(n_days))
+            out_r.append(r1)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "r1": pa.array(round_away(np.array(out_r, np.float64), 6)
+                           if out_r else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "r1": pa.array([], pa.float64())})
+
+    return exchange_dataset(daily.map_batches(tag,
+                                              batch_format="pyarrow"),
+                            nparts, fold, empty)
