@@ -118,6 +118,7 @@ def queries() -> dict:
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
+        "user_click_purchase_corr": tsq.user_click_purchase_corr,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -474,6 +475,38 @@ def oracle_sql() -> dict:
                    agg.u / 10000.0 AS total_revenue
             FROM agg JOIN supplier s ON s.s_suppkey = agg.l_suppkey
             WHERE agg.u = (SELECT max(u) FROM agg)
+        """,
+        "user_click_purchase_corr": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       CAST(sum(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100, 0) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100, 0) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS b,
+                       sum(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS nc,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS nb
+                FROM events GROUP BY user_id, day
+            ),
+            p AS (SELECT user_id, a, b FROM d WHERE nc > 0 AND nb > 0),
+            agg AS (
+                SELECT user_id, count(*) AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+                       sum(a * a) AS saa, sum(b * b) AS sbb
+                FROM p GROUP BY user_id
+            )
+            SELECT user_id, n AS n_common_days,
+                   round(CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
+                         6) AS r
+            FROM agg
+            WHERE n >= 2 AND n * saa - sa * sa > 0
+              AND n * sbb - sb * sb > 0
         """,
         "user_autocorr_daily": """
             WITH d AS (

@@ -1615,3 +1615,107 @@ def user_autocorr_daily(sf_dir: str):
     return exchange_dataset(daily.map_batches(tag,
                                               batch_format="pyarrow"),
                             nparts, fold, empty)
+
+
+def user_click_purchase_corr(sf_dir: str):
+    """Pearson correlation between a user's daily click spend and daily
+    purchase spend, over days where both occur — "does browsing
+    intensity track buying".  Same exact-integer scheme as
+    :func:`user_autocorr_daily`: sufficient statistics are exact ints on
+    both engines, the float expression is identical, r rounds to 6.
+    Users need ≥2 common days and nonzero variance on both sides."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        is_c = (et == "click")
+        is_p = (et == "purchase")
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        cc = np.zeros(len(uk), np.int64)
+        pp = np.zeros(len(uk), np.int64)
+        nc = np.zeros(len(uk), np.int64)
+        npp = np.zeros(len(uk), np.int64)
+        np.add.at(cc, inv[is_c], cents[is_c])
+        np.add.at(pp, inv[is_p], cents[is_p])
+        np.add.at(nc, inv[is_c], 1)
+        np.add.at(npp, inv[is_p], 1)
+        return pa.table({"ck": pa.array(uk),
+                         "click_cents": pa.array(cc),
+                         "buy_cents": pa.array(pp),
+                         "n_click": pa.array(nc),
+                         "n_buy": pa.array(npp)})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "event_type",
+                                       "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["click_cents", "buy_cents", "n_click", "n_buy"],
+        nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // BASE) % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        keep = (tbl["n_click"].to_numpy(zero_copy_only=False) > 0) \
+            & (tbl["n_buy"].to_numpy(zero_copy_only=False) > 0)
+        tbl = tbl.filter(pa.array(keep, pa.bool_()))
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        a_all = tbl["click_cents"].to_numpy(zero_copy_only=False)
+        b_all = tbl["buy_cents"].to_numpy(zero_copy_only=False)
+        uid = ck // BASE
+        order = np.argsort(uid, kind="stable")
+        uid, a_all, b_all = uid[order], a_all[order], b_all[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        import math
+        out_u, out_n, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            a = [int(v) for v in a_all[s:e]]
+            b = [int(v) for v in b_all[s:e]]
+            sa, sb = sum(a), sum(b)
+            sab = sum(p * q for p, q in zip(a, b))
+            saa = sum(p * p for p in a)
+            sbb = sum(q * q for q in b)
+            va, vb = n * saa - sa * sa, n * sbb - sb * sb
+            if va <= 0 or vb <= 0:
+                continue
+            r = float(n * sab - sa * sb) / (math.sqrt(float(va))
+                                            * math.sqrt(float(vb)))
+            out_u.append(int(uid[s]))
+            out_n.append(int(n))
+            out_r.append(r)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_common_days": pa.array(out_n, pa.int64()),
+            "r": pa.array(round_away(np.array(out_r, np.float64), 6)
+                          if out_r else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_common_days": pa.array([], pa.int64()),
+                         "r": pa.array([], pa.float64())})
+
+    return exchange_dataset(daily.map_batches(tag,
+                                              batch_format="pyarrow"),
+                            nparts, fold, empty)
