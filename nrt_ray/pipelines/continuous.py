@@ -135,6 +135,12 @@ class ContinuousMonitor:
         self.out_dir = out_dir
         self.config = inc.read_run_config(out_dir)
         self.P = int(self.config["num_partitions"])
+        from nrt_ray.state import manifest as _mf
+        if any(pid >= self.P
+               for pid in _mf.committed_partitions(out_dir)):
+            raise RuntimeError(
+                "continuous mode does not support salted runs yet "
+                "(merged hot partitions present) — see run_increment")
         self.high_water_us = int(self.config["high_water_us"])
         if pool is None:
             # one actor per core by default: actors are the unit of both

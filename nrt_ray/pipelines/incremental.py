@@ -410,6 +410,12 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     config = read_run_config(out_dir)
     P = config["num_partitions"]
     old_hw = config["high_water_us"]
+    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
+        raise RuntimeError(
+            "run_increment does not support salted runs yet: hot urls' "
+            "state lives in merged partitions (pid >= P), so plain "
+            "hash bucketing would silently re-fit them as unknown urls. "
+            "Re-run the full pipeline over the combined input instead.")
 
     # split late vs new (strictly-forward contract)
     hw_scalar = pa.scalar(old_hw, pa.int64()).cast(pa.timestamp("us"))

@@ -117,3 +117,22 @@ def test_detect_hot_urls(ray_session, skewed_webtext):
     hot = mp.detect_hot_urls(path, threshold=1000)
     assert hot == {"https://hot.example.com/live"}
     assert mp.detect_hot_urls(path, threshold=hot_rows + 1) == set()
+
+
+def test_increment_on_salted_run_raises(ray_session, skewed_webtext,
+                                        tmp_path):
+    """Hot urls' state lives in merged partitions (pid >= P); increments
+    would silently re-fit them as unknown — must refuse loudly."""
+    from nrt_ray.pipelines import incremental as inc
+    from nrt_ray.pipelines.continuous import ContinuousMonitor
+
+    path, hot_rows = skewed_webtext
+    out = str(tmp_path / "out")
+    mp.run_pipeline(path, out, strategy="EWMA",
+                    monitor_start="2021-01-01",
+                    monitor_params={"trend": False}, num_partitions=4,
+                    salt_threshold=hot_rows // 2)
+    with pytest.raises(RuntimeError, match="salted"):
+        inc.run_increment(out, mp.ingest_webtext(path))
+    with pytest.raises(RuntimeError, match="salted"):
+        ContinuousMonitor(out)
