@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import partial
 
 from nrt_ray.pipelines import curate as cu
+from nrt_ray.pipelines import features as ft
 from nrt_ray.pipelines import invindex as ivx
 from nrt_ray.pipelines import mmops as mm
 from nrt_ray.pipelines import monitor_oracles as mo
@@ -122,6 +123,7 @@ def queries() -> dict:
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
+        "user_features_asof": ft.user_features_asof,
         "top_supplier_per_nation": rel.top_supplier_per_nation,
         "supplier_network_hops": rel.supplier_network_hops,
         # ---- temporal windows / streaming joins -------------------------
@@ -136,6 +138,7 @@ def queries() -> dict:
         "doc_winnow_fingerprints": tx.winnow_fingerprints,
         "doc_containment_pairs": tx.containment_pairs,
         "vocab_top_tokens": tx.vocab_top_tokens,
+        "pmi_collocations_docs": ft.pmi_collocations,
         "vocab_zipf_fit": tx.vocab_zipf_fit,
         "vocab_growth_docs": tx.vocab_growth,
         "sample_stratified_docs": tx.sample_stratified,
@@ -1211,6 +1214,8 @@ def oracle_sql() -> dict:
         """,
         "doc_winnow_fingerprints": sk.winnow_sql(),
         "doc_containment_pairs": sk.containment_sql(),
+        "pmi_collocations_docs": ft.pmi_sql(),
+        "user_features_asof": ft.user_features_asof_sql(),
         "vocab_top_tokens": r"""
             SELECT tok AS token, count(*) AS n_total
             FROM (SELECT unnest(regexp_split_to_array(trim(text),
