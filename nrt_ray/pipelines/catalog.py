@@ -101,6 +101,8 @@ def queries() -> dict:
             tsq.monitor_events, strategy="EWMA",
             monitor_params={"lambda_": 0.5}),
         "segments_1d_events": tsq.segments_events,
+        "segment_range_scan_events": tsq.segment_range_scan_events,
+        "weekly_from_daily_events": tsq.weekly_from_daily_events,
         "active_users_1h": tsq.active_users_events,
         "user_value_quantiles": tsq.user_value_quantiles,
         "top_users_per_day": tsq.top_users_per_day,
@@ -1856,6 +1858,78 @@ def oracle_sql() -> dict:
                    CAST(sum(b*86400) AS BIGINT) AS ts_checksum,
                    CAST(sum(cents) AS BIGINT) AS value_cents
             FROM obs GROUP BY user_id
+        """,
+        # compressed-store range scan: replays the deterministic segment
+        # chunking (8 consecutive daily buckets per segment, in bucket
+        # order per url) and the metadata prune (segment decoded iff its
+        # [first,last] bucket range overlaps [Jan10, Jan20)), so both the
+        # decoded values AND the pruning decision are value-checked
+        "segment_range_scan_events": r"""
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)/86400) AS BIGINT) AS b,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+                FROM events GROUP BY user_id, b
+            ),
+            ordered AS (
+                SELECT user_id, b, cents,
+                       (row_number() OVER (PARTITION BY user_id
+                                           ORDER BY b) - 1) // 8 AS chunk
+                FROM obs
+            ),
+            decoded AS (
+                SELECT user_id, chunk FROM ordered GROUP BY user_id, chunk
+                HAVING max(b) >= CAST(epoch(TIMESTAMP '2024-01-10')/86400
+                                      AS BIGINT)
+                   AND min(b) <  CAST(epoch(TIMESTAMP '2024-01-20')/86400
+                                      AS BIGINT)
+            )
+            SELECT o.user_id,
+                   CAST(count(*) FILTER (
+                        WHERE o.b >= CAST(epoch(TIMESTAMP '2024-01-10')
+                                          /86400 AS BIGINT)
+                          AND o.b <  CAST(epoch(TIMESTAMP '2024-01-20')
+                                          /86400 AS BIGINT)) AS BIGINT)
+                       AS n_points,
+                   CAST(coalesce(sum(o.b * 86400) FILTER (
+                        WHERE o.b >= CAST(epoch(TIMESTAMP '2024-01-10')
+                                          /86400 AS BIGINT)
+                          AND o.b <  CAST(epoch(TIMESTAMP '2024-01-20')
+                                          /86400 AS BIGINT)), 0) AS BIGINT)
+                       AS ts_checksum,
+                   CAST(coalesce(sum(o.cents) FILTER (
+                        WHERE o.b >= CAST(epoch(TIMESTAMP '2024-01-10')
+                                          /86400 AS BIGINT)
+                          AND o.b <  CAST(epoch(TIMESTAMP '2024-01-20')
+                                          /86400 AS BIGINT)), 0) AS BIGINT)
+                       AS value_cents,
+                   CAST(count(DISTINCT o.chunk) AS BIGINT)
+                       AS n_segments_decoded
+            FROM ordered o JOIN decoded d USING (user_id, chunk)
+            GROUP BY o.user_id
+        """,
+        # continuous-aggregate rewrite: weekly numbers recomputed straight
+        # from raw events must equal the Ray side's compose-from-daily-tier
+        # answer (integer cents make tier composition exact)
+        "weekly_from_daily_events": r"""
+            WITH day AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)/86400) AS BIGINT) AS d,
+                       count(*) AS cnt,
+                       sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+                       min(CAST(round(value * 100, 0) AS BIGINT)) AS mn,
+                       max(CAST(round(value * 100, 0) AS BIGINT)) AS mx
+                FROM events GROUP BY user_id, d
+            )
+            SELECT user_id,
+                   make_timestamp(((d * 86400) // 604800) * 604800
+                                  * 1000000) AS week_ts,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(cnt) AS BIGINT) AS n_obs,
+                   CAST(sum(cents) AS BIGINT) AS value_cents,
+                   CAST(min(mn) AS BIGINT) AS vmin_cents,
+                   CAST(max(mx) AS BIGINT) AS vmax_cents
+            FROM day GROUP BY user_id, week_ts
         """,
         # 64-bit SimHash over whitespace tokens; token hash = md5 low 64
         # bits = DuckDB md5_number_lower, so the oracle rebuilds the

@@ -1719,3 +1719,149 @@ def user_click_purchase_corr(sf_dir: str):
     return exchange_dataset(daily.map_batches(tag,
                                               batch_format="pyarrow"),
                             nparts, fold, empty)
+
+
+def range_scan_table(series: pa.Table, t0: int, t1: int,
+                     max_points: int) -> pa.Table:
+    """One batch of the compressed-store range scan (see
+    :func:`segment_range_scan_events`).  Segments whose
+    (seg_start, seg_end) metadata falls outside [t0, t1) are skipped
+    without decoding their payloads."""
+    spec = rollup.TierSpec("1d", gapfill=False)
+    tiers = rollup.rollup_series_table(series, tiers=[spec])
+    t = tiers["1d"]
+    seg = compress.segments_from_rollups(tiers, max_points=max_points)
+    urls_t = t["url"].to_pandas().to_numpy(dtype=object)
+    cnt_t = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cursor: dict = {}
+    for s in np.flatnonzero(np.r_[True, urls_t[1:] != urls_t[:-1]]):
+        cursor[urls_t[s]] = int(s)
+    s_url = seg.column("url").to_pylist()
+    s_n = seg.column("n_points").to_pylist()
+    s_a = seg.column("seg_start").cast(pa.int64()).to_pylist()
+    s_b = seg.column("seg_end").cast(pa.int64()).to_pylist()
+    s_pt = seg.column("payload_ts").to_pylist()
+    s_pv = seg.column("payload_value").to_pylist()
+    acc: dict = {}
+    for u, n, a, b, bts, bval in zip(s_url, s_n, s_a, s_b, s_pt, s_pv):
+        off = cursor[u]
+        cursor[u] = off + n
+        if b < t0 or a >= t1:
+            continue  # metadata prune: payload never decoded
+        ts = compress.decode_dod(bts)
+        vals = compress.decode_xor(bval)
+        m = (ts >= t0) & (ts < t1)
+        cnts = cnt_t[off:off + n]
+        st = acc.setdefault(u, [0, 0, 0, 0])
+        st[0] += int(m.sum())
+        st[1] += int((ts[m] // US).sum())
+        st[2] += int(np.rint(vals[m] * cnts[m] * 100.0).sum())
+        st[3] += 1
+    users = sorted(acc)
+    return pa.table({
+        "user_id": pa.array([int(u) for u in users], pa.int64()),
+        "n_points": pa.array([acc[u][0] for u in users], pa.int64()),
+        "ts_checksum": pa.array([acc[u][1] for u in users], pa.int64()),
+        "value_cents": pa.array([acc[u][2] for u in users], pa.int64()),
+        "n_segments_decoded": pa.array([acc[u][3] for u in users],
+                                       pa.int64()),
+    })
+
+
+def segment_range_scan_events(sf_dir: str, t0_iso: str = "2024-01-10",
+                              t1_iso: str = "2024-01-20",
+                              max_points: int = 8):
+    """Time-range scan over the COMPRESSED segment store (TSDB read path).
+
+    The storage layer keeps (seg_start, seg_end) metadata per segment, so
+    a range query [t0, t1) decodes ONLY segments whose metadata overlaps
+    the range — segments entirely outside are skipped without touching
+    their dod/xor payloads (the classic Gorilla/Prometheus block-index
+    prune; at 100 TB this is the difference between reading one day and
+    reading two years).  Per url the query reports, over the decoded
+    in-range daily buckets: point count, an exact epoch-seconds checksum
+    and the exact integer-cents value sum, plus how many segments were
+    actually decoded — the DuckDB oracle replays the same deterministic
+    chunking (``max_points`` consecutive buckets per segment), so the
+    pruning logic itself is value-checked, not just the decoded numbers.
+
+    ``max_points=8`` keeps several segments per url even at sf0.001 so
+    the prune is exercised, not vacuous.
+    """
+    t0 = int(np.datetime64(t0_iso, "us").astype(np.int64))
+    t1 = int(np.datetime64(t1_iso, "us").astype(np.int64))
+
+    def scan_batch(series: pa.Table) -> pa.Table:
+        return range_scan_table(series, t0, t1, max_points)
+
+    return _series_dataset(sf_dir).map_batches(scan_batch,
+                                               batch_format="pyarrow")
+
+
+def weekly_from_daily_events(sf_dir: str):
+    """Continuous-aggregate REWRITE: answer the weekly rollup from the
+    stored daily tier instead of the raw events (TimescaleDB-style
+    real-time aggregate composition).
+
+    Sum/count/min/max compose exactly across tiers when the summed
+    quantity is an integer (cents), so the rewrite is provably lossless:
+    the DuckDB oracle computes the same weekly numbers straight from raw
+    events and must hash-match.  At 100 TB the rewrite reads O(daily
+    buckets) instead of O(raw rows) — the whole point of keeping tiers.
+    Float means do NOT compose bit-for-bit (summation order changes),
+    which is why the composed columns are integer cents + exact counts;
+    the weekly mean is derivable as value_cents / n_obs / 100 by any
+    consumer.
+    """
+    day_us = rollup.TIER_WIDTH_US["1d"]
+    wk_us = rollup.TIER_WIDTH_US["1w"]
+
+    def per_batch(series: pa.Table) -> pa.Table:
+        n = series.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        urls = series.column("url")
+        sidx = np.repeat(np.arange(len(n)), n)
+        ts_us = np.asarray(series.column("ts").combine_chunks().flatten()
+                           .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        value = np.asarray(series.column("value").combine_chunks().flatten()
+                           .to_numpy(zero_copy_only=False), dtype=np.float64)
+        # the "stored tier": daily buckets of integer cents (exact in f64
+        # far below 2^53, so np.add.reduceat sums are exact and
+        # order-independent)
+        cents = np.rint(value * 100.0)
+        rolled = rollup.rollup_flat(sidx, ts_us, cents, day_us)
+        dsi, dts = rolled["series_idx"], rolled["bucket_ts"]
+        if len(dsi) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "week_ts": pa.array([], pa.timestamp("us")),
+                "n_days": pa.array([], pa.int64()),
+                "n_obs": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+                "vmin_cents": pa.array([], pa.int64()),
+                "vmax_cents": pa.array([], pa.int64()),
+            })
+        # compose the coarse tier FROM the fine tier rows (never re-reads
+        # the raw observations)
+        wts = (dts // wk_us) * wk_us
+        starts = np.flatnonzero(np.r_[True, (dsi[1:] != dsi[:-1])
+                                      | (wts[1:] != wts[:-1])])
+        ends = np.r_[starts[1:], len(dsi)]
+        return pa.table({
+            "user_id": pc.cast(urls.take(pa.array(dsi[starts])),
+                               pa.int64()),
+            "week_ts": pa.array(wts[starts], pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_days": pa.array((ends - starts).astype(np.int64)),
+            "n_obs": pa.array(np.add.reduceat(
+                rolled["count"].astype(np.int64), starts)),
+            "value_cents": pa.array(np.add.reduceat(
+                rolled["sum"], starts).astype(np.int64)),
+            "vmin_cents": pa.array(np.minimum.reduceat(
+                rolled["min"], starts).astype(np.int64)),
+            "vmax_cents": pa.array(np.maximum.reduceat(
+                rolled["max"], starts).astype(np.int64)),
+        })
+
+    return _series_dataset(sf_dir).map_batches(per_batch,
+                                               batch_format="pyarrow")

@@ -105,3 +105,91 @@ def test_weekly_profile_exact_means(ray_session, tmp_path):
     cell = out[out.n_obs == 2].iloc[0]
     assert cell["v_mean"] == 10.015
     assert out[out.n_obs == 1].iloc[0]["v_mean"] == 7.0
+
+
+def _series_table(url: str, days, values):
+    """Hand-built assembled-series row (url, n, ts list, value list)."""
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts = [base + d * 86400_000_000 for d in days]
+    return pa.table({
+        "url": pa.array([url], pa.string()),
+        "n": pa.array([len(ts)], pa.int64()),
+        "ts": pa.array([ts], pa.list_(pa.timestamp("us"))),
+        "value": pa.array([[float(v) for v in values]],
+                          pa.list_(pa.float64())),
+    })
+
+
+def test_range_scan_prunes_out_of_range_segments(monkeypatch):
+    # 12 daily points, max_points=4 -> 3 segments: days 0-3, 4-7, 8-11.
+    # Range [day4, day8) overlaps only the middle segment.
+    series = _series_table("7", range(12), [1.0 + i for i in range(12)])
+    base = pd.Timestamp("2024-01-01").value // 1000
+    t0 = base + 4 * 86400_000_000
+    t1 = base + 8 * 86400_000_000
+
+    from nrt_ray.stages import compress
+    calls = {"n": 0}
+    orig = compress.decode_dod
+
+    def counting(buf):
+        calls["n"] += 1
+        return orig(buf)
+
+    monkeypatch.setattr(compress, "decode_dod", counting)
+    out = tsq.range_scan_table(series, t0, t1, max_points=4)
+    assert calls["n"] == 1  # two of three segments pruned without decode
+    assert out.num_rows == 1
+    assert out["n_points"][0].as_py() == 4
+    assert out["n_segments_decoded"][0].as_py() == 1
+    # days 4..7 -> values 5..8 -> 2600 cents
+    assert out["value_cents"][0].as_py() == 2600
+    assert out["ts_checksum"][0].as_py() == sum(
+        (base + d * 86400_000_000) // 1_000_000 for d in range(4, 8))
+
+
+def test_range_scan_segment_straddling_range_boundary(monkeypatch):
+    # one 6-point segment straddles the range end: decoded once, but only
+    # in-range points contribute
+    series = _series_table("9", range(6), [10.0] * 6)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    t0 = base
+    t1 = base + 3 * 86400_000_000
+    out = tsq.range_scan_table(series, t0, t1, max_points=100)
+    assert out["n_segments_decoded"][0].as_py() == 1
+    assert out["n_points"][0].as_py() == 3
+    assert out["value_cents"][0].as_py() == 3000
+
+
+def test_weekly_from_daily_matches_direct_weekly(ray_session, tmp_path):
+    # compose-from-daily must equal a direct weekly computation
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        # unique per-user timestamps: assembled series dedup identical
+        # (user, ts) observations, so a collision would change counts
+        hours = rng.permutation(24 * 21)[:40]
+        for h in hours:
+            ts = base + pd.Timedelta(hours=int(h))
+            rows.append((eid, ts, u, round(float(rng.uniform(1, 99)), 2)))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    got = _df(tsq.weekly_from_daily_events(sf))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+    df["week"] = (df["ts"].astype("int64") // 1000
+                  // (604800 * 10**6)) * 604800 * 10**6
+    exp = df.groupby(["user_id", "week"]).agg(
+        n_obs=("cents", "size"), value_cents=("cents", "sum"),
+        vmin_cents=("cents", "min"), vmax_cents=("cents", "max"),
+        n_days=("ts", lambda s: s.dt.floor("D").nunique())).reset_index()
+    got = got.sort_values(["user_id", "week_ts"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "week"]).reset_index(drop=True)
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["week_ts"].astype("int64").to_numpy()
+            == exp["week"].to_numpy()).all()
+    for c in ("n_obs", "value_cents", "vmin_cents", "vmax_cents",
+              "n_days"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
