@@ -109,6 +109,12 @@ def main(argv=None) -> int:
     dec.add_argument("--out", required=True,
                      help="pipeline output dir (reads its segments)")
     dec.add_argument("--tier", default=None)
+    dec.add_argument("--t0", default=None,
+                     help="ISO start (inclusive): prune segments by "
+                          "metadata at the parquet scan, never decoding "
+                          "out-of-range payloads")
+    dec.add_argument("--t1", default=None,
+                     help="ISO end (exclusive)")
     dec.add_argument("--dest", required=True,
                      help="destination parquet directory")
     dec.add_argument("--num-cpus", type=int, default=None)
@@ -215,11 +221,30 @@ def main(argv=None) -> int:
                 raise SystemExit("forget: need --urls or --urls-file")
             print(json.dumps(run_forget(args.out, args.input, urls)))
         elif args.cmd == "decode":
+            import numpy as np
+            import pyarrow.compute as pc_
             import ray.data
             from nrt_ray.stages.compress import decode_segments_table
+            t0_us = (int(np.datetime64(args.t0, "us").astype(np.int64))
+                     if args.t0 else None)
+            t1_us = (int(np.datetime64(args.t1, "us").astype(np.int64))
+                     if args.t1 else None)
+            # push the range predicate into the scan: parquet row-group
+            # min/max statistics on seg_start/seg_end drop whole row
+            # groups before any payload bytes leave storage
+            flt = None
+            if t0_us is not None:
+                flt = pc_.field("seg_end") >= np.datetime64(args.t0, "us")
+            if t1_us is not None:
+                f1 = pc_.field("seg_start") < np.datetime64(args.t1, "us")
+                flt = f1 if flt is None else (flt & f1)
+            if args.tier is not None:
+                ft = pc_.field("tier") == args.tier
+                flt = ft if flt is None else (flt & ft)
             ds = ray.data.read_parquet(
-                f"{args.out}/segments").map_batches(
-                lambda t: decode_segments_table(t, tier=args.tier),
+                f"{args.out}/segments", filter=flt).map_batches(
+                lambda t: decode_segments_table(t, tier=args.tier,
+                                                t0_us=t0_us, t1_us=t1_us),
                 batch_format="pyarrow")
             ds.write_parquet(args.dest)
             import pyarrow.dataset as pds_

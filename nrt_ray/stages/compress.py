@@ -255,19 +255,35 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
     return out
 
 
-def decode_segments_table(segments, tier: str | None = None):
+def decode_segments_table(segments, tier: str | None = None,
+                          t0_us: int | None = None,
+                          t1_us: int | None = None):
     """Decode a segment table back to rollup points — the storage-layer
     read path (``(url, tier, bucket_ts, mean)`` rows).
 
     Runs fine inside ``map_batches`` over segment batches: each row
     decodes independently, so the read path scales exactly like the
     write path.
+
+    ``t0_us``/``t1_us`` restrict the read to points in [t0, t1):
+    segments whose (seg_start, seg_end) metadata falls outside the
+    range are dropped WITHOUT decoding their payloads (callers should
+    additionally push the same predicate into the parquet scan so
+    non-overlapping row groups never leave storage — see the ``decode``
+    CLI subcommand), and decoded points of straddling segments are
+    filtered to the range.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
     if tier is not None:
-        import pyarrow.compute as pc
         segments = segments.filter(pc.equal(segments.column("tier"),
                                             tier))
+    if t0_us is not None:
+        segments = segments.filter(pc.greater_equal(
+            segments.column("seg_end").cast(pa.int64()), t0_us))
+    if t1_us is not None:
+        segments = segments.filter(pc.less(
+            segments.column("seg_start").cast(pa.int64()), t1_us))
     urls, tiers, ts_out, mean_out = [], [], [], []
     pts = segments.column("payload_ts").to_pylist()
     pvs = segments.column("payload_value").to_pylist()
@@ -276,6 +292,13 @@ def decode_segments_table(segments, tier: str | None = None):
     for u, t, bts, bval in zip(su, st, pts, pvs):
         ts = decode_dod(bts)
         val = decode_xor(bval)
+        if t0_us is not None or t1_us is not None:
+            m = np.ones(len(ts), dtype=bool)
+            if t0_us is not None:
+                m &= ts >= t0_us
+            if t1_us is not None:
+                m &= ts < t1_us
+            ts, val = ts[m], val[m]
         urls.extend([u] * len(ts))
         tiers.extend([t] * len(ts))
         ts_out.append(ts)

@@ -89,3 +89,38 @@ def test_cli_run_stream_increment_report(tmp_path):
              if ln.startswith("{")]
     assert 0 < len(lines) <= 3
     assert "url" in json.loads(lines[0])
+
+
+def test_cli_decode_range_matches_filtered_full(tmp_path):
+    d = str(tmp_path)
+    gen = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "generate",
+         "--out", "wt", "--urls", "40"],
+        cwd=d, env=dict(os.environ, PYTHONPATH="/root/repo"),
+        capture_output=True, text=True, timeout=300)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    _run(["run", "--input", "wt/webtext.parquet", "--out", "out",
+          "--strategy", "EWMA", "--partitions", "2"], d)
+
+    full = _run(["decode", "--out", "out", "--dest", "dec_full",
+                 "--tier", "1d"], d)
+    rng = _run(["decode", "--out", "out", "--dest", "dec_rng",
+                "--tier", "1d", "--t0", "2022-03-01",
+                "--t1", "2022-04-01"], d)
+    assert 0 < rng["points"] < full["points"]
+
+    import pyarrow.dataset as pds
+    t0 = pa.scalar(int(np.datetime64("2022-03-01", "us")
+                       .astype(np.int64)), pa.int64()) \
+        .cast(pa.timestamp("us"))
+    t1 = pa.scalar(int(np.datetime64("2022-04-01", "us")
+                       .astype(np.int64)), pa.int64()) \
+        .cast(pa.timestamp("us"))
+    ft = pds.dataset(os.path.join(d, "dec_full")).to_table()
+    ft = ft.filter(pc.and_(pc.greater_equal(ft.column("bucket_ts"), t0),
+                           pc.less(ft.column("bucket_ts"), t1)))
+    rt = pds.dataset(os.path.join(d, "dec_rng")).to_table()
+    key = [("url", "ascending"), ("bucket_ts", "ascending")]
+    ft = ft.take(pc.sort_indices(ft, sort_keys=key))
+    rt = rt.take(pc.sort_indices(rt, sort_keys=key))
+    assert ft.equals(rt.select(ft.column_names).cast(ft.schema))

@@ -133,3 +133,47 @@ def test_decode_segments_table_roundtrip():
     np.testing.assert_array_equal(
         np.array(dec.column("mean").to_pylist()).view(np.uint64),
         np.array(mean).view(np.uint64))
+
+
+def test_decode_segments_table_range_prunes_without_decode(monkeypatch):
+    """A [t0, t1) range decode (a) never decodes segments whose metadata
+    falls outside the range and (b) returns exactly the full decode
+    filtered to the range."""
+    import pyarrow as pa
+
+    from nrt_ray.stages import compress
+    from nrt_ray.stages.compress import (decode_segments_table,
+                                         segments_from_rollups)
+
+    n = 32
+    ts = (np.arange(n) * 3600 * 10**6).astype(np.int64)
+    mean = np.arange(n, dtype=np.float64) * 1.5
+    tier = pa.table({
+        "url": pa.array(["a"] * n, pa.string()),
+        "bucket_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "mean": pa.array(mean, pa.float64()),
+    })
+    # 4 segments of 8 hourly points each
+    seg = segments_from_rollups({"1h": tier}, max_points=8)
+    assert seg.num_rows == 4
+    full = decode_segments_table(seg, tier="1h")
+
+    calls = {"n": 0}
+    orig = compress.decode_dod
+
+    def counting(buf):
+        calls["n"] += 1
+        return orig(buf)
+
+    monkeypatch.setattr(compress, "decode_dod", counting)
+    # range = hours [10, 20): overlaps segments 1 (8-15) and 2 (16-23)
+    t0, t1 = int(ts[10]), int(ts[20])
+    dec = decode_segments_table(seg, tier="1h", t0_us=t0, t1_us=t1)
+    assert calls["n"] == 2  # segments 0 and 3 never decoded
+    exp = full.filter(
+        (pa.compute.field("bucket_ts") >= pa.scalar(
+            t0, pa.timestamp("us")))
+        & (pa.compute.field("bucket_ts") < pa.scalar(
+            t1, pa.timestamp("us"))))
+    assert dec.equals(exp)
+    assert dec.num_rows == 10
