@@ -114,6 +114,8 @@ BENCH_QUERIES = (
     "q1_pricing_summary",
     "rollup_1d_events",
     "rollup_1h_events",
+    "segment_range_scan_events",
+    "weekly_from_daily_events",
     "fit_ols_trend_events",
     "monitor_cusum_events",
     "dedup_exact_docs",

@@ -135,6 +135,21 @@ def main(argv=None) -> int:
                      help="tokens per packed bin")
     cur.add_argument("--num-cpus", type=int, default=None)
 
+    qry = sub.add_parser("query", help="run a catalog query over an "
+                                       "sf-style table directory")
+    qry.add_argument("name", nargs="?", default=None,
+                     help="query name (omit with --list)")
+    qry.add_argument("--list", action="store_true",
+                     help="print available query names and exit")
+    qry.add_argument("--sf-dir", default=None,
+                     help="directory with the parquet tables")
+    qry.add_argument("--dest", default=None,
+                     help="write result as partitioned parquet here "
+                          "instead of printing row count + head")
+    qry.add_argument("--head", type=int, default=5,
+                     help="rows to print when no --dest")
+    qry.add_argument("--num-cpus", type=int, default=None)
+
     exp = sub.add_parser("export", help="convert a parquet table to "
                                         "JSONL or CSV shards (timestamps "
                                         "as epoch microseconds)")
@@ -164,6 +179,12 @@ def main(argv=None) -> int:
             "rollup_points": points,
             "runs": sorted({r.get("run_id") for r in records}),
         }))
+        return 0
+
+    if args.cmd == "query" and args.list:
+        from nrt_ray.pipelines import catalog
+        for name in sorted(catalog.queries()):
+            print(name)
         return 0
 
     if args.cmd == "generate":
@@ -220,6 +241,39 @@ def main(argv=None) -> int:
             if not urls:
                 raise SystemExit("forget: need --urls or --urls-file")
             print(json.dumps(run_forget(args.out, args.input, urls)))
+        elif args.cmd == "query":
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data
+            from nrt_ray.pipelines import catalog
+            q = catalog.queries()
+            if not args.name or args.name not in q:
+                known = ", ".join(sorted(q))
+                raise SystemExit(f"query: unknown name {args.name!r} "
+                                 f"(use --list). Known: {known[:2000]}")
+            if not args.sf_dir:
+                raise SystemExit("query: --sf-dir required")
+            res = q[args.name](args.sf_dir)
+            if args.dest:
+                if isinstance(res, pd.DataFrame):
+                    res = ray.data.from_pandas(res)
+                elif isinstance(res, pa.Table):
+                    res = ray.data.from_arrow(res)
+                res.write_parquet(args.dest)
+                import pyarrow.dataset as pds_
+                n = pds_.dataset(args.dest).count_rows()
+                print(json.dumps({"query": args.name, "rows": int(n),
+                                  "dest": args.dest}))
+            else:
+                df = res if isinstance(res, pd.DataFrame) else \
+                    res.to_pandas()
+                print(json.dumps({
+                    "query": args.name, "rows": int(len(df)),
+                    "columns": list(map(str, df.columns)),
+                    "head": json.loads(
+                        df.head(args.head).to_json(orient="records",
+                                                   date_format="iso")),
+                }))
         elif args.cmd == "decode":
             import numpy as np
             import pyarrow.compute as pc_

@@ -124,3 +124,27 @@ def test_cli_decode_range_matches_filtered_full(tmp_path):
     ft = ft.take(pc.sort_indices(ft, sort_keys=key))
     rt = rt.take(pc.sort_indices(rt, sort_keys=key))
     assert ft.equals(rt.select(ft.column_names).cast(ft.schema))
+
+
+def test_cli_query_subcommand(tmp_path):
+    d = str(tmp_path)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    ls = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "query", "--list"],
+        cwd=d, env=env, capture_output=True, text=True, timeout=120)
+    assert ls.returncode == 0
+    names = ls.stdout.split()
+    assert "rollup_1d_events" in names and len(names) > 100
+
+    out = _run(["query", "rollup_1d_events",
+                "--sf-dir", "/root/testdata/sf0.001", "--head", "2"], d)
+    assert out["query"] == "rollup_1d_events"
+    assert out["rows"] > 0 and len(out["head"]) == 2
+    assert "bucket_ts" in out["columns"]
+
+    # unknown name fails loudly
+    bad = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "query", "nope",
+         "--sf-dir", "/tmp", "--num-cpus", "4"],
+        cwd=d, env=env, capture_output=True, text=True, timeout=120)
+    assert bad.returncode != 0 and "unknown name" in bad.stderr
