@@ -107,6 +107,7 @@ def queries() -> dict:
         "user_value_quantiles": tsq.user_value_quantiles,
         "top_users_per_day": tsq.top_users_per_day,
         "value_percentiles_events": tsq.value_percentiles,
+        "daily_value_percentiles": tsq.daily_value_percentiles,
         "value_histogram_events": tsq.value_histogram,
         "retention_cohorts_events": tsq.retention_cohorts,
         "profile_events": tsq.profile_events,
@@ -562,6 +563,20 @@ def oracle_sql() -> dict:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name ASC
             LIMIT 10
+        """,
+        # per-day exact discrete value percentiles over integer cents
+        # (ceil(n*q)-1 selection == quantile_disc)
+        "daily_value_percentiles": r"""
+            SELECT make_timestamp(CAST(floor(epoch(ts)/86400) AS BIGINT)
+                                  * 86400 * 1000000) AS day_ts,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   quantile_disc(CAST(round(value * 100, 0) AS BIGINT),
+                                 0.50) AS p50_cents,
+                   quantile_disc(CAST(round(value * 100, 0) AS BIGINT),
+                                 0.95) AS p95_cents,
+                   quantile_disc(CAST(round(value * 100, 0) AS BIGINT),
+                                 0.99) AS p99_cents
+            FROM events GROUP BY day_ts
         """,
         "lang_length_quantiles": """
             SELECT lang,

@@ -1865,3 +1865,69 @@ def weekly_from_daily_events(sf_dir: str):
 
     return _series_dataset(sf_dir).map_batches(per_batch,
                                                batch_format="pyarrow")
+
+
+def daily_value_percentiles(sf_dir: str,
+                            qs=((50, "p50_cents"), (95, "p95_cents"),
+                                (99, "p99_cents"))):
+    """EXACT per-day discrete value percentiles (the ops-dashboard
+    p50/p95/p99 over all events of a day).
+
+    Same scale shape as the per-language length quantiles: a per-batch
+    (day, cents) histogram combiner, one keyed-sum exchange over the
+    histogram (distinct cents × days — bounded by the value domain, not
+    the event count), then a cumulative-histogram walk per day.
+    ``ceil(n·q)−1`` element selection = DuckDB ``quantile_disc``."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    P = max(2, pool_size())
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        day = ts // (86400 * US)
+        key = np.char.add(np.char.add(
+            np.char.zfill(day.astype(str), 8), "\x1f"),
+            np.char.zfill(cents.astype(str), 10))
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table({"dk": pa.array(uk.astype(object), pa.string()),
+                         "cnt": pa.array(cnt)})
+
+    hist = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "dk", ["cnt"], P)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        dk = np.asarray(t["dk"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        split = np.array([k.split("\x1f") for k in dk], dtype=object)
+        days, cents = split[:, 0].astype(np.int64), \
+            split[:, 1].astype(np.int64)
+        order = np.lexsort((cents, days))
+        days, cents, cnt = days[order], cents[order], cnt[order]
+        out = {"day": [], "n_obs": [], **{n: [] for _, n in qs}}
+        for day in np.unique(days):
+            m = days == day
+            v, c = cents[m], cnt[m]
+            cum = np.cumsum(c)
+            n = cum[-1]
+            out["day"].append(int(day))
+            out["n_obs"].append(int(n))
+            for num, name in qs:
+                idx = max(-((-n * num) // 100) - 1, 0)  # ceil(n·q)−1
+                out[name].append(int(v[np.searchsorted(cum, idx,
+                                                       side="right")]))
+        return pa.table({
+            "day_ts": pa.array(np.array(out["day"], np.int64)
+                               * 86400 * US).cast(pa.timestamp("us")),
+            "n_obs": pa.array(out["n_obs"], pa.int64()),
+            **{name: pa.array(out[name], pa.int64()) for _, name in qs}})
+
+    return hist.repartition(1).map_batches(finalize,
+                                           batch_format="pyarrow")

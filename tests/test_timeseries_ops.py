@@ -193,3 +193,18 @@ def test_weekly_from_daily_matches_direct_weekly(ray_session, tmp_path):
     for c in ("n_obs", "value_cents", "vmin_cents", "vmax_cents",
               "n_days"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_daily_value_percentiles_exact(ray_session, tmp_path):
+    # one day, 20 values 0.01..0.20 -> p50 = 10th element (ceil(20*.5)=10)
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), 1, (i + 1) / 100.0)
+            for i in range(20)]
+    sf = _write_events(tmp_path, rows)
+    out = _df(tsq.daily_value_percentiles(sf))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_obs"] == 20
+    assert r["p50_cents"] == 10    # ceil(20*0.50)-1 = idx 9 -> value 10
+    assert r["p95_cents"] == 19    # ceil(20*0.95)-1 = idx 18 -> value 19
+    assert r["p99_cents"] == 20    # ceil(20*0.99)=20 -> idx 19 -> 20
