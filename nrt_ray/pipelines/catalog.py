@@ -349,10 +349,10 @@ def oracle_sql() -> dict:
         """,
         "q12_priority_lines": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -827,14 +827,14 @@ def oracle_sql() -> dict:
         # global exact order statistics (distributed quickselect on the
         # Ray side; quantile_disc = element at rank max(1, ceil(q*n)))
         "value_percentiles_events": """
-            SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value
+            SELECT CAST(0.1 AS DOUBLE) AS q, quantile_disc(value, 0.1) AS value
             FROM events
             UNION ALL
-            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM events
             UNION ALL
-            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
             UNION ALL
-            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events
         """,
         # temporal windows: gap sessions, hop-k overlapping windows and
         # the as-of (last-strictly-earlier) join — all window-function /
