@@ -133,6 +133,10 @@ def cluster_table(labels: pa.Table, id_name: str = "doc_id") -> pa.Table:
                      "cluster_size": pa.array(cnt[inv], pa.int64())})
 
 
+_EMPTY_LABELS = pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+
+
 def connected_components(edges: pa.Table, nparts: int = 8,
                          max_rounds: int = 100) -> pa.Table:
     """Label every node of ``edges`` (columns ``u``, ``v``, int64) with
@@ -144,8 +148,24 @@ def connected_components(edges: pa.Table, nparts: int = 8,
     per-partition parquet writes).
     """
     if edges.num_rows == 0:
-        return pa.table({"node": pa.array([], pa.int64()),
-                         "label": pa.array([], pa.int64())})
+        return _EMPTY_LABELS
+    return _cc_loop([ray.put(edges)], nparts, max_rounds)
+
+
+def connected_components_ds(edges_ds, nparts: int = 8,
+                            max_rounds: int = 100) -> pa.Table:
+    """Dataset variant: the edge blocks (columns ``u``, ``v``) feed the
+    first star round directly as object refs — the edge list never lands
+    on the driver, so this is the entry point for pair graphs produced
+    by an exchange (near-dup verification output at web scale)."""
+    from nrt_ray.stages.exchange import _iter_block_refs
+    refs = list(_iter_block_refs(edges_ds))
+    if not refs:
+        return _EMPTY_LABELS
+    return _cc_loop(refs, nparts, max_rounds)
+
+
+def _cc_loop(refs: list, nparts: int, max_rounds: int) -> pa.Table:
     nparts = max(1, nparts)
 
     def _round_single(kind, *tables):
@@ -158,7 +178,6 @@ def connected_components(edges: pa.Table, nparts: int = 8,
     reduce_remote = ray.remote(num_returns=2)(_star_reduce)
     single_remote = ray.remote(num_returns=2)(_round_single)
 
-    refs = [ray.put(edges)]
     prev_small = None
     converged = False
     for rnd in range(max_rounds):

@@ -387,3 +387,81 @@ def test_pca_power_iteration_converges_on_planted_direction(
         w = Xd.T @ (Xd @ vl)
         vl = round_away(w / np.sqrt((w * w).sum()), 6)
     assert np.array_equal(v, vl)
+
+
+# ---------------------------------------------------------- high-dup fixture
+
+@pytest.fixture(scope="module")
+def highdup_dir(tmp_path_factory):
+    """Corpus with a 50% planted near-dup fraction — the web-scale shape
+    the distributed verify path must survive (VERDICT r02: the old path
+    built a corpus-scale driver dict; this fixture would make that dict
+    as large as the corpus)."""
+    d = tmp_path_factory.mktemp("highdup")
+    rng = np.random.default_rng(11)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+             "psi omega one two three four five six").split()
+    base = [" ".join(rng.choice(vocab, 50)) for _ in range(60)]
+    ids, texts = [], []
+    for i, t in enumerate(base):
+        ids.append(i)
+        texts.append(t)
+    for i, t in enumerate(base):          # one word changed per copy
+        words = t.split()
+        words[10] = f"chg{i % 3}"
+        ids.append(1000 + i)
+        texts.append(" ".join(words))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_verified_pairs_equal_local_replay_high_dup_rate(ray_session,
+                                                         highdup_dir):
+    """Distributed verify (cogroup + pair exchange, no driver pair
+    state) must equal a driver-side brute-force replay of the same
+    minhash→LSH→exact-Jaccard semantics at a 50% dup rate."""
+    from collections import defaultdict
+    from nrt_ray.pipelines.relational import round_away
+
+    got = _tbl(tx.jaccard_verify(highdup_dir, threshold=0.5)).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    t = pq.read_table(f"{highdup_dir}/documents.parquet")
+    ids = t["doc_id"].to_numpy()
+    mh = tx.MinHasher()
+    flat, counts = tx._token_hash_segments(t["text"].to_pylist())
+    sets = tx._shingle_hashes(flat, counts)
+    keys = mh.band_keys(mh.signatures(sets))
+    cand = set()
+    for b in range(keys.shape[0]):
+        byk = defaultdict(list)
+        for j, k in enumerate(keys[b]):
+            byk[int(k)].append(j)
+        for js in byk.values():
+            for x in range(len(js)):
+                for y in range(x + 1, len(js)):
+                    lo, hi = sorted((int(ids[js[x]]), int(ids[js[y]])))
+                    cand.add((lo, hi))
+    sets_of = {int(i): s for i, s in zip(ids, sets)}
+    rows = []
+    for a, b in sorted(cand):
+        inter = len(np.intersect1d(sets_of[a], sets_of[b]))
+        union = len(np.union1d(sets_of[a], sets_of[b]))
+        jac = inter / union
+        if jac >= 0.5:
+            rows.append((a, b, float(round_away(np.array([jac]), 6)[0])))
+    assert len(rows) >= 60          # every planted copy pairs with its base
+    assert list(map(tuple, got.itertuples(index=False))) == rows
+
+    # greedy keep-first dedup drops exactly the doc_b side
+    kept = sorted(_tbl(tx.dedup_near_docs(highdup_dir, threshold=0.5))
+                  ["doc_id"].to_pylist())
+    drop = {b for _, b, _ in rows}
+    assert kept == sorted(set(int(i) for i in ids) - drop)
