@@ -17,16 +17,21 @@ streaming pipeline — what an LLM-data team actually runs:
                    into ``capacity``-token bins via the distributed
                    ordered prefix-scan.
 
-Scale shape: the small artifacts — two band scalars, the verified-pair
-drop list (LSH-capped), the benchmark shingle union (eval suites are
-small) — broadcast as plain ctor args into ONE actor-pool filter pass
-over the corpus that also counts tokens and drops the text column.
-The exact-dup drop set is NOT small at web scale (duplicate fractions
-of 30%+ are normal), so it stays a distributed Dataset (fingerprint-
-keyed exchange emitting refs) and is applied as a doc_id-keyed
-shuffle ANTI-join against the filtered (doc_id, n_tokens) rows —
-16-byte rows on both sides of that exchange.  The only driver-side
-values anywhere are scalars (band, partition totals for the
+Scale shape: EVERY drop side is a distributed Dataset — none of them is
+small at web scale (duplicate fractions of 30%+ are normal, and with
+``bench_mod=31`` the benchmark shingle union is a corpus fraction, not
+a fixed eval suite):
+
+    exact dup      fingerprint-keyed exchange emitting non-first ids;
+    near dup       the verified-pair Dataset's ``doc_b`` column
+                   (`textops._verified_pairs_ds`, itself driver-free);
+    contamination  shingle-keyed exchange counting per-doc overlap with
+                   the bench union (`_contam_drop_ds`).
+
+The three drop streams union into ONE doc_id-keyed shuffle ANTI-join
+against the band-filtered (doc_id, n_tokens) rows — 16-byte rows on
+both sides of that exchange.  The only driver-side values anywhere are
+scalars (the two band percentiles, partition totals for the
 prefix-scan).  The corpus streams end to end.
 
 All predicates are computed against the FULL corpus (thresholds, dup
@@ -39,11 +44,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.pipelines import textops as tx
+
+_EMPTY_DROPS = pa.table({"doc_id": pa.array([], pa.int64())})
 
 
 def _exact_dup_drops_ds(sf_dir: str, nparts: int):
@@ -73,11 +79,89 @@ def _exact_dup_drops_ds(sf_dir: str, nparts: int):
             first[1:] = fp_s[1:] != fp_s[:-1]
         return pa.table({"doc_id": pa.array(id_s[~first], pa.int64())})
 
-    def empty() -> pa.Table:
-        return pa.table({"doc_id": pa.array([], pa.int64())})
-
     ds = tx._read_docs(sf_dir).map_batches(tag, batch_format="pyarrow")
-    return exchange_dataset(ds, nparts, drops, empty)
+    return exchange_dataset(ds, nparts, drops, lambda: _EMPTY_DROPS)
+
+
+def _contam_drop_ds(sf_dir: str, bench_mod: int, max_overlap: int,
+                    nparts: int, lo: int, hi: int):
+    """doc_ids sharing ≥ ``max_overlap`` distinct shingles with the
+    benchmark union, fully distributed (no driver-side bench array).
+
+    Shape: one map pass emits (doc_id, shingle, bench-flag) rows —
+    distinct shingles per doc, benchmark docs flagged, candidate side
+    pre-filtered by the band (pure conjunction, so filtering early is
+    value-identical) — keyed by hash(shingle).  A shingle lands in
+    exactly one partition, so per-partition bench membership is exact:
+    each partition emits per-doc PARTIAL hit counts, and a second
+    exchange on doc_id sums the partials and keeps docs at/over the
+    threshold.  Both exchanges move O(corpus shingles) / O(docs) rows;
+    nothing is broadcast."""
+    from nrt_ray.stages.exchange import exchange_dataset
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        bench = (ids % bench_mod) == 0
+        keep = bench | ((nch >= lo) & (nch <= hi))
+        sub = batch.filter(pa.array(keep))
+        ids, bench = ids[keep], bench[keep]
+        flat, counts = tx._token_hash_segments(sub["text"].to_pylist())
+        sets = tx._shingle_hashes(flat, counts)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        sh = np.concatenate(sets) if sets else np.array([],
+                                                        dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = sh * tx._MIX_MULT
+        h ^= h >> np.uint64(29)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "shingle": pa.array(sh),
+            "bench": pa.array(np.repeat(bench, lens)),
+            "pid": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+        })
+
+    def partial_hits(tbl: pa.Table) -> pa.Table:
+        b = tbl["bench"].to_numpy(zero_copy_only=False)
+        sh = tbl["shingle"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        bset = np.unique(sh[b])
+        cand_ids, cand_sh = ids[~b], sh[~b]
+        if not len(bset) or not len(cand_ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64()),
+                             "pid": pa.array([], pa.int32())})
+        idx = np.minimum(np.searchsorted(bset, cand_sh), len(bset) - 1)
+        hit = bset[idx] == cand_sh
+        docs, inv = np.unique(cand_ids[hit], return_inverse=True)
+        n = np.bincount(inv, minlength=len(docs)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = docs.astype(np.uint64) * tx._MIX_MULT
+        h ^= h >> np.uint64(29)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_hits": pa.array(n),
+            "pid": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+        })
+
+    def total_drops(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n_hits"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, weights=n, minlength=len(docs))
+        return pa.table({"doc_id": pa.array(docs[tot >= max_overlap],
+                                            pa.int64())})
+
+    rows = tx._read_docs(sf_dir, columns=("doc_id", "text", "n_chars")) \
+        .map_batches(emit, batch_format="pyarrow",
+                     concurrency=pool_size())
+    partials = exchange_dataset(
+        rows, nparts, partial_hits,
+        lambda: pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int32())}))
+    return exchange_dataset(partials, nparts, total_drops,
+                            lambda: _EMPTY_DROPS)
 
 
 def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
@@ -88,6 +172,7 @@ def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
     order."""
     from nrt_ray.stages.percentile import exact_percentiles
     from nrt_ray.stages.scan import ordered_prefix_scan
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
     nparts = max(2, pool_size())
 
     pct = exact_percentiles(
@@ -95,71 +180,36 @@ def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
         (q_lo, q_hi))
     lo, hi = (int(v) for v in pct["value"].to_pylist())
 
-    drops_ds = _exact_dup_drops_ds(sf_dir, nparts)
-    vt = tx._verified_pairs_table(sf_dir, threshold=threshold)
-    drop = (np.unique(vt["doc_b"].to_numpy(zero_copy_only=False))
-            if vt.num_rows else np.array([], dtype=np.int64))
+    drops = _exact_dup_drops_ds(sf_dir, nparts) \
+        .union(tx._verified_pairs_ds(sf_dir, threshold=threshold)
+               .map_batches(lambda t: pa.table({"doc_id": t["doc_b"]}),
+                            batch_format="pyarrow"),
+               _contam_drop_ds(sf_dir, bench_mod, max_overlap, nparts,
+                               lo, hi))
 
-    bench_parts = tx._read_docs(sf_dir).map_batches(
-        lambda b, _m=bench_mod: _bench_shingles(b, _m),
-        batch_format="pyarrow").to_pandas()
-    bench = np.unique(bench_parts["shingle"].to_numpy(dtype=np.int64))
-
-    class Curator:
-        """One filter pass: band + drop sets + decontamination + token
-        count (all broadcast state in plain ctor args, ray#53727-safe)."""
-
-        def __init__(self, lo, hi, drop_sorted, bench_sorted):
-            self.lo, self.hi = lo, hi
-            self.drop = drop_sorted
-            self.bench = bench_sorted
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            nch = batch["n_chars"].to_numpy(zero_copy_only=False)
-            keep = (nch >= self.lo) & (nch <= self.hi) \
-                & ((ids % bench_mod) != 0)
-            if len(self.drop):
-                idx = np.minimum(np.searchsorted(self.drop, ids),
-                                 len(self.drop) - 1)
-                keep &= self.drop[idx] != ids
-            sub = batch.filter(pa.array(keep))
-            if sub.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "n_tokens": pa.array([], pa.int64())})
-            flat, counts = tx._token_hash_segments(
-                sub["text"].to_pylist())
-            sets = tx._shingle_hashes(flat, counts)
-            sizes = np.array([len(s) for s in sets], dtype=np.int64)
-            flatg = np.concatenate(sets).view(np.int64)
-            if len(self.bench):
-                bidx = np.minimum(np.searchsorted(self.bench, flatg),
-                                  len(self.bench) - 1)
-                hit = (self.bench[bidx] == flatg).astype(np.int64)
-            else:
-                hit = np.zeros(len(flatg), dtype=np.int64)
-            bounds = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            n_over = np.add.reduceat(hit, bounds)
-            clean = n_over < max_overlap
-            sub = sub.filter(pa.array(clean))
-            return pa.table({
-                "doc_id": sub["doc_id"],
-                "n_tokens": pa.array(tx._count_re(sub["text"], r"\S+")),
-            })
+    def band_tokens(batch: pa.Table) -> pa.Table:
+        """Band + benchmark-doc predicates and the token count — one
+        local pass, no broadcast state."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        keep = (nch >= lo) & (nch <= hi) & ((ids % bench_mod) != 0)
+        sub = batch.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "n_tokens": pa.array(tx._count_re(sub["text"], r"\S+")),
+        })
 
     filtered = tx._read_docs(sf_dir, columns=("doc_id", "text",
                                               "n_chars")) \
-        .map_batches(Curator, fn_constructor_args=(lo, hi, drop, bench),
-                     batch_format="pyarrow", concurrency=pool_size())
-    # exact dedup as a distributed ANTI-join: both sides are (doc_id,…)
-    # datasets; only 16-byte rows move, nothing lands on the driver
-    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+        .map_batches(band_tokens, batch_format="pyarrow")
+    # all three drop sides in ONE distributed ANTI-join: both sides are
+    # (doc_id,…) datasets; only 16-byte rows move, nothing on the driver
 
     def _counts_empty() -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_tokens": pa.array([], pa.int64())})
 
-    counts = shuffle_hash_join(filtered, drops_ds, on_left="doc_id",
+    counts = shuffle_hash_join(filtered, drops, on_left="doc_id",
                                on_right="doc_id",
                                num_partitions=nparts,
                                empty_fn=_counts_empty, how="anti")
@@ -186,18 +236,6 @@ def curate_corpus(sf_dir: str, *, q_lo: float = 0.05, q_hi: float = 0.95,
         })
 
     return scanned.map_batches(bins, batch_format="pyarrow")
-
-
-def _bench_shingles(batch: pa.Table, bench_mod: int) -> pa.Table:
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    m = (ids % bench_mod) == 0
-    if not m.any():
-        return pa.table({"shingle": pa.array([], pa.int64())})
-    texts = [t for t, keep in zip(batch["text"].to_pylist(), m) if keep]
-    flat, counts = tx._token_hash_segments(texts)
-    sets = tx._shingle_hashes(flat, counts)
-    u = np.unique(np.concatenate(sets))
-    return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64())})
 
 
 def curate_sql(q_lo: float = 0.05, q_hi: float = 0.95,
