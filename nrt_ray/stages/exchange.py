@@ -31,27 +31,40 @@ reduce task takes ``blocks`` refs as arguments — fine for the P≈10²-10³
 partitions this engine targets per job (partition size is held constant,
 so a 256-node cluster runs MANY exchanges over data/time slices rather
 than one exchange with a huge P; the incremental path then merges slices
-mergeably).  If a single job ever genuinely needed P≫10³, the upgrade
-path is hierarchical: split to √P coarse buckets, then re-split each
-bucket — O(blocks·√P + P·√P) refs — or Ray Data's built-in push-based
-shuffle; the partitioning key and manifest contract stay unchanged.
+mergeably).  For P beyond that, the HIERARCHICAL path (enabled
+automatically at ``P ≥ _HIERARCHICAL_MIN_P``, forceable either way via
+the ``hierarchical=`` flag) splits each block into ⌈√P⌉ COARSE buckets,
+one re-split task per coarse bucket then slices its rows into the fine
+pids — O(blocks·√P + P) refs, ⌈√P⌉-arg task lists instead of P of them —
+and each fine reduce takes exactly ONE ref.  The partitioning key,
+reduce semantics and manifest contract are identical on both paths.
 """
 
 from __future__ import annotations
+
+import math
+import os
 
 import numpy as np
 import pyarrow as pa
 
 import ray
 
+#: flat→hierarchical autoswitch threshold (the flat path is one hop
+#: cheaper, so it stays the default at the engine's usual P≈10²)
+_HIERARCHICAL_MIN_P = int(os.environ.get("NRT_EXCHANGE_HIER_MIN_P", "128"))
 
-def _split_block(block: pa.Table, num_partitions: int):
-    """Slice one block into per-pid sub-tables (sort by pid + boundary
-    slicing — zero-copy on the value buffers)."""
+
+def _split_block(block: pa.Table, num_partitions: int, divisor: int = 1):
+    """Slice one block into per-``pid // divisor`` sub-tables (sort by
+    key + boundary slicing — zero-copy on the value buffers)."""
     if block.num_rows == 0 or "pid" not in block.column_names:
         # fully-filtered blocks surface with an empty schema
-        return tuple(None for _ in range(num_partitions))
+        return tuple(None for _ in range(num_partitions)) \
+            if num_partitions > 1 else None
     pid = block.column("pid").to_numpy(zero_copy_only=False)
+    if divisor != 1:
+        pid = pid // divisor
     order = np.argsort(pid, kind="stable")
     sorted_tbl = block.take(pa.array(order))
     spid = pid[order]
@@ -60,7 +73,69 @@ def _split_block(block: pa.Table, num_partitions: int):
         lo = np.searchsorted(spid, p, side="left")
         hi = np.searchsorted(spid, p, side="right")
         out.append(sorted_tbl.slice(lo, hi - lo))
-    return tuple(out)
+    return tuple(out) if num_partitions > 1 else out[0]
+
+
+def _resplit(coarse: int, fanout: int, *tables):
+    """Second split hop of the hierarchical exchange: concatenate one
+    coarse bucket's sub-tables and slice them into its fine pids."""
+    parts = [t for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return tuple(None for _ in range(fanout)) if fanout > 1 else None
+    tbl = pa.concat_tables(parts)
+    pid = tbl.column("pid").to_numpy(zero_copy_only=False) \
+        - coarse * fanout
+    order = np.argsort(pid, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    spid = pid[order]
+    out = []
+    for p in range(fanout):
+        lo = np.searchsorted(spid, p, side="left")
+        hi = np.searchsorted(spid, p, side="right")
+        out.append(sorted_tbl.slice(lo, hi - lo) if hi > lo else None)
+    return tuple(out) if fanout > 1 else out[0]
+
+
+def _exchange_reduce_refs(ds, num_partitions: int, reduce_remote,
+                          hierarchical: bool | None = None) -> list:
+    """Common plan of both exchange entry points: split ``ds``'s blocks
+    by pid (flat or two-level) and submit one reduce task per partition;
+    returns the P output refs."""
+    if num_partitions == 1:
+        block_refs = list(_iter_block_refs(ds))
+        return [reduce_remote.remote(0, *block_refs)]
+    if hierarchical is None:
+        hierarchical = num_partitions >= _HIERARCHICAL_MIN_P
+    if not hierarchical:
+        split_remote = ray.remote(num_returns=num_partitions)(_split_block)
+        # submit split tasks as upstream blocks stream in (pipelined)
+        split_refs = [split_remote.remote(ref, num_partitions)
+                      for ref in _iter_block_refs(ds)]
+        return [reduce_remote.remote(p,
+                                     *[split_refs[b][p]
+                                       for b in range(len(split_refs))])
+                for p in range(num_partitions)]
+    fanout = max(2, math.isqrt(num_partitions - 1) + 1)   # ⌈√P⌉
+    n_coarse = -(-num_partitions // fanout)
+    coarse_remote = ray.remote(num_returns=n_coarse)(_split_block) \
+        if n_coarse > 1 else ray.remote(_split_block)
+    resplit_remote = ray.remote(num_returns=fanout)(_resplit) \
+        if fanout > 1 else ray.remote(_resplit)
+    coarse_refs = [coarse_remote.remote(ref, n_coarse, fanout)
+                   for ref in _iter_block_refs(ds)]
+    out = []
+    for c in range(n_coarse):
+        fine = resplit_remote.remote(
+            c, fanout, *[coarse_refs[b][c] if n_coarse > 1
+                         else coarse_refs[b]
+                         for b in range(len(coarse_refs))])
+        for j in range(fanout):
+            p = c * fanout + j
+            if p >= num_partitions:
+                break
+            out.append(reduce_remote.remote(
+                p, fine[j] if fanout > 1 else fine))
+    return out
 
 
 def _iter_block_refs(ds):
@@ -73,7 +148,8 @@ def _iter_block_refs(ds):
 
 
 def exchange_map_groups(ds, num_partitions: int, process_fn,
-                        num_cpus_per_reduce: float = 1.0) -> list:
+                        num_cpus_per_reduce: float = 1.0,
+                        hierarchical: bool | None = None) -> list:
     """Run ``process_fn`` once per pid partition of ``ds``.
 
     Args:
@@ -81,6 +157,8 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
             ``[0, num_partitions)``.
         process_fn: ``pa.Table -> pa.Table`` called with one partition's
             full table (rows in arbitrary order, like map_groups).
+        hierarchical: force the two-level split path on (True) or off
+            (False); None = auto (on at P ≥ _HIERARCHICAL_MIN_P).
 
     Returns:
         list of result tables (one per non-empty partition).
@@ -93,22 +171,8 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
         return process_fn(pa.concat_tables(parts))
 
     reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
-
-    if num_partitions == 1:
-        # degenerate exchange: no split phase — every block feeds the one
-        # reduce task directly
-        block_refs = list(_iter_block_refs(ds))
-        out_refs = [reduce_remote.remote(0, *block_refs)]
-    else:
-        split_remote = ray.remote(num_returns=num_partitions)(_split_block)
-        # submit split tasks as upstream blocks stream in (pipelined)
-        split_refs = [split_remote.remote(ref, num_partitions)
-                      for ref in _iter_block_refs(ds)]
-        out_refs = [reduce_remote.remote(p,
-                                         *[split_refs[b][p]
-                                           for b in range(len(split_refs))])
-                    for p in range(num_partitions)]
-
+    out_refs = _exchange_reduce_refs(ds, num_partitions, reduce_remote,
+                                     hierarchical)
     results = []
     pending = list(out_refs)
     while pending:
@@ -120,7 +184,8 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
 
 
 def exchange_dataset(ds, num_partitions: int, process_fn, empty_fn,
-                     num_cpus_per_reduce: float = 1.0):
+                     num_cpus_per_reduce: float = 1.0,
+                     hierarchical: bool | None = None):
     """Like :func:`exchange_map_groups`, but hands the reduce outputs
     back as a DATASET built from the object-store refs — the reduced
     tables never touch the driver, so downstream Dataset stages
@@ -139,16 +204,6 @@ def exchange_dataset(ds, num_partitions: int, process_fn, empty_fn,
         return process_fn(pa.concat_tables(parts))
 
     reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
-
-    if num_partitions == 1:
-        block_refs = list(_iter_block_refs(ds))
-        out_refs = [reduce_remote.remote(0, *block_refs)]
-    else:
-        split_remote = ray.remote(num_returns=num_partitions)(_split_block)
-        split_refs = [split_remote.remote(ref, num_partitions)
-                      for ref in _iter_block_refs(ds)]
-        out_refs = [reduce_remote.remote(p,
-                                         *[split_refs[b][p]
-                                           for b in range(len(split_refs))])
-                    for p in range(num_partitions)]
-    return ray.data.from_arrow_refs(out_refs)
+    return ray.data.from_arrow_refs(
+        _exchange_reduce_refs(ds, num_partitions, reduce_remote,
+                              hierarchical))
