@@ -150,7 +150,14 @@ def run_queries(sf_dir: str) -> dict:
     warm = q[BENCH_QUERIES[0]](sf_dir)
     if hasattr(warm, "to_pandas") and not hasattr(warm, "num_rows"):
         warm.to_pandas()
+    from nrt_ray.pipelines import textops
     for name in BENCH_QUERIES:
+        # timing honesty: queries that chain on the minhash sketch
+        # (near_dup_clusters → minhash_near_dup_candidates → …) share a
+        # session cache by design; clearing it between bench queries
+        # makes every published number a full cold measurement of that
+        # operator (VERDICT r02 §wrong-5)
+        textops.clear_session_caches()
         t0 = time.perf_counter()
         res = q[name](sf_dir)
         # consume lazily-built datasets so timing covers execution

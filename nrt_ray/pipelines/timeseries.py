@@ -1799,19 +1799,19 @@ def segment_range_scan_events(sf_dir: str, t0_iso: str = "2024-01-10",
 
 
 def weekly_from_daily_events(sf_dir: str):
-    """Continuous-aggregate REWRITE: answer the weekly rollup from the
-    stored daily tier instead of the raw events (TimescaleDB-style
-    real-time aggregate composition).
+    """Continuous-aggregate COMPOSITION: the weekly rollup is composed
+    from daily-tier rows (recomputed in-batch here from the assembled
+    series — this query demonstrates the value-level tier algebra, not
+    an I/O rewrite against a persisted tier; the flagship pipeline's
+    stored 1d→1w tiers are where the O(daily buckets) read happens).
 
     Sum/count/min/max compose exactly across tiers when the summed
-    quantity is an integer (cents), so the rewrite is provably lossless:
-    the DuckDB oracle computes the same weekly numbers straight from raw
-    events and must hash-match.  At 100 TB the rewrite reads O(daily
-    buckets) instead of O(raw rows) — the whole point of keeping tiers.
-    Float means do NOT compose bit-for-bit (summation order changes),
-    which is why the composed columns are integer cents + exact counts;
-    the weekly mean is derivable as value_cents / n_obs / 100 by any
-    consumer.
+    quantity is an integer (cents), so the composition is provably
+    lossless: the DuckDB oracle computes the same weekly numbers
+    straight from raw events and must hash-match.  Float means do NOT
+    compose bit-for-bit (summation order changes), which is why the
+    composed columns are integer cents + exact counts; the weekly mean
+    is derivable as value_cents / n_obs / 100 by any consumer.
     """
     day_us = rollup.TIER_WIDTH_US["1d"]
     wk_us = rollup.TIER_WIDTH_US["1w"]
@@ -1827,8 +1827,9 @@ def weekly_from_daily_events(sf_dir: str):
                            .to_numpy(zero_copy_only=False), dtype=np.float64)
         # the "stored tier": daily buckets of integer cents (exact in f64
         # far below 2^53, so np.add.reduceat sums are exact and
-        # order-independent)
-        cents = np.rint(value * 100.0)
+        # order-independent); round_away matches the oracle's round()
+        # (half away from zero) for any not-exactly-2-decimal value
+        cents = round_away(value * 100.0, 0)
         rolled = rollup.rollup_flat(sidx, ts_us, cents, day_us)
         dsi, dts = rolled["series_idx"], rolled["bucket_ts"]
         if len(dsi) == 0:
@@ -1885,8 +1886,8 @@ def daily_value_percentiles(sf_dir: str,
 
     def combiner(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = round_away(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0, 0).astype(np.int64)
         day = ts // (86400 * US)
         key = np.char.add(np.char.add(
             np.char.zfill(day.astype(str), 8), "\x1f"),
@@ -1904,6 +1905,11 @@ def daily_value_percentiles(sf_dir: str,
         "dk", ["cnt"], P)
 
     def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:   # empty input: np.array over no keys is 1-D
+            return pa.table({
+                "day_ts": pa.array([], pa.timestamp("us")),
+                "n_obs": pa.array([], pa.int64()),
+                **{name: pa.array([], pa.int64()) for _, name in qs}})
         dk = np.asarray(t["dk"].to_pylist(), dtype=object)
         cnt = t["cnt"].to_numpy(zero_copy_only=False)
         split = np.array([k.split("\x1f") for k in dk], dtype=object)
