@@ -38,7 +38,7 @@ import numpy as np
 
 SEED = 20260817
 DT = 0.0025
-N_PATHS = 150_000
+N_PATHS = 600_000
 H_VALUES = (0.25, 0.5, 1.0)
 PERIODS = (2, 4, 6, 8, 10)
 SIG_LEVELS = (0.95, 0.96, 0.97, 0.98, 0.99, 0.995, 0.999)
@@ -72,9 +72,25 @@ def simulate(dt: float = DT, n_paths: int = N_PATHS, seed: int = SEED):
             stat = np.abs(M) / denom[None, :]
             run = np.maximum.accumulate(stat, axis=1)
             for p in PERIODS:
-                sup[(h, p)].append(run[:, ends[p] - 1])
+                # .copy(): a column view would pin the whole `run`
+                # buffer per batch (tens of GB across the loop)
+                sup[(h, p)].append(run[:, ends[p] - 1].copy())
         done += b
     return {k: np.concatenate(v) for k, v in sup.items()}
+
+
+def quantile_se(stats: np.ndarray, levels) -> np.ndarray:
+    """Asymptotic Monte-Carlo standard error of each sample quantile:
+    SE(q_p) = sqrt(p(1-p)/N) / f(q_p), with the density f estimated by a
+    central finite difference of the empirical quantile function."""
+    n = stats.size
+    levels = np.asarray(levels, dtype=np.float64)
+    dp = 2e-3
+    lo = np.quantile(stats, np.clip(levels - dp, 0.0, 1.0))
+    hi = np.quantile(stats, np.clip(levels + dp, 0.0, 1.0))
+    span = np.clip(levels + dp, 0.0, 1.0) - np.clip(levels - dp, 0.0, 1.0)
+    f = span / np.maximum(hi - lo, 1e-12)
+    return np.sqrt(levels * (1.0 - levels) / n) / f
 
 
 def main():
@@ -83,17 +99,26 @@ def main():
     # additive discretization calibration at the golden anchor
     anchor = np.quantile(sup[(0.25, 10)], 0.95)
     corr = float(GOLDEN - anchor)
-    print(f"anchor sim={anchor:.5f} golden={GOLDEN:.5f} corr={corr:+.5f}")
+    anchor_se = float(quantile_se(sup[(0.25, 10)], [0.95])[0])
+    print(f"anchor sim={anchor:.5f} golden={GOLDEN:.5f} corr={corr:+.5f} "
+          f"anchor_se={anchor_se:.5f}")
 
     table: dict = {}
+    se_table: dict = {}
     for (h, p), stats in sorted(sup.items()):
         qs = np.quantile(stats, SIG_LEVELS) + corr
         table[(h, p, "max")] = {float(s): float(c)
                                 for s, c in zip(SIG_LEVELS, qs)}
+        # total MC error bar: the entry's own quantile SE plus the
+        # anchor's SE carried by the additive calibration (quadrature)
+        ses = np.sqrt(quantile_se(stats, SIG_LEVELS) ** 2 + anchor_se ** 2)
+        se_table[(h, p, "max")] = {float(s): float(e)
+                                   for s, e in zip(SIG_LEVELS, ses)}
     # the anchor quantile is pinned exactly (golden), by construction of
     # the additive correction it already equals GOLDEN up to float noise;
-    # force bit-exactness:
+    # force bit-exactness (and zero simulation error, by pinning):
     table[(0.25, 10, "max")][0.95] = float(GOLDEN)
+    se_table[(0.25, 10, "max")][0.95] = 0.0
 
     lines = [
         '"""OLS-MOSUM monitoring critical values, generated by',
@@ -103,6 +128,11 @@ def main():
         N_PATHS,
         '',
         'Layout: {(h, period, functional): {sig_level: crit}}.',
+        '',
+        'MOSUM_CRIT_SE holds the one-sigma Monte-Carlo error bar of each',
+        'entry (asymptotic quantile SE + the anchor-calibration SE in',
+        'quadrature); the golden anchor (0.25, 10, "max")@0.95 is pinned',
+        'bit-exactly to the strucchange golden run, so its SE is 0.',
         'DO NOT EDIT — regenerate with the script."""',
         '',
         'MOSUM_CRIT_TABLE = {',
@@ -111,6 +141,14 @@ def main():
         lines.append(f"    {key!r}: {{")
         for s, c in quants.items():
             lines.append(f"        {s!r}: {c!r},")
+        lines.append("    },")
+    lines.append("}")
+    lines.append("")
+    lines.append("MOSUM_CRIT_SE = {")
+    for key, quants in sorted(se_table.items()):
+        lines.append(f"    {key!r}: {{")
+        for s, e in quants.items():
+            lines.append(f"        {s!r}: {round(e, 6)!r},")
         lines.append("    },")
     lines.append("}")
     out = "/root/repo/nrt_ray/kernels/_mosum_crit_table.py"
