@@ -823,6 +823,76 @@ _EMPTY_PAIR_SHINGLES = pa.table({"doc_a": pa.array([], pa.int64()),
                                  "shingle": pa.array([], pa.uint64()),
                                  "pid": pa.array([], pa.int32())})
 
+_EMPTY_DOC_SHINGLES = pa.table({"doc_id": pa.array([], pa.int64()),
+                                "shingle": pa.array([], pa.uint64())})
+
+#: candidate-membership bloom filter: 2^24 bits = 2 MiB — FIXED size
+#: regardless of corpus/pair count, so broadcasting it is not a
+#: corpus-scale driver artifact; false positives only add shingle rows
+#: that the co-group reduce drops (correctness is bloom-independent).
+_BLOOM_LOG2_BITS = 24
+_BLOOM_PROBES = 4
+
+
+def _bloom_mix(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """splitmix64 finalizer → two independent probe streams (h2 odd)."""
+    z = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        h2 = (z >> np.uint64(32)) | np.uint64(1)
+    return z, h2
+
+
+def _bloom_set(bits: np.ndarray, ids: np.ndarray) -> None:
+    mask = np.uint64((1 << _BLOOM_LOG2_BITS) - 1)
+    h1, h2 = _bloom_mix(ids)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_PROBES):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_test(bits: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    mask = np.uint64((1 << _BLOOM_LOG2_BITS) - 1)
+    h1, h2 = _bloom_mix(ids)
+    out = np.ones(len(ids), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_PROBES):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            out &= (bits[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
+def _candidate_bloom(pairs_ds) -> np.ndarray:
+    """OR-fold a per-block bloom of every pair endpoint, tree-reduced in
+    the object store — the driver only ever holds 2 MiB bitsets."""
+    from nrt_ray.stages.exchange import _iter_block_refs
+
+    @ray.remote
+    def block_bloom(tbl: pa.Table) -> np.ndarray:
+        bits = np.zeros(1 << (_BLOOM_LOG2_BITS - 6), dtype=np.uint64)
+        if tbl is not None and tbl.num_rows and "doc_a" in tbl.column_names:
+            _bloom_set(bits, tbl["doc_a"].to_numpy(zero_copy_only=False))
+            _bloom_set(bits, tbl["doc_b"].to_numpy(zero_copy_only=False))
+        return bits
+
+    @ray.remote
+    def bloom_or(*arrs) -> np.ndarray:
+        return np.bitwise_or.reduce(arrs)
+
+    refs = [block_bloom.remote(r) for r in _iter_block_refs(pairs_ds)]
+    if not refs:
+        return np.zeros(1 << (_BLOOM_LOG2_BITS - 6), dtype=np.uint64)
+    while len(refs) > 1:
+        refs = [bloom_or.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    return ray.get(refs[0])
+
 
 def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
                        **minhash_kw):
@@ -841,12 +911,13 @@ def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
     both docs' shingle sets unique, union = count of distinct
     (pair, shingle) rows and intersection = count of repeated ones.
 
-    Cost note: the corpus' shingle stream moves through one exchange —
-    docs not in any candidate pair are dropped at the co-group reduce,
-    after the shuffle.  That is the price of removing the broadcast
-    membership filter: an exact per-doc pre-filter would itself be a
-    corpus-scale driver artifact at a 30% dup fraction.  Volume is
-    O(total tokens), the same order as the ingest scan."""
+    A FIXED-SIZE (2 MiB) bloom filter over the pair endpoints —
+    tree-OR-folded from per-block partials, never corpus-scale — is
+    pushed into the shingle emission as a semi-join filter: non-member
+    docs are skipped before tokenizing, so the shuffled shingle volume
+    is O(candidate docs' tokens), not O(corpus tokens).  Bloom false
+    positives only add rows the co-group reduce drops (no assignment →
+    no output), so correctness never depends on the filter."""
     from nrt_ray.stages.exchange import exchange_dataset
     from nrt_ray.stages.shuffle_join import shuffle_cogroup
     cache_key = (sf_dir, threshold, tuple(sorted(minhash_kw.items())))
@@ -866,21 +937,34 @@ def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
         })
 
     assignments = pairs.map_batches(endpoints, batch_format="pyarrow")
+    bloom = _candidate_bloom(pairs)
 
-    def doc_shingles(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        flat, counts = _token_hash_segments(batch["text"].to_pylist())
-        sets = _shingle_hashes(flat, counts)
-        lens = np.array([len(s) for s in sets], dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
-            "shingle": pa.array(
-                np.concatenate(sets) if sets
-                else np.array([], dtype=np.uint64)),
-        })
+    class ShingleEmitter:
+        # plain ctor arg (2 MiB, fixed): ships once per actor and keeps
+        # the pool restartable (ray#53727)
+        def __init__(self, bloom_bits):
+            self.bloom = bloom_bits
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = _bloom_test(self.bloom, ids)
+            if not keep.any():
+                return _EMPTY_DOC_SHINGLES
+            sub = batch.filter(pa.array(keep))
+            ids = ids[keep]
+            flat, counts = _token_hash_segments(sub["text"].to_pylist())
+            sets = _shingle_hashes(flat, counts)
+            lens = np.array([len(s) for s in sets], dtype=np.int64)
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "shingle": pa.array(
+                    np.concatenate(sets) if sets
+                    else np.array([], dtype=np.uint64)),
+            })
 
     shing = _read_docs(sf_dir).map_batches(
-        doc_shingles, batch_format="pyarrow", concurrency=pool_size())
+        ShingleEmitter, fn_constructor_args=(bloom,),
+        batch_format="pyarrow", concurrency=pool_size())
 
     def attach(sh, asg) -> pa.Table:
         """Expand each assignment row to its doc's shingles (repeat/

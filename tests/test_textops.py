@@ -465,3 +465,15 @@ def test_verified_pairs_equal_local_replay_high_dup_rate(ray_session,
                   ["doc_id"].to_pylist())
     drop = {b for _, b, _ in rows}
     assert kept == sorted(set(int(i) for i in ids) - drop)
+
+
+def test_bloom_no_false_negatives_and_sparse():
+    rng = np.random.default_rng(3)
+    members = rng.choice(10**12, 50_000, replace=False).astype(np.int64)
+    others = rng.choice(10**12, 50_000, replace=False).astype(np.int64)
+    others = np.setdiff1d(others, members)
+    bits = np.zeros(1 << (tx._BLOOM_LOG2_BITS - 6), dtype=np.uint64)
+    tx._bloom_set(bits, members)
+    assert tx._bloom_test(bits, members).all()      # zero false negatives
+    fp = tx._bloom_test(bits, others).mean()
+    assert fp < 0.01   # 50k keys in 16 Mbit, 4 probes -> ~1e-8 expected
