@@ -180,3 +180,19 @@ def test_events_adapter(ray_session, tmp_path):
         tiers=(rollup.TierSpec("1d", gapfill=False),))
     assert summary["series"] > 0
     assert summary["rollup_points"] > 0
+
+
+def test_flagship_identical_via_hierarchical_exchange(ray_session, webtext,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """Dropping the hierarchical autoswitch threshold to 2 forces the
+    flagship's exchange through the two-level split (P=8 → fanout 3);
+    every output table must be byte-identical to the flat path."""
+    from nrt_ray.stages import exchange
+    _run(webtext, tmp_path / "flat")
+    monkeypatch.setattr(exchange, "_HIERARCHICAL_MIN_P", 2)
+    _run(webtext, tmp_path / "hier")
+    for table in ("state", "rollup_1d", "rollup_1w", "segments", "alerts"):
+        a = mp.read_output_table(str(tmp_path / "flat"), table)
+        b = mp.read_output_table(str(tmp_path / "hier"), table)
+        assert a.equals(b), table
