@@ -61,14 +61,17 @@ SCALING_LOW = int(os.environ.get("NRT_BENCH_SCALE_LOW", "2"))
 SCALING_HIGH = int(os.environ.get("NRT_BENCH_SCALE_HIGH", "8"))
 SCALING_REPEAT = int(os.environ.get("NRT_BENCH_REPEAT", "2"))
 # logical CPUs per fused reduce task (memory-bandwidth sizing): the
-# fit/monitor/rollup reduce is bandwidth-bound, so requesting >1 CPU
-# caps concurrency to what the memory system sustains.  Measured on
-# this host at num_cpus=32: 1.0 → 56.9 s wall / 1344 task-s,
-# 2.0 → 42.7 s / 415, 4.0 → 25.1 s / 135 (pinned-8 ground truth is
-# ~103 task-s, so 4.0 removes nearly all oversubscription inflation).
-# Scaling legs pin this to 1.0 — their methodology predates the knob
-# and a 2-CPU leg could not schedule a 4-CPU task.
-REDUCE_CPUS = float(os.environ.get("NRT_BENCH_REDUCE_CPUS", "4"))
+# fit/monitor/rollup reduce is bandwidth-bound, so >1 here trades
+# concurrency for per-task bandwidth.  The right value is host-phase
+# dependent: an earlier congested-host session measured 4.0 as 2.3x
+# faster than 1.0 (56.9 s → 25.1 s), but re-measured on a quiet host
+# (hierarchical exchange, P=200) the ordering flips — steady-state
+# walls 1.0 → ~5 s, 2.0 → ~8 s, 4.0 → ~13.7 s: per-task inflation at
+# full concurrency (task-s 73 → ~100) is far cheaper than idling 3/4
+# of the cores.  Default 1.0; raise via NRT_BENCH_REDUCE_CPUS when the
+# host is heavily shared.  Scaling legs always pin 1.0 so both legs
+# differ only in core budget.
+REDUCE_CPUS = float(os.environ.get("NRT_BENCH_REDUCE_CPUS", "1"))
 
 
 def ensure_webtext() -> str:

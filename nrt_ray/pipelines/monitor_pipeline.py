@@ -336,12 +336,13 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
             previous run's lineage.
         reduce_num_cpus: logical CPUs each fused fit/monitor/rollup
             reduce task requests.  The reduce is memory-bandwidth-bound
-            (large padded matrices + segment reductions), so on hosts
-            where cores outnumber memory bandwidth, >1 here caps
-            concurrency to what the memory system sustains — measured on
-            the 32-slot sandbox: 4.0 cut headline wall 2.3× (56.9 s →
-            25.1 s) with task-seconds deflating to the pinned-run ground
-            truth.  Results are identical at any value (scheduling only).
+            (large padded matrices + segment reductions), so >1 trades
+            concurrency for per-task bandwidth.  Host-phase dependent:
+            a congested-host session measured 4.0 as 2.3× faster than
+            1.0, but on a quiet host full concurrency (1.0) wins ~2.7×
+            despite ~30% per-task inflation — see the REDUCE_CPUS note
+            in bench.py.  Results are identical at any value
+            (scheduling only).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest.check_partitioning(out_dir, num_partitions)
