@@ -69,8 +69,11 @@ SCALING_REPEAT = int(os.environ.get("NRT_BENCH_REPEAT", "2"))
 # walls 1.0 → ~5 s, 2.0 → ~8 s, 4.0 → ~13.7 s: per-task inflation at
 # full concurrency (task-s 73 → ~100) is far cheaper than idling 3/4
 # of the cores.  Default 1.0; raise via NRT_BENCH_REDUCE_CPUS when the
-# host is heavily shared.  Scaling legs always pin 1.0 so both legs
-# differ only in core budget.
+# host is heavily shared.  Crossover with input size: at 2.5x input
+# (50 k urls / 179 M points) aggregate bandwidth saturates and 2.0
+# wins (19.0 s vs 26.2 s; task-s 228 vs 678 — pure contention, P=1000
+# doesn't help, so it's aggregate traffic, not per-task working set).
+# Scaling legs always pin 1.0 so both legs differ only in core budget.
 REDUCE_CPUS = float(os.environ.get("NRT_BENCH_REDUCE_CPUS", "1"))
 
 
