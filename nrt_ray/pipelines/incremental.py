@@ -176,10 +176,14 @@ class IncrementProcessor:
                                        dtype=object))
         passthrough = None
         if old is not None and old.num_rows:
-            ou = old.column("url").to_pandas().to_numpy(dtype=object)
-            tmask = np.isin(ou, touched)
-            untouched = old.filter(pa.array(~tmask, pa.bool_()))
-            old = old.filter(pa.array(tmask, pa.bool_()))
+            # hash-based membership (pc.is_in) — np.isin over object
+            # string arrays scans ar1 once PER touched url (O(n·m)),
+            # which dominated the whole increment at ~180 k tier rows
+            tmask = pc.is_in(old.column("url"),
+                             value_set=pa.array(touched, pa.string(),
+                                                from_pandas=True))
+            untouched = old.filter(pc.invert(tmask))
+            old = old.filter(tmask)
             changed_untouched = np.array([], dtype=object)
             if untouched.num_rows:
                 untouched, changed_untouched = \
@@ -265,20 +269,27 @@ class IncrementProcessor:
     # -------------------------------------------------------------------
 
     def load_partition(self, pid: int) -> dict:
-        """Read a partition's checkpointed artifacts (None where absent)."""
+        """Read a partition's checkpointed artifacts (None where absent).
+
+        ``use_threads=False``: many loaders run concurrently (one per
+        actor / reduce task), so each small per-partition file decoding
+        on pyarrow's GLOBAL thread pool (sized to ALL cores, per
+        process) oversubscribes the node ~25× and serializes everyone;
+        single-threaded decode of a few-MB file is the scalable shape."""
         state_path = os.path.join(manifest.partition_dir(
             self.out_dir, "state", pid), "part.parquet")
-        old_state = pq.read_table(state_path) \
+        old_state = pq.read_table(state_path, use_threads=False) \
             if os.path.exists(state_path) else None
         old_tiers = {}
         for tier in self.tiers:
             p = os.path.join(manifest.partition_dir(
                 self.out_dir, f"rollup_{tier.name}", pid), "part.parquet")
-            old_tiers[tier.name] = pq.read_table(p) \
+            old_tiers[tier.name] = pq.read_table(p, use_threads=False) \
                 if os.path.exists(p) else None
         segp = os.path.join(manifest.partition_dir(
             self.out_dir, "segments", pid), "part.parquet")
-        old_segments = pq.read_table(segp) if os.path.exists(segp) \
+        old_segments = pq.read_table(segp, use_threads=False) \
+            if os.path.exists(segp) \
             else None
         return {"state": old_state, "tiers": old_tiers,
                 "segments": old_segments}
@@ -511,9 +522,10 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
     manifest.uncommit_partitions(out_dir, pids)
 
     def drop_urls(t: pa.Table) -> pa.Table:
-        keep = ~np.isin(np.asarray(t.column("url").to_pandas(),
-                                   dtype=object), urls_arr)
-        return t.filter(pa.array(keep, pa.bool_()))
+        drop = pc.is_in(t.column("url"),
+                        value_set=pa.array(urls_arr, pa.string(),
+                                           from_pandas=True))
+        return t.filter(pc.invert(drop))
 
     flat = mp.ingest_webtext(input_path) \
         .map_batches(drop_urls, batch_format="pyarrow")

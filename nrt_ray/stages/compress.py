@@ -197,9 +197,12 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
             tier_old = old_segments.filter(tmask)
             if not tier_old.num_rows:
                 continue
-            ou = tier_old.column("url").to_pandas().to_numpy(dtype=object)
-            keep_parts.append(tier_old.filter(
-                pa.array(~np.isin(ou, ch), pa.bool_())))
+            # hash-based membership — np.isin on object strings is
+            # O(rows × changed) and dominated incremental applies
+            chm = pc.is_in(tier_old.column("url"),
+                           value_set=pa.array(ch, pa.string(),
+                                              from_pandas=True))
+            keep_parts.append(tier_old.filter(pc.invert(chm)))
         reused = [t for t in keep_parts if t.num_rows]
     rows = {k: [] for k in ("url", "tier", "seg_start", "seg_end",
                             "n_points", "codec", "payload_ts",
@@ -210,11 +213,15 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
         urls = table.column("url").to_pandas().to_numpy(dtype=object)
         if changed_urls is not None and old_segments is not None \
                 and old_segments.num_rows:
+            import pyarrow.compute as pc
             ch = np.asarray(changed_urls.get(tier_name, ()), dtype=object)
-            m = np.isin(urls, ch)
+            marr = pc.is_in(table.column("url"),
+                            value_set=pa.array(ch, pa.string(),
+                                               from_pandas=True))
+            m = marr.to_numpy(zero_copy_only=False)
             if not m.any():
                 continue
-            table = table.filter(pa.array(m, pa.bool_()))
+            table = table.filter(marr)
             urls = urls[m]
         ts = table.column("bucket_ts").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
