@@ -230,17 +230,22 @@ def increment_bench(num_cpus: int) -> dict:
             num_partitions=BENCH_PARTITIONS, resume=False,
             reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
         rows = points = 0
+        batch_secs = []
         t0 = time.perf_counter()
         if mode == "discrete":
             for p in batch_paths:
+                tb = time.perf_counter()
                 s = inc.run_increment(base_out, mp.ingest_webtext(p))
+                batch_secs.append(round(time.perf_counter() - tb, 3))
                 rows += s["input_rows"]
                 points = s["rollup_points"]
         else:
             cm = ContinuousMonitor(base_out)
             try:
                 for p in batch_paths:
+                    tb = time.perf_counter()
                     s = cm.ingest(mp.ingest_webtext(p))
+                    batch_secs.append(round(time.perf_counter() - tb, 3))
                     rows += s["input_rows"]
                     points = s["rollup_points"]
                 cm.checkpoint()
@@ -248,9 +253,15 @@ def increment_bench(num_cpus: int) -> dict:
                 cm.close()
         dt = time.perf_counter() - t0
         shutil.rmtree(base_out, ignore_errors=True)
+        # batch 0 pays the one-time per-process warmup (checkpoint load
+        # into actor caches, allocator growth under 32-way first-touch);
+        # steady_sec_per_batch is the operating cost once resident
+        steady = batch_secs[1:] or batch_secs
         out[mode] = {
             "seconds": round(dt, 3),
             "micro_batches": k,
+            "batch_seconds": batch_secs,
+            "steady_sec_per_batch": round(sum(steady) / len(steady), 3),
             "increment_rows": rows,
             "rows_per_sec": round(rows / dt),
             "merged_rollup_points": points,
