@@ -119,6 +119,7 @@ def queries() -> dict:
         "weekly_profile_events": tsq.weekly_profile_events,
         "multigrain_events": tsq.multigrain_events,
         "user_interarrival_events": tsq.user_interarrival_events,
+        "counter_increase_daily_events": tsq.counter_increase_daily,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1059,6 +1060,26 @@ def oracle_sql() -> dict:
                          / 100.0, 6) AS twa
             FROM t GROUP BY user_id
             HAVING max(tus) > min(tus)
+        """,
+        "counter_increase_daily_events": """
+            WITH ord AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lag(CAST(round(value * 100) AS BIGINT)) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_cents
+                FROM events
+            )
+            SELECT user_id, date_trunc('day', ts) AS day_ts,
+                   CAST(sum(CASE WHEN cents >= prev_cents
+                                 THEN cents - prev_cents
+                                 ELSE cents END) AS BIGINT)
+                       AS increase_cents,
+                   CAST(sum(CASE WHEN cents < prev_cents THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_resets,
+                   count(*) AS n_pairs
+            FROM ord WHERE prev_cents IS NOT NULL
+            GROUP BY user_id, day_ts
         """,
         "user_interarrival_events": """
             WITH g AS (

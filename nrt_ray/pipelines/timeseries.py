@@ -1937,3 +1937,83 @@ def daily_value_percentiles(sf_dir: str,
 
     return hist.repartition(1).map_batches(finalize,
                                            batch_format="pyarrow")
+
+
+def counter_increase_daily(sf_dir: str):
+    """PromQL-style ``increase`` with counter-reset handling, per user
+    per UTC day (the Prometheus/TSDB rate primitive — reference
+    operator family SURVEY §2.5's sequential scans, here as a query).
+
+    Semantics: events ordered per user by (ts, event_id); every
+    consecutive pair contributes to the day of the LATER event —
+    ``cur - prev`` when the counter advanced, ``cur`` when it went
+    backwards (a reset: the counter restarted from ~0 and reached
+    ``cur``, the standard Prometheus under-estimate-free convention).
+    Resets are also counted per day.
+
+    Exactness: values quantized to integer cents with half-away
+    rounding (matches the oracle's round()); all sums are int64 over
+    cents.  The per-user series is complete inside one partition
+    (user-keyed exchange), so consecutive pairs are globally correct;
+    ties order by event_id on BOTH sides (a tie's orientation changes
+    which delta is a reset)."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    nparts = max(2, pool_size())
+    day_us = 86400 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(round_away(val * 100.0, 0)
+                              .astype(np.int64)),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "day_ts": pa.array([], pa.timestamp("us")),
+            "increase_cents": pa.array([], pa.int64()),
+            "n_resets": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64())})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty()
+        cur_c, prev_c = c[1:][same], c[:-1][same]
+        cur_u = u[1:][same]
+        day = (ts[1:][same] // day_us) * day_us
+        reset = cur_c < prev_c
+        inc = np.where(reset, cur_c, cur_c - prev_c)
+        # (user, day) runs are contiguous: sorted by user then ts
+        starts = np.flatnonzero(np.r_[True, (cur_u[1:] != cur_u[:-1])
+                                      | (day[1:] != day[:-1])])
+        return pa.table({
+            "user_id": pa.array(cur_u[starts], pa.int64()),
+            "day_ts": pa.array(day[starts], pa.int64())
+                .cast(pa.timestamp("us")),
+            "increase_cents": pa.array(
+                np.add.reduceat(inc, starts).astype(np.int64)),
+            "n_resets": pa.array(
+                np.add.reduceat(reset.astype(np.int64), starts)),
+            "n_pairs": pa.array(
+                np.add.reduceat(np.ones(len(inc), np.int64), starts)),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
