@@ -173,6 +173,7 @@ def queries() -> dict:
         "gopher_filter_docs": tx.gopher_filter,
         "ccnet_lm_buckets": tx.ccnet_lm_buckets,
         "doc_boilerplate_ratio": tx.boilerplate_ratio,
+        "doc_novelty_scores": tx.novelty_scores,
         "top_docs_per_lang": tx.top_docs_per_lang,
         "lang_length_quantiles": tx.lang_length_quantiles,
         "docs_length_band": tx.docs_length_band,
@@ -1551,6 +1552,7 @@ def oracle_sql() -> dict:
         "doc_repetition_stats": sk.repetition_stats_sql(),
         # per-doc shared-shingle fraction vs corpus-wide shingle DF
         "doc_boilerplate_ratio": sk.boilerplate_sql(),
+        "doc_novelty_scores": sk.novelty_sql(),
         # unigram LM scoring: mean token log-prob + pseudo-perplexity
         # against the corpus unigram distribution
         "doc_unigram_lm_scores": r"""

@@ -856,3 +856,17 @@ v{t} AS (
 SELECT dim, v AS component FROM v{int(iters)}
 """)
     return "".join(parts)
+
+
+def novelty_sql() -> str:
+    """Per-doc novelty vs all smaller doc_ids: distinct shingles joined
+    to each shingle's corpus-wide first (min) doc_id."""
+    return ("WITH " + _shingle_ctes() + """,
+firstseen AS (SELECT s, min(doc_id) AS first_doc FROM shingles GROUP BY s)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       count(*) FILTER (f.first_doc < sh.doc_id) AS n_seen,
+       round(1.0 - count(*) FILTER (f.first_doc < sh.doc_id)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM shingles sh JOIN firstseen f ON f.s = sh.s
+GROUP BY sh.doc_id
+""")

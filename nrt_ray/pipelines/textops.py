@@ -2795,3 +2795,75 @@ def lang_length_quantiles(sf_dir: str, qs=((25, "p25"), (50, "p50"),
     # so repartition(1) then one vectorized pass
     return hist.repartition(1).map_batches(finalize,
                                            batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- novelty
+
+def novelty_scores(sf_dir: str):
+    """Per-document shingle NOVELTY in doc_id (arrival) order: the
+    fraction of a doc's distinct k-token shingles whose corpus-wide
+    first appearance (min doc_id) is this doc itself — the streaming
+    dedup-ordering signal (high novelty = mostly-new content, near-0 =
+    the corpus already said this).
+
+    Same one-keyed-exchange shape as :func:`boilerplate_ratio`: (doc,
+    shingle) pairs hash-partition on the shingle, so each partition
+    holds every occurrence of its shingles and computes their min
+    doc_id exactly; per-doc partials (n_shingles, n_seen) fold inside
+    the partition, and a doc-keyed ``groupby().sum`` finishes."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        sets = _shingle_hashes(flat, counts)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        sh = (np.concatenate(sets) if sets
+              else np.array([], dtype=np.uint64))
+        doc = np.repeat(ids, sizes)
+        return pa.table({
+            "shingle": pa.array(sh.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "pid": pa.array((sh % np.uint64(nparts)).astype(np.int64)),
+        })
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        s = tbl["shingle"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        ss, dd = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        run_of = np.cumsum(np.r_[False, ss[1:] != ss[:-1]])
+        seen = (dd > dd[starts][run_of]).astype(np.int64)
+        ud, dinv = np.unique(dd, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(ud, pa.int64()),
+            "n_shingles": pa.array(np.bincount(dinv).astype(np.int64)),
+            "n_seen": pa.array(
+                np.bincount(dinv, weights=seen).astype(np.int64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_shingles": pa.array([], pa.int64()),
+                         "n_seen": pa.array([], pa.int64())})
+
+    pairs = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+    partials = exchange_dataset(pairs, nparts, partial, empty)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n_shingles)"].to_numpy(zero_copy_only=False)
+        seen = t["sum(n_seen)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pa.array(n.astype(np.int64)),
+            "n_seen": pa.array(seen.astype(np.int64)),
+            "novelty": pa.array(
+                round_away(1.0 - seen / np.maximum(n, 1), 6)),
+        })
+
+    return partials.groupby("doc_id") \
+        .aggregate(Sum("n_shingles"), Sum("n_seen")) \
+        .map_batches(finish, batch_format="pyarrow")
