@@ -1,0 +1,100 @@
+"""Planted-fixture semantics tests for the round-3 operators
+(counter_increase_daily, novelty_scores) — edge cases the random
+catalog fixtures can't pin down: reset orientation on timestamp ties,
+same-day-only pairing, first-seen ordering, duplicate/empty docs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DAY_US = 86400 * 1_000_000
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())
+            .cast(pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _df(res):
+    return res.to_pandas().sort_values(
+        list(res.to_pandas().columns)).reset_index(drop=True)
+
+
+def test_counter_increase_resets_and_days(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import counter_increase_daily
+    d0 = 1_700_000_000_000_000 // DAY_US * DAY_US
+    rows = [
+        # user 1, day 0: 1.00 -> 3.00 (+200) -> 2.00 (reset: +200 cents)
+        (1, d0 + 1, 1, 1.00),
+        (2, d0 + 2, 1, 3.00),
+        (3, d0 + 3, 1, 2.00),
+        # user 1, day 1: pair crossing midnight lands on day 1
+        (4, d0 + DAY_US + 5, 1, 5.00),        # 2.00 -> 5.00 = +300
+        # user 2: single event, no pair -> absent from output
+        (5, d0 + 7, 2, 9.99),
+        # user 3: timestamp tie ordered by event_id: 4.00 then 1.00
+        (6, d0 + 9, 3, 4.00),
+        (7, d0 + 9, 3, 1.00),                 # reset -> +100
+    ]
+    out = _df(counter_increase_daily(_write_events(tmp_path, rows)))
+    exp = pd.DataFrame({
+        "user_id": [1, 1, 3],
+        "day_ts": pd.to_datetime([d0, d0 + DAY_US, d0], unit="us"),
+        "increase_cents": [400, 300, 100],
+        "n_resets": [1, 0, 1],
+        "n_pairs": [2, 1, 1],
+    }).sort_values(["user_id", "day_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["user_id", "day_ts"]).reset_index(drop=True)
+           [exp.columns], exp, check_dtype=False)
+
+
+def test_counter_increase_empty(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import counter_increase_daily
+    out = counter_increase_daily(
+        _write_events(tmp_path, [(1, 10**15, 1, 1.0)])).to_pandas()
+    # a single event has no consecutive pair: no output rows (Ray Data
+    # drops the schema of an all-empty dataset, so only length checks)
+    assert len(out) == 0
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_novelty_first_seen_order(ray_session, tmp_path):
+    from nrt_ray.pipelines.textops import novelty_scores
+    texts = [
+        "a b c d e f",       # doc 1: 2 shingles, all first-seen -> 1.0
+        "a b c d e f",       # doc 2: identical -> 0.0
+        "p q r s t u v",     # doc 3: 3 shingles, disjoint -> 1.0
+        "a b c d e p q r s t",  # doc 4: 6 shingles, 2 seen
+                                 # (abcde from doc 1, pqrst from doc 3)
+        "",                  # doc 5: empty-hash shingle, first -> 1.0
+        "",                  # doc 6: empty again -> 0.0
+    ]
+    out = _df(novelty_scores(_write_docs(tmp_path, texts)))
+    got = out.set_index("doc_id")
+    assert got.loc[1, "novelty"] == 1.0 and got.loc[1, "n_shingles"] == 2
+    assert got.loc[2, "novelty"] == 0.0
+    assert got.loc[3, "novelty"] == 1.0 and got.loc[3, "n_shingles"] == 3
+    assert got.loc[4, "n_shingles"] == 6 and got.loc[4, "n_seen"] == 2
+    assert got.loc[4, "novelty"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert got.loc[5, "novelty"] == 1.0
+    assert got.loc[6, "novelty"] == 0.0
