@@ -75,6 +75,12 @@ class PartitionProcessor:
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         pid = int(group.column("pid")[0].as_py())
+        input_frags = []
+        if "frag" in group.column_names:
+            input_frags = sorted(
+                int(f) for f in
+                np.unique(group.column("frag")
+                          .to_numpy(zero_copy_only=False)))
         series = assemble_series(group)
         hot_rows = 0
         if self.hot_urls:
@@ -129,7 +135,9 @@ class PartitionProcessor:
                 "state_checksum": checksum,
                 "strategy": self.stage.strategy,
                 "high_water_us": self.high_water_us,
-                # per-partition metrics (north rule: lineage + metrics)
+                # north-rule lineage: which input fragments (file ids,
+                # map in the run config) fed this partition + metrics
+                "input_fragments": input_frags,
                 "metrics": {"elapsed_s": round(
                                 time.perf_counter() - t0, 4),
                             "rollup_points": points},
@@ -150,10 +158,24 @@ class PartitionProcessor:
         })
 
 
+def input_files(input_path) -> list[str]:
+    """Enumerate the concrete parquet files (lineage fragments) behind
+    ``input_path`` (a file, directory, glob, or list thereof)."""
+    import glob as _glob
+    paths = []
+    for p in ([input_path] if isinstance(input_path, str) else input_path):
+        paths.extend(sorted(_glob.glob(p)) if "*" in p else
+                     ([os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet")] if os.path.isdir(p)
+                      else [p]))
+    return paths
+
+
 def ingest_webtext(input_path, verify_extract: bool = False,
                    override_num_blocks: int | None = None,
                    aux: bool = False,
-                   min_warc_ts_us: int | None = None):
+                   min_warc_ts_us: int | None = None,
+                   frag_ids: dict | None = None):
     """Read a webtext Parquet table and extract the flat signal rows.
 
     ``aux=True`` additionally emits the CCDC_RIRLS secondary-signal
@@ -167,7 +189,13 @@ def ingest_webtext(input_path, verify_extract: bool = False,
     sliver of the bytes.  Note the trade-off: rows at or below the mark
     never surface, so `run_increment`'s dead-letter AUDIT of late rows
     is skipped for them — use it when the archive is append-only and
-    audit is not needed (the CLI exposes it as ``--prune-ingested``)."""
+    audit is not needed (the CLI exposes it as ``--prune-ingested``).
+
+    ``frag_ids`` ({file path: int id}): tag every row with its source
+    fragment id (int32 ``frag`` column, 4 B/row through the shuffle) so
+    each partition's manifest commit can record exactly which input
+    fragments fed it (north-rule lineage).
+    """
     columns = ["url", "warc_ts", "text"] + (
         ["html"] if verify_extract else [])
     kw = {}
@@ -176,9 +204,24 @@ def ingest_webtext(input_path, verify_extract: bool = False,
         kw["filter"] = (pds.field("warc_ts")
                         > pa.scalar(min_warc_ts_us, pa.int64())
                         .cast(pa.timestamp("us")))
+    if frag_ids:
+        kw["include_paths"] = True
     ds = ray.data.read_parquet(input_path, columns=columns,
                                override_num_blocks=override_num_blocks,
                                **kw)
+    if frag_ids:
+        fmap = dict(frag_ids)
+
+        def tag(t: pa.Table) -> pa.Table:
+            # blocks rarely span files: map the (usually single) path
+            # per batch to its small int id and drop the string column
+            paths = t.column("path").to_pylist()
+            ids = np.fromiter((fmap[p] for p in paths),
+                              dtype=np.int32, count=len(paths))
+            return t.drop_columns(["path"]).append_column(
+                "frag", pa.array(ids, pa.int32()))
+
+        ds = ds.map_batches(tag, batch_format="pyarrow")
     return ds.map_batches(ExtractSignal(verify=verify_extract, aux=aux),
                           batch_format="pyarrow")
 
@@ -264,14 +307,8 @@ def global_high_water_us(input_path) -> int:
     """Dataset high-water mark (drives retention + bucket closing
     deterministically).  Prefers Parquet row-group statistics (no data
     scan); falls back to a column-pruned max() scan."""
-    import glob
     import pyarrow.parquet as pq
-    paths = []
-    for p in ([input_path] if isinstance(input_path, str) else input_path):
-        paths.extend(sorted(glob.glob(p)) if "*" in p else
-                     ([os.path.join(p, f) for f in sorted(os.listdir(p))
-                       if f.endswith(".parquet")] if os.path.isdir(p)
-                      else [p]))
+    paths = input_files(input_path)
     try:
         hw = None
         for f in paths:
@@ -311,7 +348,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                  salt_threshold: int | None = None,
                  hot_urls=None,
                  salt_slice_us: int = DEFAULT_SALT_SLICE_US,
-                 reduce_num_cpus: float = 1.0) -> dict:
+                 reduce_num_cpus: float = 1.0,
+                 fragment_lineage: bool = True) -> dict:
     """Run the flagship pipeline; returns a summary dict (tiny).
 
     Args:
@@ -357,9 +395,14 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         effective_screen = MONITOR_REGISTRY[strategy].default_screen_outliers
     else:
         effective_screen = screen_outliers
+    frag_paths = [] if (flat_dataset is not None
+                        or not fragment_lineage) else \
+        input_files(input_path)
+    frag_ids = {p: i for i, p in enumerate(frag_paths)}
     ds = flat_dataset if flat_dataset is not None else \
         ingest_webtext(input_path, verify_extract,
-                       aux=(effective_screen == "CCDC_RIRLS"))
+                       aux=(effective_screen == "CCDC_RIRLS"),
+                       frag_ids=frag_ids)
     if high_water_us is None and needs_hw:
         hw = ds.max("warc_ts")
         high_water_us = int(pa.scalar(hw, pa.timestamp("us"))
@@ -432,6 +475,9 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         "fit_method": fit_method, "screen_outliers": screen_outliers,
         "tiers": [t.to_dict() for t in tiers],
         "high_water_us": hw_cfg,
+        # fragment-id → file map for the per-partition input_fragments
+        # lineage recorded in each manifest commit
+        "fragments": {str(i): p for p, i in frag_ids.items()},
     })
     summary = {
         "run_id": run_id,

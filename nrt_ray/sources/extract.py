@@ -94,6 +94,10 @@ class ExtractSignal:
             "value": value,
             "days": pa.array(days, pa.int32()),
             "dyear": pa.array(dyear, pa.float64()),
+            # input-fragment lineage id (added by ingest when enabled):
+            # 4 bytes/row through the shuffle, recorded per partition
+            **({"frag": batch.column("frag")}
+               if "frag" in batch.column_names else {}),
             **(aux_signals(text) if self.aux else {}),
         })
 

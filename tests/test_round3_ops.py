@@ -98,3 +98,34 @@ def test_novelty_first_seen_order(ray_session, tmp_path):
     assert got.loc[4, "novelty"] == pytest.approx(1 - 2 / 6, abs=1e-6)
     assert got.loc[5, "novelty"] == 1.0
     assert got.loc[6, "novelty"] == 0.0
+
+
+def test_fragment_lineage_recorded(ray_session, tmp_path):
+    """Each partition's manifest commit lists exactly the input files
+    (fragment ids) that contributed rows to it."""
+    import glob
+    import json
+    from nrt_ray.sources.synthetic import generate_webtext
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    from nrt_ray.pipelines.incremental import read_run_config
+
+    info = generate_webtext(str(tmp_path), n_urls=30, seed=5)
+    t = pq.read_table(info["webtext"])
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(t.slice(0, t.num_rows // 2), str(multi / "a.parquet"))
+    pq.write_table(t.slice(t.num_rows // 2), str(multi / "b.parquet"))
+    out = str(tmp_path / "out")
+    mp.run_pipeline(str(multi), out, strategy="EWMA",
+                    monitor_start="2021-01-01",
+                    monitor_params={"trend": False},
+                    num_partitions=3, resume=False)
+    frags = read_run_config(out)["fragments"]
+    assert sorted(frags.values()) == [str(multi / "a.parquet"),
+                                      str(multi / "b.parquet")]
+    seen = set()
+    for f in glob.glob(out + "/manifest/partition-*.json"):
+        rec = json.load(open(f))
+        assert set(rec["input_fragments"]) <= {0, 1}
+        seen |= set(rec["input_fragments"])
+    assert seen == {0, 1}   # every fragment fed at least one partition
