@@ -1842,8 +1842,8 @@ def weekly_from_daily_events(sf_dir: str):
                 "vmin_cents": pa.array([], pa.int64()),
                 "vmax_cents": pa.array([], pa.int64()),
             })
-        # compose the coarse tier FROM the fine tier rows (never re-reads
-        # the raw observations)
+        # compose the coarse tier FROM the fine-tier rows just built
+        # above (value-level tier algebra; see the docstring)
         wts = (dts // wk_us) * wk_us
         starts = np.flatnonzero(np.r_[True, (dsi[1:] != dsi[:-1])
                                       | (wts[1:] != wts[:-1])])
