@@ -139,6 +139,91 @@ def rirls(X: np.ndarray, y: np.ndarray, tune: float = 4.685,
     return beta, resid
 
 
+def lasso(X: np.ndarray, y: np.ndarray, lam: float = 0.01,
+          maxiter: int = 1000, tol: float = 1e-10):
+    """L1-penalized harmonic fit (coordinate descent), vectorized across
+    series.
+
+    BEYOND-reference: the reference dispatches ``method='LASSO'`` to
+    ``NotImplementedError`` (``/root/reference/nrt/monitor/__init__.py:
+    244-245``); this implements it.  The objective is glmnet's
+    standardized form, per series ``i`` with validity weights
+    ``w = isfinite(y)`` and ``n_i = w.sum()``::
+
+        (1 / (2 n_i)) Σ_t w_ti (y_ti − X_t β_i)²  +  λ Σ_{j≥1} |β̃_ij|
+
+    where ``β̃`` are the coefficients of the per-series STANDARDIZED
+    penalized columns (weighted mean 0, weighted variance 1 over that
+    series' valid rows) and the intercept (column 0) is unpenalized —
+    standardization is what makes one λ meaningful across columns of
+    wildly different scale (the trend column is ~18 000 days while the
+    harmonics are ±1).  Returned ``beta`` is on the ORIGINAL scale.
+
+    Vectorization: cyclic coordinate descent where each coordinate
+    update is one ``(n,) × (n, m)`` contraction across ALL series at
+    once — the per-iteration cost is ``O(k · n · m)`` with no per-series
+    Python loop.  Centering y and each penalized column per series keeps
+    the weighted residual mean at exactly 0 throughout, so the update
+    needs no intercept bookkeeping until the final un-standardization.
+
+    Degenerate columns (zero weighted variance over a series' valid
+    rows, e.g. all observations on one day under a trend design) get
+    ``β_j = 0`` for that series — indistinguishable from the intercept.
+
+    Returns:
+        beta ``(k, m)``, residuals ``(n, m)`` (``X·β − y``; NaN where y
+        is NaN) — same conventions as :func:`ols`.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if y.ndim == 1:
+        y = y[:, None]
+    n, m = y.shape
+    k = X.shape[1]
+    valid = np.isfinite(y)
+    w = valid.astype(np.float64)                   # (n, m)
+    n_i = np.maximum(w.sum(axis=0), 1.0)           # (m,)
+    y0 = np.where(valid, y, 0.0)
+    ybar = y0.sum(axis=0) / n_i                    # (m,)
+
+    # per-series weighted mean / std of each penalized column
+    mu = (X.T @ w) / n_i                           # (k, m)
+    ex2 = ((X * X).T @ w) / n_i                    # (k, m)
+    sd = np.sqrt(np.maximum(ex2 - mu * mu, 0.0))   # (k, m)
+    ok = sd > 1e-12                                # non-degenerate (k, m)
+    sd_safe = np.where(ok, sd, 1.0)
+
+    # residual of the centered fit (all β̃ start at 0); invariant:
+    # weighted per-series mean of r stays exactly 0
+    r = np.where(valid, y0 - ybar[None, :], 0.0)   # (n, m)
+    bt = np.zeros((k, m))                          # standardized coefs
+
+    for _ in range(maxiter):
+        delta_max = 0.0
+        for j in range(1, k):
+            xj = X[:, j]                           # (n,)
+            # ρ_j = (1/n_i) Σ_t w x̃s r + β̃_j  (weighted r-mean is 0, so
+            # the −μ term of the centered column contributes nothing)
+            rho = (xj @ r) / (n_i * sd_safe[j]) + bt[j]
+            new = np.sign(rho) * np.maximum(np.abs(rho) - lam, 0.0)
+            new = np.where(ok[j], new, 0.0)
+            d = new - bt[j]
+            if np.any(d):
+                # r ← r − w · x̃s_j · Δ  with x̃s_j = (x_j − μ_j) / sd_j
+                r -= w * ((xj[:, None] - mu[j][None, :])
+                          / sd_safe[j][None, :]) * d[None, :]
+                bt[j] = new
+                delta_max = max(delta_max, float(np.abs(d).max()))
+        if delta_max < tol:
+            break
+
+    beta = np.zeros((k, m))
+    beta[1:] = bt[1:] / sd_safe[1:]
+    beta[0] = ybar - (beta[1:] * mu[1:]).sum(axis=0)
+    residuals = X @ beta - y
+    return beta, residuals
+
+
 def ccdc_stable_fit(X: np.ndarray, y: np.ndarray, dates: np.ndarray,
                     threshold: float = 3.0):
     """Stability-seeking OLS fit (CCDC-style shrink-from-the-left).

@@ -36,7 +36,8 @@ import pandas as pd
 from nrt_ray.kernels import regressors
 from nrt_ray.kernels.efp import (mosum_crit, mosum_init_window, ols_cusum_crit,
                                  rec_cusum_crit)
-from nrt_ray.kernels.fit import ccdc_stable_fit, ols, rirls, roc_stable_fit
+from nrt_ray.kernels.fit import (ccdc_stable_fit, lasso, ols, rirls,
+                                 roc_stable_fit)
 from nrt_ray.kernels.outliers import ccdc_rirls, shewhart
 from nrt_ray.kernels.stats import nan_percentile_axis0
 
@@ -173,7 +174,12 @@ class BaseMonitor:
                 X, y_act, days, threshold=kwargs.get("threshold", 3))
             self._mark_unstable(active, is_stable, fit_start)
         elif method == "LASSO":
-            raise NotImplementedError("LASSO fit not implemented")
+            # beyond-reference: the reference raises NotImplementedError
+            # here (nrt/monitor/__init__.py:244-245) — kernels.fit.lasso
+            # is a vectorized coordinate-descent implementation
+            beta_a, resid_a = lasso(X, y_act, **{k_: v for k_, v in
+                                                 kwargs.items() if k_ in
+                                                 ("lam", "maxiter", "tol")})
         else:
             raise ValueError(f"Unknown method {method!r}")
 

@@ -64,6 +64,7 @@ def queries() -> dict:
         "rollup_1d_gapfill_events": partial(tsq.rollup_events,
                                             tier_name="1d", gapfill=True),
         "fit_ols_trend_events": tsq.fit_ols_trend,
+        "fit_lasso_trend_events": tsq.fit_lasso_trend,
         "fit_rirls_events": partial(tsq.fit_events, fit_method="RIRLS"),
         "fit_roc_stable_events": partial(tsq.fit_events, fit_method="ROC"),
         "fit_ccdc_stable_events": partial(tsq.fit_events,
@@ -808,6 +809,32 @@ def oracle_sql() -> dict:
                    round(regr_slope(value,
                          floor(epoch(ts)/86400)), 8) AS slope
             FROM events GROUP BY user_id
+        """,
+        # single-penalized-column lasso has a closed form: soft-threshold
+        # the OLS slope in standardized units (see timeseries.fit_lasso_trend
+        # — the coordinate-descent kernel converges to exactly this)
+        "fit_lasso_trend_events": """
+            WITH s AS (
+                SELECT user_id,
+                       regr_slope(value, floor(epoch(ts)/86400)) AS sl,
+                       stddev_pop(floor(epoch(ts)/86400)) AS sdx,
+                       avg(value) AS my,
+                       avg(floor(epoch(ts)/86400)) AS mx
+                FROM events GROUP BY user_id
+            ),
+            l AS (
+                SELECT user_id, my, mx,
+                       CASE WHEN sdx = 0 OR sl IS NULL THEN 0.0
+                            WHEN abs(sl * sdx) <= 3.0 THEN 0.0
+                            ELSE sign(sl) * (abs(sl * sdx) - 3.0) / sdx
+                       END AS slope
+                FROM s
+            )
+            SELECT user_id,
+                   round(my - slope * mx, 5) AS intercept,
+                   round(slope, 8) AS slope,
+                   slope <> 0.0 AS selected
+            FROM l
         """,
         # cross-key distinct aggregate: distinctness pre-resolved in the
         # per-series kernel, tiny pre-aggregated exchange

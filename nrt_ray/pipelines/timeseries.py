@@ -159,6 +159,63 @@ def fit_ols_trend(sf_dir: str):
                                                batch_format="pyarrow")
 
 
+def fit_lasso_trend(sf_dir: str, lam: float = 3.0):
+    """Per-user LASSO of value on ``[1, days-since-epoch]`` — the
+    L1-penalized counterpart of :func:`fit_ols_trend` (beyond-reference:
+    the reference's ``method='LASSO'`` slot raises NotImplementedError,
+    ``/root/reference/nrt/monitor/__init__.py:244-245``).
+
+    For a SINGLE penalized column the lasso solution has a closed form —
+    soft-threshold the OLS slope in standardized units::
+
+        ρ = slope_ols · sd_x          (sd_x = population std of x)
+        slope = sign(ρ) · max(|ρ| − λ, 0) / sd_x
+        intercept = ȳ − slope · x̄     (unpenalized, refit exactly)
+
+    ``kernels.fit.lasso`` (general-k coordinate descent) converges to
+    exactly this — pinned by ``tests/test_kernels.py`` — and the closed
+    form is what makes an EXACT DuckDB value-hash oracle possible for an
+    L1 fit (soft-threshold of ``regr_slope``/``stddev_pop``).  λ=3.0
+    zeroes the slope for ~40% of users at every sf (median |ρ|≈4), so
+    the query demonstrates real selection, not a degenerate threshold.
+
+    Vectorized across series like ``fit_ols_trend`` (same centered
+    two-pass sums, which the SQL aggregates reproduce digit-for-digit).
+    """
+
+    def fit_batch(series: pa.Table) -> pa.Table:
+        mats = padded_matrices(series)
+        y = mats["value"]
+        x = mats["days"].astype(np.float64)
+        valid = np.isfinite(y)
+        n = valid.sum(axis=0).astype(np.float64)
+        x = np.where(valid, x, 0.0)
+        y0 = np.where(valid, y, 0.0)
+        mx, my = x.sum(axis=0) / n, y0.sum(axis=0) / n
+        dx = np.where(valid, x - mx, 0.0)
+        dy = np.where(valid, y0 - my, 0.0)
+        sxx = (dx * dx).sum(axis=0)
+        sxy = (dx * dy).sum(axis=0)
+        sd_x = np.sqrt(sxx / n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = np.where(sxx > 0, sxy / (n * sd_x), 0.0)
+            slope = np.where(
+                sxx > 0,
+                np.sign(rho) * np.maximum(np.abs(rho) - lam, 0.0)
+                / np.where(sd_x > 0, sd_x, 1.0),
+                0.0)
+        intercept = my - slope * mx
+        return pa.table({
+            "user_id": _user_col(series),
+            "intercept": pa.array(round_away(intercept, 5)),
+            "slope": pa.array(round_away(slope, 8)),
+            "selected": pa.array(slope != 0.0),
+        })
+
+    return _series_dataset(sf_dir).map_batches(fit_batch,
+                                               batch_format="pyarrow")
+
+
 def monitor_events(sf_dir: str, strategy: str, monitor_start="2024-01-22",
                    monitor_params=None, fit_method=None,
                    screen_outliers=None):

@@ -180,6 +180,98 @@ def test_ccdc_stable_fit(stability_ccdc):
     np.testing.assert_array_equal(stable, expected)
 
 
+def _lasso_fixture(seed=0, n=120, m=7):
+    rng = np.random.default_rng(seed)
+    days = np.sort(rng.integers(18000, 19500, n)).astype(float)
+    dy = days / 365.25
+    X = np.column_stack([np.ones(n), days,
+                         np.cos(2 * np.pi * dy), np.sin(2 * np.pi * dy)])
+    beta_true = np.array([5.0, 0.001, 0.8, 0.0])
+    y = (X @ beta_true)[:, None] + rng.normal(0, 0.3, (n, m))
+    y[rng.random((n, m)) < 0.15] = np.nan  # ragged per-series masks
+    return X, y
+
+
+def test_lasso_kkt_optimality():
+    """The returned solution satisfies the subgradient (KKT) conditions
+    of the standardized L1 objective for every series — the defining
+    property of the lasso minimizer, checked without any external
+    solver."""
+    X, y = _lasso_fixture()
+    lam = 0.05
+    beta, resid = fit.lasso(X, y, lam=lam, maxiter=5000, tol=1e-13)
+    for i in range(y.shape[1]):
+        v = np.isfinite(y[:, i])
+        Xv, yv = X[v], y[v, i]
+        ni = v.sum()
+        mu, sd = Xv.mean(axis=0), Xv.std(axis=0)
+        r = yv - Xv @ beta[:, i]
+        assert abs(r.mean()) < 1e-9          # unpenalized intercept: ∂=0
+        for j in range(1, X.shape[1]):
+            g = ((Xv[:, j] - mu[j]) / sd[j]) @ r / ni
+            btj = beta[j, i] * sd[j]         # standardized coefficient
+            if abs(btj) > 1e-12:
+                assert abs(g - lam * np.sign(btj)) < 1e-8
+            else:
+                assert abs(g) <= lam + 1e-8
+
+
+def test_lasso_zero_penalty_equals_ols():
+    X, y = _lasso_fixture(seed=3)
+    b_l, _ = fit.lasso(X, y, lam=0.0, maxiter=20000, tol=1e-14)
+    b_o, _ = fit.ols(X, y)
+    np.testing.assert_allclose(b_l, b_o, atol=1e-6)
+
+
+def test_lasso_large_penalty_intercept_only():
+    X, y = _lasso_fixture(seed=4)
+    beta, resid = fit.lasso(X, y, lam=1e6)
+    assert np.all(beta[1:] == 0.0)
+    valid = np.isfinite(y)
+    ybar = np.where(valid, y, 0.0).sum(axis=0) / valid.sum(axis=0)
+    np.testing.assert_allclose(beta[0], ybar, rtol=1e-12)
+    # residual conventions match ols: X·β − y, NaN preserved
+    assert np.isnan(resid[~valid]).all()
+
+
+def test_lasso_single_column_closed_form():
+    """With one penalized column the lasso is the soft-threshold of the
+    OLS slope in standardized units — the closed form the catalog's
+    ``fit_lasso_trend_events`` oracle replays in SQL."""
+    rng = np.random.default_rng(7)
+    n, m = 90, 5
+    days = np.sort(rng.integers(19700, 19760, n)).astype(float)
+    X = np.column_stack([np.ones(n), days])
+    y = 40.0 + days[:, None] * rng.normal(0, 0.3, m)[None, :] \
+        + rng.normal(0, 8.0, (n, m))
+    y[rng.random((n, m)) < 0.1] = np.nan
+    lam = 3.0
+    beta, _ = fit.lasso(X, y, lam=lam, maxiter=5000, tol=1e-14)
+    for i in range(m):
+        v = np.isfinite(y[:, i])
+        xv, yv = days[v], y[v, i]
+        sxx = ((xv - xv.mean()) ** 2).sum()
+        sxy = ((xv - xv.mean()) * (yv - yv.mean())).sum()
+        sd_x = np.sqrt(sxx / v.sum())
+        rho = sxy / (v.sum() * sd_x)
+        slope = np.sign(rho) * max(abs(rho) - lam, 0.0) / sd_x
+        np.testing.assert_allclose(beta[1, i], slope, atol=1e-10)
+        np.testing.assert_allclose(beta[0, i], yv.mean() - slope * xv.mean(),
+                                   atol=1e-8)
+
+
+def test_lasso_degenerate_column():
+    """A series whose valid rows see zero variance in a penalized column
+    gets β_j = 0 (indistinguishable from the intercept), not NaN."""
+    n = 40
+    X = np.column_stack([np.ones(n), np.full(n, 123.0)])
+    y = np.random.default_rng(1).normal(10.0, 1.0, (n, 2))
+    beta, resid = fit.lasso(X, y, lam=0.1)
+    assert np.all(beta[1] == 0.0)
+    np.testing.assert_allclose(beta[0], y.mean(axis=0), rtol=1e-12)
+    assert np.isfinite(resid).all()
+
+
 def test_roc_stable_fit_smoke(X_y_dates_romania):
     X, y, dates = X_y_dates_romania
     days = dates.astype("datetime64[D]").astype(int)

@@ -52,6 +52,28 @@ def test_mosum_process_boundary_vs_strucchange(X_y_dates_romania,
     np.testing.assert_allclose(golden_mosum[3], mon.sigma[:-1], rtol=1e-6)
 
 
+def test_lasso_fit_end_to_end(X_y_dates_romania):
+    """method='LASSO' fits and monitors (beyond-reference: the reference
+    raises NotImplementedError at this dispatch, nrt/monitor/__init__.py
+    :244-245).  With λ→0 the run must agree with the OLS fit; with a
+    moderate λ it must still produce a finite monitorable state."""
+    X, y, dates = X_y_dates_romania
+    y6 = _six_series(y)
+    mon_l = EWMA(trend=False, L=5)
+    mon_l.fit(dates[:100], y6[:100], method="LASSO", lam=1e-12,
+              maxiter=20000, tol=1e-14)
+    mon_o = EWMA(trend=False, L=5)
+    mon_o.fit(dates[:100], y6[:100], method="OLS")
+    np.testing.assert_allclose(mon_l.beta, mon_o.beta, atol=1e-5)
+    np.testing.assert_allclose(mon_l.sigma, mon_o.sigma, rtol=1e-4)
+
+    mon = EWMA(trend=False, L=5)
+    mon.fit(dates[:100], y6[:100], method="LASSO", lam=0.02)
+    mon.monitor_matrix(dates[100:], y6[100:])
+    assert np.isfinite(mon.sigma).all()
+    assert np.isfinite(mon.process).all()
+
+
 monitor_params = {
     "EWMA": (EWMA, {"trend": False, "L": 5}, 5),
     "IQR": (IQR, {"trend": False, "harmonic_order": 1}, 3),
