@@ -49,6 +49,12 @@ def main(argv=None) -> int:
     run.add_argument("--strategy", default="EWMA",
                      choices=["EWMA", "CUSUM", "MOSUM", "CCDC", "IQR"])
     run.add_argument("--monitor-start", default="2021-01-01")
+    run.add_argument("--fit-method", default=None,
+                     choices=["OLS", "RIRLS", "LASSO", "ROC",
+                              "CCDC-stable"],
+                     help="override the strategy's default history fit")
+    run.add_argument("--lam", type=float, default=None,
+                     help="LASSO penalty (only with --fit-method LASSO)")
     run.add_argument("--partitions", type=int, default=64)
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--verify-extract", action="store_true")
@@ -203,7 +209,10 @@ def main(argv=None) -> int:
                 num_partitions=args.partitions,
                 resume=not args.no_resume,
                 verify_extract=args.verify_extract,
-                reduce_num_cpus=args.reduce_cpus)
+                reduce_num_cpus=args.reduce_cpus,
+                fit_method=args.fit_method,
+                fit_params=({"lam": args.lam}
+                            if args.lam is not None else None))
             print(json.dumps(summary))
         elif args.cmd == "increment":
             from nrt_ray.pipelines.incremental import (read_run_config,

@@ -145,9 +145,10 @@ class SeriesFitMonitor:
         strategy: one of EWMA / CUSUM / MOSUM / CCDC / IQR.
         monitor_start: ISO date string or datetime64 — observations strictly
             before it form the history (fit) period.
-        fit_method: override the strategy default ('OLS', 'RIRLS', 'ROC',
-            'CCDC-stable').  The ragged vectorized path implements OLS and
-            RIRLS; stable fits run per-series.
+        fit_method: override the strategy default ('OLS', 'RIRLS',
+            'LASSO', 'ROC', 'CCDC-stable').  OLS runs on the ragged
+            vectorized path; RIRLS/LASSO and the stable fits run
+            per-series.
         screen_outliers: None | 'Shewhart' (default per strategy).
         monitor_params: kwargs for the monitor constructor
             (sensitivity, lambda_, h, ...).
@@ -266,6 +267,15 @@ class SeriesFitMonitor:
         elif self.fit_method == "RIRLS":
             beta, resid = self._per_series_fit(fit_kernels.rirls, X3, y,
                                                hist, with_dates=False)
+        elif self.fit_method == "LASSO":
+            # beyond-reference (its dispatch raises NotImplementedError);
+            # per-series like RIRLS — the ragged per-series designs rule
+            # out the shared-X vectorized kernel path here
+            lkw = {k_: v for k_, v in self.fit_params.items()
+                   if k_ in ("lam", "maxiter", "tol")}
+            beta, resid = self._per_series_fit(
+                lambda X, yy: fit_kernels.lasso(X, yy, **lkw),
+                X3, y, hist, with_dates=False)
         elif self.fit_method in ("ROC", "CCDC-stable"):
             beta, resid = self._stable_fit(X3, y, hist, status)
         else:

@@ -58,12 +58,17 @@ STRATEGIES = {
                 fit_method="OLS"),
     "CCDC": dict(monitor_params={"trend": True}, fit_method="OLS",
                  screen_outliers=None),
+    # beyond-reference L1 fit through the distributed ragged path
+    "EWMA_LASSO": dict(strategy="EWMA", monitor_params={"trend": True},
+                       fit_method="LASSO", fit_params={"lam": 0.02}),
 }
 
 
 @pytest.mark.parametrize("strategy,cfg", STRATEGIES.items(),
                          ids=STRATEGIES.keys())
 def test_ragged_kernel_matches_shared_axis_oracle(strategy, cfg):
+    cfg = dict(cfg)
+    strategy = cfg.pop("strategy", strategy)
     dates, values, urls, flat = _shared_dates_flat()
     split = np.datetime64("2021-01-01")
     hist = dates < split
@@ -71,7 +76,7 @@ def test_ragged_kernel_matches_shared_axis_oracle(strategy, cfg):
     # --- oracle: shared-time-axis monitor classes -----------------------
     cls = MONITOR_REGISTRY[strategy]
     oracle = cls(**cfg.get("monitor_params", {}))
-    fit_kwargs = {}
+    fit_kwargs = dict(cfg.get("fit_params", {}))
     if cfg.get("screen_outliers", "default") is None:
         fit_kwargs["screen_outliers"] = None
     oracle.fit(dates[hist], values[hist],
