@@ -260,6 +260,48 @@ def test_lasso_single_column_closed_form():
                                    atol=1e-8)
 
 
+def test_lasso_kkt_property():
+    """Property check over random (seed, λ, NaN fraction): the KKT
+    conditions must hold for every series of every draw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(seed=st.integers(0, 10_000),
+           lam=st.floats(1e-3, 1.0),
+           nanfrac=st.floats(0.0, 0.4))
+    def run(seed, lam, nanfrac):
+        rng = np.random.default_rng(seed)
+        n, m = 60, 4
+        days = np.sort(rng.integers(18000, 19000, n)).astype(float)
+        dy = days / 365.25
+        X = np.column_stack([np.ones(n), days, np.cos(2 * np.pi * dy)])
+        y = rng.normal(0, 1, (n, m)) + days[:, None] * 0.001
+        y[rng.random((n, m)) < nanfrac] = np.nan
+        # keep every series fittable
+        y[:6][~np.isfinite(y[:6])] = 0.0
+        beta, _ = fit.lasso(X, y, lam=lam, maxiter=5000, tol=1e-13)
+        for i in range(m):
+            v = np.isfinite(y[:, i])
+            Xv, yv = X[v], y[v, i]
+            ni = v.sum()
+            mu, sd = Xv.mean(axis=0), Xv.std(axis=0)
+            r = yv - Xv @ beta[:, i]
+            assert abs(r.mean()) < 1e-8
+            for j in range(1, X.shape[1]):
+                if sd[j] <= 1e-12:
+                    assert beta[j, i] == 0.0
+                    continue
+                g = ((Xv[:, j] - mu[j]) / sd[j]) @ r / ni
+                btj = beta[j, i] * sd[j]
+                if abs(btj) > 1e-10:
+                    assert abs(g - lam * np.sign(btj)) < 1e-7
+                else:
+                    assert abs(g) <= lam + 1e-7
+
+    run()
+
+
 def test_lasso_degenerate_column():
     """A series whose valid rows see zero variance in a penalized column
     gets β_j = 0 (indistinguishable from the intercept), not NaN."""
