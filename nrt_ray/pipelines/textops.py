@@ -2770,6 +2770,10 @@ def lang_length_quantiles(sf_dir: str, qs=((25, "p25"), (50, "p50"),
                      "lk", ["cnt"], P)
 
     def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:   # empty input: np.array over no keys is 1-D
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                **{name: pa.array([], pa.int64()) for _, name in qs}})
         lk = np.asarray(t["lk"].to_pylist(), dtype=object)
         cnt = t["cnt"].to_numpy(zero_copy_only=False)
         split = np.array([k.split("\x1f") for k in lk], dtype=object)

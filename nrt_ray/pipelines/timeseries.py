@@ -281,8 +281,8 @@ def _daily_composite(d: np.ndarray, v: np.ndarray):
     exact integer cents, so the mean is the same correctly-rounded op
     sequence (``(cents/100.0)/count``) in numpy and in DuckDB."""
     d = np.asarray(d, dtype=np.int64)
-    cents = np.rint(np.asarray(v, dtype=np.float64) * 100.0) \
-        .astype(np.int64)
+    cents = round_away(np.asarray(v, dtype=np.float64) * 100.0,
+                       0).astype(np.int64)
     uniq, idx = np.unique(d, return_index=True)
     sums = np.add.reduceat(cents, idx)
     counts = np.diff(np.append(idx, len(d)))
@@ -1155,8 +1155,9 @@ def multigrain_events(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         day = (batch["ts"].cast(pa.int64())
                .to_numpy(zero_copy_only=False) // DAY) * DAY
-        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
         t = pa.table({"event_type": batch["event_type"],
                       "day": pa.array(day),
                       "cents": pa.array(cents),
@@ -1285,8 +1286,9 @@ def user_time_weighted_avg(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
         return pa.table({
             "user_id": batch["user_id"],
             "ts": batch["ts"].cast(pa.int64()),
@@ -1361,8 +1363,9 @@ def user_ohlc_daily(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
         return pa.table({
             "user_id": batch["user_id"],
             "ts": batch["ts"].cast(pa.int64()),
@@ -1537,8 +1540,9 @@ def user_running_total_events(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
         return pa.table({
             "user_id": batch["user_id"],
             "ts": batch["ts"].cast(pa.int64()),
