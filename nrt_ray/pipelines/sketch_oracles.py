@@ -870,3 +870,74 @@ SELECT sh.doc_id, count(*) AS n_shingles,
 FROM shingles sh JOIN firstseen f ON f.s = sh.s
 GROUP BY sh.doc_id
 """)
+
+
+def hll_daily_sql(p: int = 10) -> str:
+    """Exact replay of the PER-DAY user HyperLogLog
+    (:func:`nrt_ray.pipelines.timeseries.daily_active_users_hll`): the
+    user-id hash is the xorshift-multiply chain (seed-xor, two wrapping
+    golden-ratio multiplies, two 29-bit xor-shifts) on HUGEINT; register
+    max-rho per (day, register) via the integer bit-length ladder; the
+    per-day register sum accumulates the exact HUGEINT ``Σ 2^(55-ρ)`` so
+    the one double division matches the pipeline bit for bit, per day."""
+    from nrt_ray.pipelines.timeseries import DHLL_SEED
+    m = 1 << p
+    rem_bits = 64 - p
+    two_rem = 1 << rem_bits
+    two_top = 1 << (rem_bits + 1)
+    mult = int(_MIX_MULT)
+    x0 = _xor64("CAST(user_id AS HUGEINT)",
+                f"CAST({DHLL_SEED} AS HUGEINT)")
+    m1 = _mulmod_const(x0, mult)
+    x1 = _xorshr(m1)
+    m2 = _mulmod_const(x1, mult)
+    h = _xorshr(m2)
+    bl_ladder = " ".join(
+        f"WHEN rem >= {1 << (k - 1)} THEN {k}"
+        for k in range(rem_bits, 0, -1))
+    pow_ladder = " ".join(
+        f"WHEN rho = {r} THEN CAST({1 << (rem_bits + 1 - r)} AS HUGEINT)"
+        for r in range(1, rem_bits + 2))
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+           user_id
+    FROM events
+),
+hashed AS (SELECT day, {h} AS h FROM pairs),
+reg AS (
+    SELECT day, h // {two_rem} AS r,
+           max({rem_bits + 1} - (CASE {bl_ladder} ELSE 0 END)) AS rho
+    FROM (SELECT day, h, h % {two_rem} AS rem FROM hashed)
+    GROUP BY day, r
+),
+agg AS (
+    SELECT day, count(*) AS n_present,
+           sum(CASE {pow_ladder} END) AS s_present
+    FROM reg GROUP BY day
+),
+exact AS (SELECT day, count(*) AS n_exact FROM pairs GROUP BY day),
+est AS (
+    SELECT a.day AS day, {m} - n_present AS n_zero,
+           s_present + ({m} - n_present) * CAST({two_top} AS HUGEINT)
+               AS s_total,
+           x.n_exact AS n_exact
+    FROM agg a JOIN exact x ON a.day = x.day
+),
+e AS (
+    SELECT day, n_zero, n_exact,
+           0.7213 / (1.0 + 1.079 / {m}.0) * {m} * {m}
+               * {float(two_top)} / CAST(s_total AS DOUBLE) AS e_raw
+    FROM est
+)
+SELECT make_timestamp(day*86400*1000000) AS day_ts,
+       CAST(n_zero AS BIGINT) AS n_zero_registers,
+       round(CASE WHEN e_raw <= 2.5 * {m} AND n_zero > 0
+                  THEN {m} * ln({m}.0 / n_zero) ELSE e_raw END, 4)
+           AS hll_estimate,
+       CAST(n_exact AS BIGINT) AS n_active_exact,
+       round((CASE WHEN e_raw <= 2.5 * {m} AND n_zero > 0
+                   THEN {m} * ln({m}.0 / n_zero) ELSE e_raw END
+              - n_exact) / greatest(n_exact, 1), 6) AS rel_error
+FROM e
+"""

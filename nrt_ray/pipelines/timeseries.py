@@ -2078,3 +2078,180 @@ def counter_increase_daily(sf_dir: str):
                                         "value"]) \
         .map_batches(prep, batch_format="pyarrow")
     return exchange_dataset(ds, nparts, fold, empty)
+
+
+# --------------------------------------------- per-day HLL active users
+
+#: per-day HyperLogLog layout (p=10, same geometry as the corpus-wide
+#: shingle sketch in textops) and the fixed user-hash seed, inlined into
+#: the SQL replay by :func:`nrt_ray.pipelines.sketch_oracles.hll_daily_sql`
+DHLL_P = 10
+DHLL_M = 1 << DHLL_P
+DHLL_REM_BITS = 64 - DHLL_P
+DHLL_SEED = 0xA24BAED4963EE407
+
+
+def _mix64_user(uid: np.ndarray) -> np.ndarray:
+    """xorshift-multiply user-id mixer (the sketch oracles' hash family:
+    seed-xor, two wrapping golden-ratio multiplies, two 29-bit
+    xor-shifts) — replayed on HUGEINT in :func:`hll_daily_sql`."""
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        x = uid.astype(np.int64).view(np.uint64) ^ np.uint64(DHLL_SEED)
+        x *= mult
+        x ^= x >> np.uint64(29)
+        x *= mult
+        x ^= x >> np.uint64(29)
+    return x
+
+
+def daily_active_users_hll(sf_dir: str):
+    """Per-day approximate active-user counts: one HyperLogLog PER GROUP
+    KEY (day), merged distributively, next to the exact distinct count —
+    the keyed mergeable-sketch primitive (the corpus-wide HLL in
+    ``textops.shingle_hll_estimate`` is the global special case).
+
+    Scale shape: sketch state is ≤1024 register rows per day — bounded
+    by the time domain, never by event or user count.  Per-batch
+    register partials (max-combined inside the batch) flow through ONE
+    day-keyed hash exchange that co-locates each day's registers; the
+    fold max-merges registers vectorized (lexsort + ``maximum.reduceat``)
+    and finalizes estimates with an O(days-in-partition) loop carrying
+    the arbitrary-precision integer register sum (``Σ 2^(55-ρ)`` exceeds
+    int64, exactly as in the global sketch).  The exact side dedups
+    (day, user) pairs through a pair-keyed exchange (per-day counts of a
+    pair-partitioned fold are disjoint partials) and sums them with the
+    integer ``keyed_sum``; a day-keyed join zips the two sides so the
+    estimator's per-day relative error is value-checked by the SQL
+    replay, not just eyeballed globally."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.pipelines.textops import _bit_length_u64
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import _pid_for_keys, keyed_sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    rem_mask = np.uint64((1 << DHLL_REM_BITS) - 1)
+    two_top = 1 << (DHLL_REM_BITS + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / DHLL_M)
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = ts // DAY
+        h = _mix64_user(uid)
+        reg = (h >> np.uint64(DHLL_REM_BITS)).astype(np.int64)
+        rho = DHLL_REM_BITS + 1 - _bit_length_u64(h & rem_mask)
+        dk = day * DHLL_M + reg          # packed (day, register)
+        uk, inv = np.unique(dk, return_inverse=True)
+        mx = np.zeros(len(uk), np.int64)
+        np.maximum.at(mx, inv, rho)
+        out_day = uk // DHLL_M
+        return pa.table({
+            "day": pa.array(out_day),
+            "reg": pa.array(uk - out_day * DHLL_M),
+            "rho": pa.array(mx),
+            "pid": pa.array(_pid_for_keys(out_day, nparts)),
+        })
+
+    def hll_fold(tbl: pa.Table) -> pa.Table:
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        reg = tbl["reg"].to_numpy(zero_copy_only=False)
+        rho = tbl["rho"].to_numpy(zero_copy_only=False)
+        dk = day * DHLL_M + reg
+        order = np.argsort(dk, kind="stable")
+        dk, rho = dk[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, dk[1:] != dk[:-1]])
+        mrho = np.maximum.reduceat(rho, starts)
+        mday = dk[starts] // DHLL_M
+        dstarts = np.flatnonzero(np.r_[True, mday[1:] != mday[:-1]])
+        dends = np.r_[dstarts[1:], len(mday)]
+        days_out, nz_out, est_out = [], [], []
+        for a, b in zip(dstarts, dends):
+            n_zero = DHLL_M - (b - a)
+            # exact integer register sum (exceeds int64 — python ints,
+            # O(registers of one day), same as the global sketch)
+            s = sum(1 << int(DHLL_REM_BITS + 1 - r) for r in mrho[a:b]) \
+                + n_zero * two_top
+            e_raw = alpha * DHLL_M * DHLL_M * float(two_top) / s
+            if e_raw <= 2.5 * DHLL_M and n_zero > 0:
+                est = DHLL_M * np.log(DHLL_M / n_zero)
+            else:
+                est = e_raw
+            days_out.append(int(mday[a]))
+            nz_out.append(int(n_zero))
+            est_out.append(float(est))
+        return pa.table({
+            "day": pa.array(days_out, pa.int64()),
+            "n_zero_registers": pa.array(nz_out, pa.int64()),
+            "est_raw": pa.array(est_out, pa.float64()),
+        })
+
+    def hll_empty() -> pa.Table:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n_zero_registers": pa.array([], pa.int64()),
+                         "est_raw": pa.array([], pa.float64())})
+
+    regs = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts", "user_id"]) \
+        .map_batches(reg_partial, batch_format="pyarrow")
+    hll = exchange_dataset(regs, nparts, hll_fold, hll_empty)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ts // DAY, uid], axis=1), axis=0)
+        d, u = uniq[:, 0], uniq[:, 1]
+        with np.errstate(over="ignore"):
+            ph = (_mix64_user(u) ^ d.astype(np.uint64)) \
+                % np.uint64(nparts)
+        return pa.table({"day": pa.array(d), "uid": pa.array(u),
+                         "pid": pa.array(ph.astype(np.int64))})
+
+    def pair_fold(tbl: pa.Table) -> pa.Table:
+        d = tbl["day"].to_numpy(zero_copy_only=False)
+        u = tbl["uid"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([d, u], axis=1), axis=0)
+        days, counts = np.unique(uniq[:, 0], return_counts=True)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "n_active_exact": pa.array(
+                             counts.astype(np.int64))})
+
+    def pair_empty() -> pa.Table:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n_active_exact": pa.array([], pa.int64())})
+
+    pairs = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["ts", "user_id"]) \
+        .map_batches(pair_partial, batch_format="pyarrow")
+    exact = keyed_sum(exchange_dataset(pairs, nparts, pair_fold,
+                                       pair_empty),
+                      "day", ["n_active_exact"], nparts)
+
+    def joined_empty() -> pa.Table:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n_zero_registers": pa.array([], pa.int64()),
+                         "est_raw": pa.array([], pa.float64()),
+                         "n_active_exact": pa.array([], pa.int64())})
+
+    both = shuffle_hash_join(hll, exact, on_left="day", on_right="day",
+                             num_partitions=nparts, empty_fn=joined_empty,
+                             how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        est = t["est_raw"].to_numpy(zero_copy_only=False)
+        exact_n = t["n_active_exact"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day_ts": pa.array(day * DAY, pa.int64())
+                .cast(pa.timestamp("us")),
+            "n_zero_registers": t["n_zero_registers"],
+            "hll_estimate": pa.array(round_away(est, 4)),
+            "n_active_exact": pa.array(exact_n),
+            "rel_error": pa.array(round_away(
+                (est - exact_n) / np.maximum(exact_n, 1), 6)),
+        })
+
+    return both.map_batches(finish, batch_format="pyarrow")

@@ -129,3 +129,42 @@ def test_fragment_lineage_recorded(ray_session, tmp_path):
         assert set(rec["input_fragments"]) <= {0, 1}
         seen |= set(rec["input_fragments"])
     assert seen == {0, 1}   # every fragment fed at least one partition
+
+
+def test_daily_hll_exact_side_and_merge(ray_session, tmp_path):
+    """Planted days: exact distinct counts are right, the sketch rows
+    are one-per-day, and the estimate agrees with a direct replay of
+    the register math on the same hashes (merge across batches can't
+    change registers)."""
+    from nrt_ray.pipelines.timeseries import (DHLL_M, DHLL_REM_BITS,
+                                              daily_active_users_hll,
+                                              _mix64_user)
+    d0 = 1_700_000_000_000_000 // DAY_US * DAY_US
+    rows, eid = [], 0
+    # day 0: users 1..5 (some repeated); day 1: users 3 and 4; day 2: 1
+    for u in [1, 2, 3, 4, 5, 1, 2, 1]:
+        eid += 1
+        rows.append((eid, d0 + eid, u, 1.0))
+    for u in [3, 4, 4]:
+        eid += 1
+        rows.append((eid, d0 + DAY_US + eid, u, 1.0))
+    eid += 1
+    rows.append((eid, d0 + 2 * DAY_US + 1, 1, 1.0))
+    out = _df(daily_active_users_hll(_write_events(tmp_path, rows)))
+    assert len(out) == 3
+    exact = out.sort_values("day_ts")["n_active_exact"].tolist()
+    assert exact == [5, 2, 1]
+    # replay day 0's registers directly
+    h = _mix64_user(np.array([1, 2, 3, 4, 5], np.int64))
+    regs = {}
+    for hv in h:
+        idx = int(hv >> np.uint64(DHLL_REM_BITS))
+        rem = int(hv & np.uint64((1 << DHLL_REM_BITS) - 1))
+        rho = DHLL_REM_BITS + 1 - rem.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    n_zero = DHLL_M - len(regs)
+    row0 = out.sort_values("day_ts").iloc[0]
+    assert int(row0["n_zero_registers"]) == n_zero
+    # tiny cardinality -> linear counting branch
+    est = DHLL_M * np.log(DHLL_M / n_zero)
+    assert abs(row0["hll_estimate"] - round(est, 4)) < 1e-9
