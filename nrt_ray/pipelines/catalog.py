@@ -122,6 +122,7 @@ def queries() -> dict:
         "user_interarrival_events": tsq.user_interarrival_events,
         "counter_increase_daily_events": tsq.counter_increase_daily,
         "daily_active_users_hll": tsq.daily_active_users_hll,
+        "holt_winters_daily_events": tsq.holt_winters_daily,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1492,6 +1493,7 @@ def oracle_sql() -> dict:
         # HyperLogLog distinct-shingle estimate, bit-exact replay
         "shingle_hll_estimate": sk.hll_sql(),
         "daily_active_users_hll": sk.hll_daily_sql(),
+        "holt_winters_daily_events": tsq.holt_winters_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -2255,3 +2255,161 @@ def daily_active_users_hll(sf_dir: str):
         })
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------- Holt double exponential smoothing
+
+def holt_winters_daily(sf_dir: str, alpha: float = 0.5,
+                       beta: float = 0.3, horizon: int = 3):
+    """PromQL-style ``holt_winters`` (Holt's double exponential
+    smoothing, level + trend, no seasonality) per user over the daily
+    composite means, with an ``horizon``-day-ahead linear forecast.
+
+    Semantics (standard Holt init): over the per-(user, day) composite
+    means y_1..y_n (exact integer-cents daily mean, the engine's usual
+    determinism device), ``l_1 = y_1``, ``b_1 = y_2 − y_1``, then for
+    t ≥ 2::
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Single-day users report ``trend = 0`` and forecast = level.  The
+    (1−α)/(1−β) complements are computed ONCE in Python and the same
+    doubles are inlined into the DuckDB oracle's recursive CTE, so both
+    engines run the identical float op tree step for step.
+
+    Scale shape: one user-keyed exchange; the fold computes the daily
+    composites with ``reduceat`` over (user, day) runs and then runs the
+    recursion as a T-step loop (T = max days per user, ~tens) over
+    vectorized per-user state arrays — the monitors' update shape, no
+    per-user Python loop."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    a = float(alpha)
+    bt = float(beta)
+    om = 1.0 - a         # inlined into the oracle via repr()
+    ob = 1.0 - bt
+    h = float(horizon)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        day = ts // DAY
+        cents = round_away(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        order = np.lexsort((day, u))
+        u, day, cents = u[order], day[order], cents[order]
+        # daily composite means per (user, day) run
+        db = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (day[1:] != day[:-1])])
+        du = u[db]
+        dcnt = np.diff(np.r_[db, len(u)])
+        y = (np.add.reduceat(cents, db).astype(np.float64) / 100.0) / dcnt
+        # per-user runs over the daily rows
+        us = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        n_u = np.diff(np.r_[us, len(du)])
+        uid_out = du[us]
+        lvl = y[us].copy()
+        trd = np.zeros(len(us), np.float64)
+        multi = n_u >= 2
+        trd[multi] = y[us[multi] + 1] - y[us[multi]]
+        max_n = int(n_u.max()) if len(n_u) else 0
+        for t in range(2, max_n + 1):
+            m = n_u >= t
+            yt = y[us[m] + t - 1]
+            l_prev, b_prev = lvl[m], trd[m]
+            l_new = a * yt + om * (l_prev + b_prev)
+            b_new = bt * (l_new - l_prev) + ob * b_prev
+            lvl[m], trd[m] = l_new, b_new
+        return pa.table({
+            "user_id": pa.array(uid_out, pa.int64()),
+            "n_days": pa.array(n_u.astype(np.int64)),
+            "level": pa.array(round_away(lvl, 6)),
+            "trend": pa.array(round_away(trd, 6)),
+            "forecast": pa.array(round_away(lvl + h * trd, 6)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.float64()),
+                         "trend": pa.array([], pa.float64()),
+                         "forecast": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def holt_winters_sql(alpha: float = 0.5, beta: float = 0.3,
+                     horizon: int = 3) -> str:
+    """Recursive-CTE replay of :func:`holt_winters_daily`: the smoothing
+    constants AND their complements are inlined as the same Python
+    doubles the pipeline uses, and every step evaluates the identical
+    float expression tree, so the trajectory matches bit for bit."""
+    a = repr(float(alpha))
+    bt = repr(float(beta))
+    om = repr(1.0 - float(alpha))
+    ob = repr(1.0 - float(beta))
+    h = repr(float(horizon))
+    lnew = f"{a} * s.y + {om} * (r.l + r.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)/86400) AS BIGINT) AS b,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+               / count(*) AS y
+    FROM events GROUP BY user_id, b
+),
+steps AS (
+    SELECT user_id, y,
+           row_number() OVER (PARTITION BY user_id ORDER BY b) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM daily
+),
+rec AS (
+    SELECT s1.user_id, 2 AS i,
+           {a} * s2.y + {om} * (s1.y + (s2.y - s1.y)) AS l,
+           {bt} * (({a} * s2.y + {om} * (s1.y + (s2.y - s1.y))) - s1.y)
+               + {ob} * (s2.y - s1.y) AS b
+    FROM steps s1 JOIN steps s2
+      ON s2.user_id = s1.user_id AND s1.i = 1 AND s2.i = 2
+    UNION ALL
+    SELECT r.user_id, r.i + 1,
+           {lnew} AS l,
+           {bt} * (({lnew}) - r.l) + {ob} * r.b AS b
+    FROM rec r JOIN steps s
+      ON s.user_id = r.user_id AND s.i = r.i + 1
+),
+last AS (
+    SELECT r.user_id, r.l, r.b
+    FROM rec r JOIN (SELECT user_id, max(i) AS mi FROM rec
+                     GROUP BY user_id) q
+      ON q.user_id = r.user_id AND r.i = q.mi
+),
+ns AS (SELECT user_id, any_value(n) AS n FROM steps GROUP BY user_id),
+allu AS (
+    SELECT s.user_id, ns.n,
+           coalesce(la.l, s.y) AS l, coalesce(la.b, 0.0) AS b
+    FROM (SELECT user_id, y FROM steps WHERE i = 1) s
+    JOIN ns USING (user_id)
+    LEFT JOIN last la USING (user_id)
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + {h} * b, 6) AS forecast
+FROM allu
+"""

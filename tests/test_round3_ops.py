@@ -168,3 +168,36 @@ def test_daily_hll_exact_side_and_merge(ray_session, tmp_path):
     # tiny cardinality -> linear counting branch
     est = DHLL_M * np.log(DHLL_M / n_zero)
     assert abs(row0["hll_estimate"] - round(est, 4)) < 1e-9
+
+
+def test_holt_winters_planted_recursion(ray_session, tmp_path):
+    """Hand-computed Holt trajectory: init l1=y1, b1=y2-y1, one update
+    step, single-day user gets trend 0, forecast = l + 3b."""
+    from nrt_ray.pipelines.timeseries import holt_winters_daily
+    d0 = 1_700_000_000_000_000 // DAY_US * DAY_US
+    rows = [
+        # user 1: y = [1.00, 2.00, 4.00] on days 0,1,2
+        (1, d0 + 1, 1, 1.00),
+        (2, d0 + DAY_US + 1, 1, 2.00),
+        (3, d0 + 2 * DAY_US + 1, 1, 4.00),
+        # user 2: single day, two events -> composite mean 1.50
+        (4, d0 + 5, 2, 1.00),
+        (5, d0 + 6, 2, 2.00),
+    ]
+    out = _df(holt_winters_daily(_write_events(tmp_path, rows))) \
+        .set_index("user_id")
+    a, bt, om, ob = 0.5, 0.3, 0.5, 0.7
+    l1, b1 = 1.0, 1.0            # init from y1=1, y2=2
+    l2 = a * 2.0 + om * (l1 + b1)        # = 2.0
+    b2 = bt * (l2 - l1) + ob * b1        # = 1.0
+    l3 = a * 4.0 + om * (l2 + b2)        # = 3.5
+    b3 = bt * (l3 - l2) + ob * b2        # = 1.15
+    r1 = out.loc[1]
+    assert r1["n_days"] == 3
+    assert abs(r1["level"] - round(l3, 6)) < 1e-12
+    assert abs(r1["trend"] - round(b3, 6)) < 1e-12
+    assert abs(r1["forecast"] - round(l3 + 3 * b3, 6)) < 1e-12
+    r2 = out.loc[2]
+    assert r2["n_days"] == 1 and r2["trend"] == 0.0
+    assert abs(r2["level"] - 1.5) < 1e-12
+    assert abs(r2["forecast"] - 1.5) < 1e-12
