@@ -477,3 +477,65 @@ def test_bloom_no_false_negatives_and_sparse():
     assert tx._bloom_test(bits, members).all()      # zero false negatives
     fp = tx._bloom_test(bits, others).mean()
     assert fp < 0.01   # 50k keys in 16 Mbit, 4 probes -> ~1e-8 expected
+
+
+def test_verify_exact_jaccard_at_high_dup_rate(ray_session,
+                                               tmp_path_factory):
+    """60% planted duplicate fraction (the web-scale worst case the
+    distributed verify path exists for): every planted pair must be
+    found and every reported jaccard must EQUAL the brute-force exact
+    shingle-set Jaccard of that pair — value equality, not just recall,
+    so the co-group expand + pair-key reduction can't silently drop or
+    double-count shingle rows however pairs land in partitions."""
+    d = tmp_path_factory.mktemp("highdup")
+    rng = np.random.default_rng(11)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    ids, texts = [], []
+    for i, t in enumerate(base):
+        ids.append(i)
+        texts.append(t)
+    # 45 near-dup copies of the first 15 docs (3 mutated copies each):
+    # 45/75 = 60% of the corpus is duplicate material
+    nid = 1000
+    for j in range(15):
+        for c in range(3):
+            words = base[j].split()
+            words[10 + 7 * c] = f"mut{c}"
+            ids.append(nid)
+            texts.append(" ".join(words))
+            nid += 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    tx.clear_session_caches()
+    verified = _tbl(tx.jaccard_verify(str(d), threshold=0.5))
+    tx.clear_session_caches()
+    got = {(a, b): j for a, b, j in zip(verified["doc_a"].to_pylist(),
+                                        verified["doc_b"].to_pylist(),
+                                        verified["jaccard"].to_pylist())}
+    text_of = dict(zip(ids, texts))
+    # every planted (orig, copy) pair must be present
+    nid = 1000
+    planted = []
+    for j in range(15):
+        for c in range(3):
+            planted.append((j, nid))
+            nid += 1
+    missed = [p for p in planted if p not in got]
+    assert not missed, f"missed planted pairs: {missed[:5]}"
+    # value equality: reported jaccard == brute-force exact jaccard
+    # (the pipeline rounds to 6 digits for the oracle value-hash)
+    from nrt_ray.pipelines.relational import round_away
+    for (a, b), jac in got.items():
+        sa = set(tx._shingles(text_of[a]).tolist())
+        sb = set(tx._shingles(text_of[b]).tolist())
+        exact = float(round_away(
+            np.array([len(sa & sb) / len(sa | sb)]), 6)[0])
+        assert jac == exact, (a, b, jac, exact)
