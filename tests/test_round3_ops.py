@@ -201,3 +201,84 @@ def test_holt_winters_planted_recursion(ray_session, tmp_path):
     assert r2["n_days"] == 1 and r2["trend"] == 0.0
     assert abs(r2["level"] - 1.5) < 1e-12
     assert abs(r2["forecast"] - 1.5) < 1e-12
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(n=st.integers(1, 300), n_users=st.integers(1, 40),
+       n_days=st.integers(1, 12), seed=st.integers(0, 2 ** 16))
+def test_daily_hll_property_vs_naive(ray_session, tmp_path_factory,
+                                     n, n_users, n_days, seed):
+    """Random event sets: exact side == pandas nunique per day, sketch
+    side == a naive single-process HLL over the same hashes (merging
+    across batches/partitions must be transparent)."""
+    from nrt_ray.pipelines.timeseries import (DHLL_M, DHLL_REM_BITS,
+                                              daily_active_users_hll,
+                                              _mix64_user)
+    rng = np.random.default_rng(seed)
+    d0 = 1_600_000_000_000_000 // DAY_US * DAY_US
+    uid = rng.integers(0, n_users, n).astype(np.int64)
+    day = rng.integers(0, n_days, n).astype(np.int64)
+    ts = d0 + day * DAY_US + rng.integers(0, DAY_US, n)
+    tmp = tmp_path_factory.mktemp("hllprop")
+    rows = [(i, int(ts[i]), int(uid[i]), 1.0) for i in range(n)]
+    out = _df(daily_active_users_hll(_write_events(tmp, rows))) \
+        .sort_values("day_ts").reset_index(drop=True)
+    df = pd.DataFrame({"day": day, "uid": uid})
+    naive_exact = df.groupby("day")["uid"].nunique()
+    assert len(out) == len(naive_exact)
+    assert out["n_active_exact"].tolist() == naive_exact.tolist()
+    # naive sketch replay per day
+    for i, (dd, users) in enumerate(sorted(
+            df.groupby("day")["uid"].unique().items())):
+        h = _mix64_user(np.asarray(sorted(users), np.int64))
+        regs = {}
+        for hv in h:
+            idx = int(hv >> np.uint64(DHLL_REM_BITS))
+            rem = int(hv & np.uint64((1 << DHLL_REM_BITS) - 1))
+            regs[idx] = max(regs.get(idx, 0),
+                            DHLL_REM_BITS + 1 - rem.bit_length())
+        assert int(out.loc[i, "n_zero_registers"]) == DHLL_M - len(regs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(n=st.integers(1, 200), n_users=st.integers(1, 20),
+       n_days=st.integers(1, 10), seed=st.integers(0, 2 ** 16))
+def test_holt_property_vs_naive(ray_session, tmp_path_factory,
+                                n, n_users, n_days, seed):
+    """Random events: the distributed Holt recursion equals a plain
+    per-user python loop over the same daily composites."""
+    from nrt_ray.pipelines.relational import round_away
+    from nrt_ray.pipelines.timeseries import holt_winters_daily
+    rng = np.random.default_rng(seed)
+    d0 = 1_600_000_000_000_000 // DAY_US * DAY_US
+    uid = rng.integers(0, n_users, n).astype(np.int64)
+    day = rng.integers(0, n_days, n).astype(np.int64)
+    ts = d0 + day * DAY_US + rng.integers(0, DAY_US, n)
+    val = np.round(rng.uniform(0.01, 99.99, n), 2)
+    tmp = tmp_path_factory.mktemp("holtprop")
+    rows = [(i, int(ts[i]), int(uid[i]), float(val[i]))
+            for i in range(n)]
+    out = _df(holt_winters_daily(_write_events(tmp, rows))) \
+        .set_index("user_id")
+    a, bt, om, ob = 0.5, 0.3, 0.5, 0.7
+    df = pd.DataFrame({"uid": uid, "day": day,
+                       "cents": np.round(val * 100).astype(np.int64)})
+    for u, g in df.groupby("uid"):
+        daily = g.groupby("day")["cents"].agg(["sum", "count"])
+        y = ((daily["sum"].to_numpy().astype(np.float64) / 100.0)
+             / daily["count"].to_numpy()).tolist()
+        if len(y) == 1:
+            l, b = y[0], 0.0
+        else:
+            l, b = y[0], y[1] - y[0]
+            for t in range(1, len(y)):
+                ln = a * y[t] + om * (l + b)
+                b = bt * (ln - l) + ob * b
+                l = ln
+        r = out.loc[u]
+        assert r["n_days"] == len(y)
+        assert r["level"] == float(round_away(np.array([l]), 6)[0])
+        assert r["trend"] == float(round_away(np.array([b]), 6)[0])
