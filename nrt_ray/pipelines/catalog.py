@@ -123,6 +123,7 @@ def queries() -> dict:
         "counter_increase_daily_events": tsq.counter_increase_daily,
         "daily_active_users_hll": tsq.daily_active_users_hll,
         "holt_winters_daily_events": tsq.holt_winters_daily,
+        "lttb_downsample_events": tsq.lttb_downsample_daily,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1494,6 +1495,7 @@ def oracle_sql() -> dict:
         "shingle_hll_estimate": sk.hll_sql(),
         "daily_active_users_hll": sk.hll_daily_sql(),
         "holt_winters_daily_events": tsq.holt_winters_sql(),
+        "lttb_downsample_events": tsq.lttb_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

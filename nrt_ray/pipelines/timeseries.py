@@ -2413,3 +2413,219 @@ SELECT user_id, CAST(n AS BIGINT) AS n_days,
        round(l + {h} * b, 6) AS forecast
 FROM allu
 """
+
+
+# ------------------------------------------------- LTTB visual downsample
+
+def lttb_downsample_daily(sf_dir: str, buckets: int = 10):
+    """Mean-anchor LTTB visual downsample per user over the daily
+    composite means (Steinarsson's largest-triangle-three-buckets, the
+    Grafana/plotly-resampler downsample, in its PARALLEL variant: the
+    left triangle anchor is the previous bucket's mean point rather
+    than the previously selected point, which removes the sequential
+    dependency between buckets — every bucket's argmax is independent,
+    so the operator distributes and SQL-replays without recursion; the
+    right anchor is the next bucket's mean, as in the classic
+    algorithm).
+
+    Per user with n daily points: endpoints always survive; the n−2
+    inner points split into ``buckets−2`` index-equal buckets
+    (``k = (i−1)(B−2) // (n−2)``), and each bucket keeps the point
+    maximizing the triangle area with its two anchor points (ties →
+    earliest day).  Users with n ≤ B pass through whole.  All float
+    arithmetic (bucket means, the area cross product) evaluates the
+    identical expression tree as the DuckDB oracle, so selection is
+    bit-deterministic.
+
+    Scale shape: one user-keyed exchange; the fold is fully vectorized
+    over (user, bucket) runs — composites by ``reduceat``, bucket
+    means by ``reduceat``, anchor gather by ``searchsorted``, argmax
+    by one lexsort — no per-user Python loop."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    B = int(buckets)
+    DAY = 86400 * US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def _out(uid, day, y, nd):
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "day_ts": pa.array(day * DAY, pa.int64())
+                .cast(pa.timestamp("us")),
+            "v_sel": pa.array(round_away(y, 4)),
+            "n_days": pa.array(nd.astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        day = ts // DAY
+        cents = round_away(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        order = np.lexsort((day, u))
+        u, day, cents = u[order], day[order], cents[order]
+        db = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (day[1:] != day[:-1])])
+        du = u[db]
+        dcnt = np.diff(np.r_[db, len(u)])
+        y = (np.add.reduceat(cents, db).astype(np.float64) / 100.0) / dcnt
+        dday = day[db]
+        # per-user runs over daily rows
+        us = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        n_u = np.diff(np.r_[us, len(du)])
+        uord = np.repeat(np.arange(len(us)), n_u)   # user ordinal per row
+        i = np.arange(len(du)) - np.repeat(us, n_u)  # 0-based index
+        n = np.repeat(n_u, n_u)
+        nd_row = n.astype(np.int64)
+        # pass-through users (n <= B): keep every point
+        small = n <= B
+        keep_small = small
+        # inner points of big users bucket by index
+        big_inner = (~small) & (i >= 1) & (i <= n - 2)
+        k = np.zeros(len(du), np.int64)
+        k[big_inner] = ((i[big_inner] - 1) * (B - 2)) // (n[big_inner] - 2)
+        # bucket means over (user, k) runs (big users' inner points only)
+        bi = np.flatnonzero(big_inner)
+        if len(bi):
+            bkey = uord[bi] * B + k[bi]               # sorted ascending
+            bs = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
+            bcnt = np.diff(np.r_[bs, len(bkey)])
+            xm = (np.add.reduceat(dday[bi], bs).astype(np.float64)
+                  / bcnt)
+            ym = (np.add.reduceat(y[bi], bs) / bcnt)
+            ubkey = bkey[bs]
+            # anchors per bucket row: left = prev bucket mean or first
+            # point; right = next bucket mean or last point
+            bu = ubkey // B                           # user ordinal
+            x0 = dday[us].astype(np.float64)
+            y0 = y[us]
+            xl_ = dday[us + n_u - 1].astype(np.float64)
+            yl_ = y[us + n_u - 1]
+            prev_same = np.r_[False, bu[1:] == bu[:-1]]
+            next_same = np.r_[bu[:-1] == bu[1:], False]
+            axl = np.where(prev_same, np.r_[0.0, xm[:-1]], x0[bu])
+            ayl = np.where(prev_same, np.r_[0.0, ym[:-1]], y0[bu])
+            axr = np.where(next_same, np.r_[xm[1:], 0.0], xl_[bu])
+            ayr = np.where(next_same, np.r_[ym[1:], 0.0], yl_[bu])
+            # per-point area against its bucket's anchors
+            row_b = np.searchsorted(ubkey, bkey)
+            xi = dday[bi].astype(np.float64)
+            yi = y[bi]
+            xlp, ylp = axl[row_b], ayl[row_b]
+            xrp, yrp = axr[row_b], ayr[row_b]
+            area = np.abs((xlp - xrp) * (yi - ylp)
+                          - (xlp - xi) * (yrp - ylp))
+            # argmax per bucket, ties -> earliest day: sort by
+            # (bucket, -area, day) and take run starts
+            sel_order = np.lexsort((dday[bi], -area, bkey))
+            sk = bkey[sel_order]
+            sel = sel_order[np.flatnonzero(
+                np.r_[True, sk[1:] != sk[:-1]])]
+            keep_inner = np.zeros(len(du), dtype=bool)
+            keep_inner[bi[sel]] = True
+        else:
+            keep_inner = np.zeros(len(du), dtype=bool)
+        endpoints = (~small) & ((i == 0) | (i == n - 1))
+        keep = keep_small | keep_inner | endpoints
+        return _out(du[keep], dday[keep], y[keep], nd_row[keep])
+
+    def empty() -> pa.Table:
+        return _out(np.array([], np.int64), np.array([], np.int64),
+                    np.array([], np.float64), np.array([], np.int64))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def lttb_sql(buckets: int = 10) -> str:
+    """Window-function replay of :func:`lttb_downsample_daily`: identical
+    bucket index arithmetic (integer), identical anchor construction
+    (prev/next bucket means with endpoint fallback) and the identical
+    float area expression, so per-bucket argmax selection (ties →
+    earliest day) matches bit for bit without recursion."""
+    B = int(buckets)
+    return f"""
+WITH daily AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)/86400) AS BIGINT) AS b,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+               / count(*) AS y
+    FROM events GROUP BY user_id, b
+),
+pts AS (
+    SELECT user_id, b, y,
+           row_number() OVER (PARTITION BY user_id ORDER BY b) - 1 AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM daily
+),
+small AS (
+    SELECT user_id, b, y, n FROM pts WHERE n <= {B}
+),
+ends AS (
+    SELECT user_id, b, y, n FROM pts
+    WHERE n > {B} AND (i = 0 OR i = n - 1)
+),
+inner_pts AS (
+    SELECT user_id, b, y, n,
+           ((i - 1) * {B - 2}) // (n - 2) AS k
+    FROM pts WHERE n > {B} AND i >= 1 AND i <= n - 2
+),
+firstlast AS (
+    SELECT user_id,
+           CAST(min(b) AS DOUBLE) AS x0,
+           arg_min(y, b) AS y0,
+           CAST(max(b) AS DOUBLE) AS xl,
+           arg_max(y, b) AS yl
+    FROM pts WHERE n > {B} GROUP BY user_id
+),
+bmeans AS (
+    SELECT user_id, k,
+           CAST(sum(b) AS DOUBLE) / count(*) AS xm,
+           sum(y ORDER BY b) / count(*) AS ym
+    FROM inner_pts GROUP BY user_id, k
+),
+anchors AS (
+    SELECT m.user_id, m.k,
+           coalesce(lag(m.xm) OVER w, f.x0) AS axl,
+           coalesce(lag(m.ym) OVER w, f.y0) AS ayl,
+           coalesce(lead(m.xm) OVER w, f.xl) AS axr,
+           coalesce(lead(m.ym) OVER w, f.yl) AS ayr
+    FROM bmeans m JOIN firstlast f USING (user_id)
+    WINDOW w AS (PARTITION BY m.user_id ORDER BY m.k)
+),
+scored AS (
+    SELECT p.user_id, p.b, p.y, p.n,
+           row_number() OVER (
+               PARTITION BY p.user_id, p.k
+               ORDER BY abs((a.axl - a.axr) * (p.y - a.ayl)
+                            - (a.axl - CAST(p.b AS DOUBLE))
+                              * (a.ayr - a.ayl)) DESC,
+                        p.b ASC) AS r
+    FROM inner_pts p JOIN anchors a
+      ON a.user_id = p.user_id AND a.k = p.k
+),
+sel AS (
+    SELECT user_id, b, y, n FROM small
+    UNION ALL
+    SELECT user_id, b, y, n FROM ends
+    UNION ALL
+    SELECT user_id, b, y, n FROM scored WHERE r = 1
+)
+SELECT user_id,
+       make_timestamp(b*86400*1000000) AS day_ts,
+       round(y, 4) AS v_sel,
+       CAST(n AS BIGINT) AS n_days
+FROM sel
+"""

@@ -282,3 +282,35 @@ def test_holt_property_vs_naive(ray_session, tmp_path_factory,
         assert r["n_days"] == len(y)
         assert r["level"] == float(round_away(np.array([l]), 6)[0])
         assert r["trend"] == float(round_away(np.array([b]), 6)[0])
+
+
+def test_lttb_planted_selection(ray_session, tmp_path_factory):
+    """n=12 daily points, B=10: endpoints always kept; 10 inner points
+    fall into 8 index buckets with buckets 0 and 4 holding two points —
+    a planted spike wins bucket 0, a flat tie resolves to the earliest
+    day in bucket 4; a 3-point user passes through whole."""
+    from nrt_ray.pipelines.timeseries import lttb_downsample_daily
+    d0 = 1_600_000_000_000_000 // DAY_US * DAY_US
+    rows, eid = [], 0
+    y1 = [1.0, 1.0, 9.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    for d, v in enumerate(y1):
+        eid += 1
+        rows.append((eid, d0 + d * DAY_US + 1, 1, v))
+    for d, v in enumerate([5.0, 6.0, 7.0]):
+        eid += 1
+        rows.append((eid, d0 + d * DAY_US + 1, 2, v))
+    out = _df(lttb_downsample_daily(
+        tmp_path_factory.mktemp("lttb").joinpath("..") if False
+        else _write_events(tmp_path_factory.mktemp("lttb"), rows)))
+    u1 = out[out.user_id == 1].sort_values("day_ts")
+    days1 = [(t - pd.Timestamp(d0, unit="us")).days
+             for t in u1["day_ts"]]
+    # endpoints 0 and 11 kept; bucket map k=((i-1)*8)//10 puts days
+    # {1,2} in bucket 0 (spike day 2 wins) and days {6,7} in bucket 4
+    # (flat -> zero areas tie -> earliest day 6); single-point buckets
+    # keep their only point (days 3,4,5,8,9,10)
+    assert days1 == [0, 2, 3, 4, 5, 6, 8, 9, 10, 11]
+    assert u1[u1.day_ts == pd.Timestamp(d0 + 2 * DAY_US,
+                                        unit="us")]["v_sel"].iloc[0] == 9.0
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 3 and sorted(u2["v_sel"]) == [5.0, 6.0, 7.0]
