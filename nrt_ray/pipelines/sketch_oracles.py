@@ -941,3 +941,45 @@ SELECT make_timestamp(day*86400*1000000) AS day_ts,
               - n_exact) / greatest(n_exact, 1), 6) AS rel_error
 FROM e
 """
+
+
+def ssjoin_sql(num: int = 3, den: int = 5) -> str:
+    """Replay of :func:`nrt_ray.pipelines.textops.ssjoin_exact`: prefix
+    selection under the shingle-hash total order, integer size filter,
+    and the exact integer keep test ``den·|A∩B| ≥ num·|A∪B|`` — the
+    candidate logic is integer arithmetic end to end, so there is no
+    float rounding boundary anywhere before the (display-only) jaccard
+    column."""
+    return ("WITH " + _shingle_ctes() + f""",
+sized AS (
+    SELECT doc_id, s,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY s) AS r
+    FROM shingles
+),
+pref AS (
+    SELECT doc_id, s, n FROM sized
+    WHERE r <= n - (({num} * n + {den - 1}) // {den}) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE {num} * a.n <= {den} * b.n
+      AND {num} * b.n <= {den} * a.n
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE {den} * i.i >= {num} * (na.n + nb.n - i.i)
+""")

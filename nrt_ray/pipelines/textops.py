@@ -926,6 +926,23 @@ def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
         return cached
     pairs = _candidate_pairs_ds(sf_dir, **minhash_kw)
     nparts = max(2, pool_size())
+    verified = _exact_pair_jaccard(
+        sf_dir, pairs, nparts,
+        keep_fn=lambda inter, union: (inter / np.maximum(union, 1))
+        >= threshold)
+    _VERIFIED_CACHE[cache_key] = verified
+    return verified
+
+
+def _exact_pair_jaccard(sf_dir: str, pairs, nparts: int, keep_fn):
+    """(doc_a, doc_b) candidate Dataset -> (doc_a, doc_b, jaccard)
+    Dataset with the EXACT shingle-set Jaccard of every pair, fully
+    distributed (the co-group expand + pair-keyed reduce documented on
+    :func:`_verified_pairs_ds`).  ``keep_fn(inter, union) -> bool mask``
+    decides survival — float-threshold for the LSH verify, exact
+    integer cross-multiplication for the prefix-filter join."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.shuffle_join import shuffle_cogroup
 
     def endpoints(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
@@ -1021,7 +1038,7 @@ def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
         union = np.bincount(gidx[new_ps], minlength=npairs)
         inter = np.bincount(gidx[~new_ps], minlength=npairs)
         jac = inter / np.maximum(union, 1)
-        keep = jac >= threshold
+        keep = keep_fn(inter, union)
         firsts = np.flatnonzero(new_pair)
         return pa.table({
             "doc_a": pa.array(a[firsts][keep], pa.int64()),
@@ -1029,10 +1046,8 @@ def _verified_pairs_ds(sf_dir: str, threshold: float = 0.6,
             "jaccard": pa.array(round_away(jac[keep], 6)),
         })
 
-    verified = exchange_dataset(emitted, nparts, verify,
-                                lambda: _EMPTY_VERIFIED)
-    _VERIFIED_CACHE[cache_key] = verified
-    return verified
+    return exchange_dataset(emitted, nparts, verify,
+                            lambda: _EMPTY_VERIFIED)
 
 
 def jaccard_verify(sf_dir: str, threshold: float = 0.6, **minhash_kw):
@@ -2871,3 +2886,111 @@ def novelty_scores(sf_dir: str):
     return partials.groupby("doc_id") \
         .aggregate(Sum("n_shingles"), Sum("n_seen")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------ exact set-similarity join
+
+def ssjoin_exact(sf_dir: str, num: int = 3, den: int = 5):
+    """EXACT Jaccard-threshold self-join over the doc shingle sets via
+    prefix filtering (Chaudhuri et al., SSJoin ICDE'06; Xiao et al.,
+    PPJoin WWW'08) — ZERO false negatives by construction, the
+    complementary guarantee to the MinHash/LSH path's probabilistic
+    recall.
+
+    The global token order is the shingle hash value itself: prefix
+    filtering is correct under ANY fixed total order (the classic
+    rare-first document-frequency order is a pruning heuristic that
+    would cost a second corpus pass; a 64-bit hash order is uniform,
+    which keeps per-token posting lists small in expectation).  The
+    threshold is the exact rational ``num/den``, so the prefix length
+    ``p = n − ⌈t·n⌉ + 1`` (integer ceiling ``(num·n + den − 1) // den``),
+    the size filter ``num·n_a ≤ den·n_b`` (Jaccard ≥ t ⇒ t·|A| ≤ |B|)
+    and the final keep test ``den·|A∩B| ≥ num·|A∪B|`` are all
+    integer-exact on both engines — no float-boundary rounding anywhere
+    in the candidate or keep logic.
+
+    Scale shape: prefix rows (one per doc per prefix token — O(corpus
+    tokens·(1−t))) flow through one shingle-keyed exchange; each
+    partition emits posting-run pairs vectorized (the LSH pair emitter's
+    run/triu shape) with the size filter applied in bulk; a pair-keyed
+    exchange dedups; exact Jaccard runs through the shared
+    :func:`_exact_pair_jaccard` co-group stage.  Being exact, the join
+    cannot cap posting lists — worst-case cost is the true candidate
+    count, which the hash order keeps near the output size."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        sets = _shingle_hashes(flat, counts)
+        if not sets:
+            return pa.table({
+                "shingle": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int32())})
+        out_s, out_d, out_n = [], [], []
+        for i, s in enumerate(sets):
+            s = np.sort(s)                       # the global hash order
+            n = len(s)
+            p = n - ((num * n + den - 1) // den) + 1
+            out_s.append(s[:p])
+            out_d.append(np.full(p, ids[i], np.int64))
+            out_n.append(np.full(p, n, np.int64))
+        s = np.concatenate(out_s)
+        with np.errstate(over="ignore"):
+            pid = ((s * _MIX_MULT) % np.uint64(nparts)).astype(np.int32)
+        return pa.table({
+            "shingle": pa.array(s),
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "n": pa.array(np.concatenate(out_n)),
+            "pid": pa.array(pid),
+        })
+
+    def posting_pairs(tbl: pa.Table) -> pa.Table:
+        s = tbl["shingle"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d, n = s[order], d[order], n[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        counts = np.diff(np.r_[starts, len(s)])
+        a_out, b_out = [], []
+        for g in np.flatnonzero(counts >= 2):
+            lo = starts[g]
+            ids = d[lo:lo + counts[g]]           # sorted, distinct docs
+            ns = n[lo:lo + counts[g]]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            # exact size filter: t·n_a ≤ n_b in both directions
+            ok = ((num * ns[ai] <= den * ns[bi])
+                  & (num * ns[bi] <= den * ns[ai]))
+            a_out.append(ids[ai[ok]])
+            b_out.append(ids[bi[ok]])
+        if not a_out:
+            return _EMPTY_PAIRS
+        a, b = np.concatenate(a_out), np.concatenate(b_out)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                         "doc_b": pa.array(uniq[:, 1], pa.int64())})
+
+    pref = _read_docs(sf_dir).map_batches(prefixes,
+                                          batch_format="pyarrow")
+    pairs = exchange_dataset(pref, nparts, posting_pairs,
+                             lambda: _EMPTY_PAIRS)
+    rekeyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "pid", pa.array(
+                ((t["doc_a"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64) * _MIX_MULT
+                  ^ t["doc_b"].to_numpy(zero_copy_only=False)
+                  .astype(np.uint64)) % np.uint64(nparts))
+                .astype(np.int32))),
+        batch_format="pyarrow")
+    deduped = exchange_dataset(
+        rekeyed, nparts,
+        lambda t: _dedup_pairs_partition(t.select(["doc_a", "doc_b"])),
+        lambda: _EMPTY_PAIRS)
+    return _exact_pair_jaccard(
+        sf_dir, deduped, nparts,
+        keep_fn=lambda inter, union: den * inter >= num * union)

@@ -539,3 +539,57 @@ def test_verify_exact_jaccard_at_high_dup_rate(ray_session,
         exact = float(round_away(
             np.array([len(sa & sb) / len(sa | sb)]), 6)[0])
         assert jac == exact, (a, b, jac, exact)
+
+
+def test_ssjoin_equals_brute_force_all_pairs(ray_session,
+                                             tmp_path_factory):
+    """The prefix-filter join's defining guarantee: its output SET must
+    equal a brute-force all-pairs exact-Jaccard scan — zero false
+    negatives (unlike LSH) and zero false positives, including pairs
+    sitting exactly on the rational threshold."""
+    from nrt_ray.pipelines.relational import round_away
+    d = tmp_path_factory.mktemp("ssjoin")
+    rng = np.random.default_rng(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(25)]
+    ids, texts = list(range(25)), list(base)
+    # graded mutations: jaccards spread across the 0.6 threshold
+    nid = 500
+    for j in range(10):
+        words = base[j].split()
+        for w in range(j + 1):           # j+1 mutated tokens
+            words[3 * w] = f"m{w}"
+        ids.append(nid)
+        texts.append(" ".join(words))
+        nid += 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    got = _tbl(tx.ssjoin_exact(str(d), num=3, den=5))
+    got_pairs = {(a, b): j for a, b, j in zip(
+        got["doc_a"].to_pylist(), got["doc_b"].to_pylist(),
+        got["jaccard"].to_pylist())}
+    # brute force over all pairs
+    sets = {i: set(tx._shingles(t).tolist())
+            for i, t in zip(ids, texts)}
+    exp = {}
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            i = len(sets[x] & sets[y])
+            u = len(sets[x] | sets[y])
+            if 5 * i >= 3 * u:           # den*i >= num*u, integer-exact
+                exp[(x, y)] = float(round_away(
+                    np.array([i / u]), 6)[0])
+    assert got_pairs == exp
+    # the fixture spans the boundary: some planted copies survive the
+    # threshold, later (more-mutated) ones fall below it
+    assert len(exp) >= 3
+    assert len(exp) < 10
