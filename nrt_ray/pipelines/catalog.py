@@ -164,6 +164,7 @@ def queries() -> dict:
         "shingle_dup_stats": tx.shingle_dup_stats,
         "shingle_hll_estimate": tx.shingle_hll_estimate,
         "ssjoin_exact_docs": tx.ssjoin_exact,
+        "dup_graph_triangles_docs": tx.dup_graph_triangles,
         "token_cms_heavy_hitters": tx.token_cms_heavy_hitters,
         "bloom_semijoin_docs": tx.bloom_semijoin_docs,
         "doc_repetition_stats": tx.repetition_stats,
@@ -1495,6 +1496,7 @@ def oracle_sql() -> dict:
         # HyperLogLog distinct-shingle estimate, bit-exact replay
         "shingle_hll_estimate": sk.hll_sql(),
         "ssjoin_exact_docs": sk.ssjoin_sql(),
+        "dup_graph_triangles_docs": sk.triangles_sql(),
         "daily_active_users_hll": sk.hll_daily_sql(),
         "holt_winters_daily_events": tsq.holt_winters_sql(),
         "lttb_downsample_events": tsq.lttb_sql(),

@@ -943,14 +943,11 @@ FROM e
 """
 
 
-def ssjoin_sql(num: int = 3, den: int = 5) -> str:
-    """Replay of :func:`nrt_ray.pipelines.textops.ssjoin_exact`: prefix
-    selection under the shingle-hash total order, integer size filter,
-    and the exact integer keep test ``den·|A∩B| ≥ num·|A∪B|`` — the
-    candidate logic is integer arithmetic end to end, so there is no
-    float rounding boundary anywhere before the (display-only) jaccard
-    column."""
-    return ("WITH " + _shingle_ctes() + f""",
+def _ssjoin_ctes(num: int, den: int) -> str:
+    """Shared CTE chain of the prefix-filter join, ending in ``joined``
+    (doc_a, doc_b, jaccard) — reused by :func:`ssjoin_sql` and the
+    graph oracles built on the join's edge set."""
+    return (_shingle_ctes() + f""",
 sized AS (
     SELECT doc_id, s,
            count(*) OVER (PARTITION BY doc_id) AS n,
@@ -975,11 +972,56 @@ inter AS (
     JOIN shingles sa ON sa.doc_id = c.doc_a
     JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
     GROUP BY c.doc_a, c.doc_b
+),
+joined AS (
+    SELECT i.doc_a, i.doc_b,
+           round(i.i / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE {den} * i.i >= {num} * (na.n + nb.n - i.i)
+)""")
+
+
+def ssjoin_sql(num: int = 3, den: int = 5) -> str:
+    """Replay of :func:`nrt_ray.pipelines.textops.ssjoin_exact`: prefix
+    selection under the shingle-hash total order, integer size filter,
+    and the exact integer keep test ``den·|A∩B| ≥ num·|A∪B|`` — the
+    candidate logic is integer arithmetic end to end, so there is no
+    float rounding boundary anywhere before the (display-only) jaccard
+    column."""
+    return ("WITH " + _ssjoin_ctes(num, den)
+            + "\nSELECT doc_a, doc_b, jaccard FROM joined\n")
+
+
+def triangles_sql(num: int = 3, den: int = 5) -> str:
+    """Triangle census of the exact-join dup graph: each triangle
+    {x<y<z} is counted once via the canonical 3-way self-join on the
+    a<b edge list; wedges = Σ d(d−1)/2 over undirected degrees; global
+    clustering coefficient = 3·triangles / wedges (0 when wedge-free),
+    evaluated as the identical float expression as the pipeline."""
+    return ("WITH " + _ssjoin_ctes(num, den) + f""",
+e AS (SELECT doc_a AS a, doc_b AS b FROM joined),
+nodes AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+deg AS (SELECT v, count(*) AS d FROM nodes GROUP BY v),
+tri AS (
+    SELECT count(*) AS t
+    FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+agg AS (
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg)
+               AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles
 )
-SELECT i.doc_a, i.doc_b,
-       round(i.i / CAST(na.n + nb.n - i.i AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE {den} * i.i >= {num} * (na.n + nb.n - i.i)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS clustering
+FROM agg
 """)

@@ -2994,3 +2994,195 @@ def ssjoin_exact(sf_dir: str, num: int = 3, den: int = 5):
     return _exact_pair_jaccard(
         sf_dir, deduped, nparts,
         keep_fn=lambda inter, union: den * inter >= num * union)
+
+
+# -------------------------------------------------- dup-graph triangles
+
+def dup_graph_triangles(sf_dir: str, num: int = 3, den: int = 5):
+    """Triangle census + global clustering coefficient of the EXACT
+    similarity-join graph (:func:`ssjoin_exact` edges) — the dup-cluster
+    quality analytic: clustering ≈ 1 means near-duplicate groups are
+    cliques (consistent transitive duplication), low clustering flags
+    chain-like borderline matches.
+
+    Algorithm: compact-forward / degree-oriented wedge counting (Latapy
+    2008).  Edges orient from the (degree, id)-smaller endpoint to the
+    larger; each node emits ordered pairs among its out-neighbours (a
+    wedge), and a wedge closes a triangle iff it is itself an oriented
+    edge — every triangle is counted exactly once, and out-degrees are
+    O(√m) on average so the wedge volume stays near the true triangle
+    count rather than Σ deg².
+
+    Scale shape: degrees by ``keyed_sum``; two hash joins attach
+    endpoint degrees; one node-keyed exchange builds out-adjacency and
+    emits wedges vectorized (run/triu, ordered by the orientation key);
+    wedges and oriented edges co-exchange on the pair hash and each
+    partition counts closures with one lexsort + run scan — the driver
+    sees P scalar partials.  The only corpus-scale state is the edge
+    stream itself, always partition-resident."""
+    from nrt_ray.stages.exchange import exchange_map_groups
+    from nrt_ray.stages.hashagg import keyed_sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    nparts = max(2, pool_size())
+
+    edges = ssjoin_exact(sf_dir, num=num, den=den) \
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
+
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "cnt": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = keyed_sum(edges.map_batches(endpoint_rows,
+                                      batch_format="pyarrow"),
+                    "v", ["cnt"], nparts)
+
+    # n_nodes / n_edges / n_wedges: tiny per-partition partials
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_nodes": pa.array([len(d)], pa.int64()),
+            "n_wedges": pa.array([int((d * (d - 1) // 2).sum())],
+                                 pa.int64())})
+
+    wp = deg.map_batches(wedge_partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_nodes = int(wp["n_nodes"].sum())
+    n_wedges = int(wp["n_wedges"].sum())
+    n_edges = edges.count()
+
+    def empty_da() -> pa.Table:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+
+    def empty_dab() -> pa.Table:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64()),
+                         "cnt_b": pa.array([], pa.int64())})
+
+    with_da = shuffle_hash_join(edges, deg, on_left="doc_a",
+                                on_right="v", num_partitions=nparts,
+                                empty_fn=empty_da, how="inner")
+    with_db = shuffle_hash_join(
+        with_da.map_batches(lambda t: t.rename_columns(
+            ["doc_a", "doc_b", "deg_a"]), batch_format="pyarrow"),
+        deg.map_batches(lambda t: t.rename_columns(["v", "cnt_b"]),
+                        batch_format="pyarrow"),
+        on_left="doc_b", on_right="v", num_partitions=nparts,
+        empty_fn=lambda: pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "deg_a": pa.array([], pa.int64()),
+            "cnt_b": pa.array([], pa.int64())}),
+        how="inner")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["cnt_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        f = np.where(a_first, a, b)
+        to = np.where(a_first, b, a)
+        dto = np.where(a_first, db, da)
+        return pa.table({
+            "f": pa.array(f, pa.int64()),
+            "t": pa.array(to, pa.int64()),
+            "dt": pa.array(dto, pa.int64()),
+        })
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def add_fpid(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            pid = ((f.astype(np.uint64) * _MIX_MULT)
+                   % np.uint64(nparts)).astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
+
+    def pair_pid(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((x.astype(np.uint64) * _MIX_MULT
+                     ^ y.astype(np.uint64)) % np.uint64(nparts)) \
+                .astype(np.int32)
+
+    def emit_wedges(tbl: pa.Table) -> pa.Table:
+        f = tbl["f"].to_numpy(zero_copy_only=False)
+        t_ = tbl["t"].to_numpy(zero_copy_only=False)
+        dt = tbl["dt"].to_numpy(zero_copy_only=False)
+        # out-neighbours per f, ordered by the SAME (deg, id) total
+        # order the orientation used, so wedge (x, y) is oriented x->y
+        order = np.lexsort((t_, dt, f))
+        f, t_, dt = f[order], t_[order], dt[order]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        counts = np.diff(np.r_[starts, len(f)])
+        x_out, y_out = [], []
+        for g in np.flatnonzero(counts >= 2):
+            lo = starts[g]
+            nb = t_[lo:lo + counts[g]]
+            ai, bi = np.triu_indices(len(nb), k=1)
+            x_out.append(nb[ai])
+            y_out.append(nb[bi])
+        if not x_out:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "is_edge": pa.array([], pa.int8()),
+                             "pid": pa.array([], pa.int32())})
+        x = np.concatenate(x_out)
+        y = np.concatenate(y_out)
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "is_edge": pa.array(
+                             np.zeros(len(x), np.int8)),
+                         "pid": pa.array(pair_pid(x, y))})
+
+    from nrt_ray.stages.exchange import exchange_dataset
+    wedges = exchange_dataset(oriented.map_batches(
+        add_fpid, batch_format="pyarrow"), nparts, emit_wedges,
+        lambda: pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "is_edge": pa.array([], pa.int8()),
+                          "pid": pa.array([], pa.int32())}))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        f = t["f"].to_numpy(zero_copy_only=False)
+        t_ = t["t"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(f, pa.int64()),
+                         "y": pa.array(t_, pa.int64()),
+                         "is_edge": pa.array(np.ones(len(f), np.int8)),
+                         "pid": pa.array(pair_pid(f, t_))})
+
+    tagged = wedges.union(
+        oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def count_closures(tbl: pa.Table) -> pa.Table:
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        e = tbl["is_edge"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, y, x))
+        x, y, e = x[order], y[order], e[order]
+        new = np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1])]
+        gidx = np.cumsum(new) - 1
+        ngroups = int(gidx[-1]) + 1 if len(gidx) else 0
+        has_edge = np.zeros(ngroups, bool)
+        np.logical_or.at(has_edge, gidx, e.astype(bool))
+        n_wedge_rows = np.bincount(gidx, weights=1 - e,
+                                   minlength=ngroups)
+        tri = int(n_wedge_rows[has_edge].sum())
+        return pa.table({"tri": pa.array([tri], pa.int64())})
+
+    parts = exchange_map_groups(tagged, nparts, count_closures)
+    n_tri = int(sum(p["tri"][0].as_py() for p in parts))
+    clustering = round_away(np.array(
+        [3.0 * n_tri / n_wedges if n_wedges > 0 else 0.0]), 6)
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "clustering": pa.array(clustering),
+    })

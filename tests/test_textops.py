@@ -593,3 +593,49 @@ def test_ssjoin_equals_brute_force_all_pairs(ray_session,
     # threshold, later (more-mutated) ones fall below it
     assert len(exp) >= 3
     assert len(exp) < 10
+
+
+def test_triangles_match_brute_force(ray_session, tmp_path_factory):
+    """Triangle census equals a brute-force enumeration over the
+    brute-force edge set: a planted 4-clique (identical docs) must
+    contribute C(4,3)=4 closed triangles and the global clustering
+    must match 3T/W exactly."""
+    from itertools import combinations
+    d = tmp_path_factory.mktemp("tri")
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(12)]
+    ids, texts = list(range(12)), list(base)
+    for j in range(3):                       # 4-clique: doc 0 x4
+        ids.append(700 + j)
+        texts.append(base[0])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    out = _tbl(tx.dup_graph_triangles(str(d))).to_pandas().iloc[0]
+    sets = {i: set(tx._shingles(t).tolist()) for i, t in zip(ids, texts)}
+    edges = set()
+    for x, y in combinations(sorted(ids), 2):
+        i = len(sets[x] & sets[y])
+        u = len(sets[x] | sets[y])
+        if 5 * i >= 3 * u:
+            edges.add((x, y))
+    nodes = {v for e in edges for v in e}
+    tri = sum(1 for a, b, c in combinations(sorted(nodes), 3)
+              if (a, b) in edges and (b, c) in edges and (a, c) in edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(v * (v - 1) // 2 for v in deg.values())
+    assert tri >= 4                        # the planted clique
+    assert out["n_nodes"] == len(nodes)
+    assert out["n_edges"] == len(edges)
+    assert out["n_wedges"] == wedges
+    assert out["n_triangles"] == tri
+    assert out["clustering"] == round(3.0 * tri / wedges, 6)
