@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "supplier_network_hops",
     "clicks_before_purchase_1h",
     "user_ohlc_daily",
+    "ssjoin_exact_docs",
     "daily_active_users_hll",
     "holt_winters_daily_events",
     "pack_sequences_docs",
