@@ -124,6 +124,9 @@ def queries() -> dict:
         "daily_active_users_hll": tsq.daily_active_users_hll,
         "holt_winters_daily_events": tsq.holt_winters_daily,
         "lttb_downsample_events": tsq.lttb_downsample_daily,
+        "weekly_spectral_events": tsq.weekly_spectral_events,
+        "rle_runs_events": tsq.rle_runs_events,
+        "sax_symbols_events": tsq.sax_symbols_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1500,6 +1503,10 @@ def oracle_sql() -> dict:
         "daily_active_users_hll": sk.hll_daily_sql(),
         "holt_winters_daily_events": tsq.holt_winters_sql(),
         "lttb_downsample_events": tsq.lttb_sql(),
+        # 7-day DFT power via 7 integer phase sums (exact on both sides)
+        "weekly_spectral_events": tsq.weekly_spectral_sql(),
+        "rle_runs_events": tsq.rle_runs_sql(),
+        "sax_symbols_events": tsq.sax_symbols_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -2629,3 +2629,338 @@ SELECT user_id,
        CAST(n AS BIGINT) AS n_days
 FROM sel
 """
+
+
+# ---------------------------------------------------------------------------
+# weekly spectral power — DFT at the 7-day period via 7 integer phase sums
+# ---------------------------------------------------------------------------
+
+def _daily_cents_exchange(sf_dir: str, fold, empty):
+    """Shared shape of the exact daily-cents per-user analytics
+    (autocorr, spectral, RLE, SAX): per-batch (user, day, cents)
+    combiner → one hash fold on the composite key → one user-keyed
+    exchange whose ``fold`` walks each user's day-ordered run."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"ck": pa.array(uk), "cents": pa.array(acc)})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["cents"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // BASE) % nparts).astype(np.int64)))
+
+    def runs(tbl: pa.Table):
+        """Yield (uid, day_sorted_cents, days) per user in the fold."""
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        uid, day = ck // BASE, ck % BASE
+        order = np.lexsort((day, uid))
+        uid, day, cents = uid[order], day[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s, e in zip(starts, ends):
+            yield int(uid[s]), cents[s:e], day[s:e]
+
+    return exchange_dataset(
+        daily.map_batches(tag, batch_format="pyarrow"),
+        nparts, lambda tbl: fold(runs(tbl)), empty)
+
+
+def weekly_spectral_events(sf_dir: str, min_days: int = 7):
+    """Spectral power at the 7-day period of each user's daily-spend
+    series — the "is there a weekly rhythm" signal driving seasonal
+    model choice in the rollup engine.
+
+    DFT trick for exactness: cos/sin of 2π·day/7 take only 7 distinct
+    values (day mod 7), so the transform reduces to 7 INTEGER phase
+    sums P_k = Σ cents over days ≡ k (mod 7) — exact on both engines —
+    followed by an identical unrolled float expression
+    A = ΣP_k·cos_k, B = ΣP_k·sin_k, rel_power = (A²+B²)/T² with
+    T = Σ|cents|.  Calendar days absent from the series contribute 0
+    mass, exactly as a zero-filled DFT would.  Analog of the harmonic
+    regressor bank in the fit stage (cf. /root/reference/nrt/utils.py
+    build_regressors' harmonic columns)."""
+    import math
+
+    cos_k = [math.cos((2.0 * math.pi * k) / 7.0) for k in range(7)]
+    sin_k = [math.sin((2.0 * math.pi * k) / 7.0) for k in range(7)]
+
+    def fold(user_runs) -> pa.Table:
+        out_u, out_n, out_p = [], [], []
+        for uid, cents, day in user_runs:
+            if len(cents) < min_days:
+                continue
+            t_abs = int(np.abs(cents).sum())
+            if t_abs == 0:
+                continue
+            phase = (day % 7).astype(np.int64)
+            psum = np.zeros(7, np.int64)
+            np.add.at(psum, phase, cents)
+            a = b = 0.0
+            for k in range(7):          # fixed k order = SQL's unrolled +
+                a += float(psum[k]) * cos_k[k]
+                b += float(psum[k]) * sin_k[k]
+            t = float(t_abs)
+            out_u.append(uid)
+            out_n.append(len(cents))
+            out_p.append((a * a + b * b) / (t * t))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "rel_power7": pa.array(
+                round_away(np.array(out_p, np.float64), 6)
+                if out_p else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "rel_power7": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def weekly_spectral_sql(min_days: int = 7) -> str:
+    """Oracle twin of :func:`weekly_spectral_events`: the same 7 integer
+    phase sums pivoted by MAX(CASE), the same left-associative unrolled
+    A/B expressions (SQL ``+`` associates left, matching the fold's
+    k-ordered accumulation), the same normalizer."""
+    a_terms = " + ".join(
+        f"CAST(p{k} AS DOUBLE) * cos((2*pi()*{k})/7.0)" for k in range(7))
+    b_terms = " + ".join(
+        f"CAST(p{k} AS DOUBLE) * sin((2*pi()*{k})/7.0)" for k in range(7))
+    pivots = ",\n               ".join(
+        f"CAST(coalesce(sum(CASE WHEN day % 7 = {k} THEN cents END), 0) "
+        f"AS BIGINT) AS p{k}" for k in range(7))
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+ph AS (
+    SELECT user_id,
+           count(*) AS n_days,
+           CAST(sum(abs(cents)) AS BIGINT) AS t_abs,
+           {pivots}
+    FROM d GROUP BY user_id
+    HAVING count(*) >= {min_days} AND sum(abs(cents)) > 0
+),
+ab AS (
+    SELECT user_id, n_days, t_abs,
+           ({a_terms}) AS a, ({b_terms}) AS b
+    FROM ph
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       round((a * a + b * b)
+             / (CAST(t_abs AS DOUBLE) * CAST(t_abs AS DOUBLE)), 6)
+           AS rel_power7
+FROM ab
+"""
+
+
+# ---------------------------------------------------------------------------
+# RLE run statistics of the daily delta sign — trend persistence analytic
+# ---------------------------------------------------------------------------
+
+def rle_runs_events(sf_dir: str):
+    """Run-length statistics of the SIGN of each user's day-over-day
+    spend delta (observed days in day order): how many monotone runs,
+    the longest one, and the up/down day counts — the trend-persistence
+    signal the segment compressor's delta-of-delta coding exploits
+    (cf. stages/compress.py).  All-integer outputs, so exactness is
+    structural.  Users need ≥2 observed days (≥1 delta)."""
+    def fold(user_runs) -> pa.Table:
+        cols = {k: [] for k in ("user_id", "n_days", "n_runs",
+                                "longest_run", "n_up", "n_down")}
+        for uid, cents, day in user_runs:
+            if len(cents) < 2:
+                continue
+            sg = np.sign(np.diff(cents))
+            brk = np.r_[True, sg[1:] != sg[:-1]]
+            starts = np.flatnonzero(brk)
+            lens = np.diff(np.r_[starts, len(sg)])
+            cols["user_id"].append(uid)
+            cols["n_days"].append(len(cents))
+            cols["n_runs"].append(len(starts))
+            cols["longest_run"].append(int(lens.max()))
+            cols["n_up"].append(int((sg > 0).sum()))
+            cols["n_down"].append(int((sg < 0).sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], pa.int64())
+                         for k in ("user_id", "n_days", "n_runs",
+                                   "longest_run", "n_up", "n_down")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def rle_runs_sql() -> str:
+    """Oracle twin of :func:`rle_runs_events`: sign deltas via lag,
+    runs via the gaps-and-islands cumulative break sum."""
+    return """
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+s AS (
+    SELECT user_id, day,
+           sign(cents - lag(cents) OVER
+                (PARTITION BY user_id ORDER BY day)) AS sg,
+           count(*) OVER (PARTITION BY user_id) AS nd
+    FROM d
+),
+s2 AS (
+    SELECT user_id, day, sg, nd,
+           CASE WHEN sg IS DISTINCT FROM lag(sg) OVER
+                (PARTITION BY user_id ORDER BY day) THEN 1 ELSE 0
+           END AS brk
+    FROM s WHERE sg IS NOT NULL
+),
+isl AS (
+    SELECT user_id, sg, nd,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM s2
+),
+per_run AS (
+    SELECT user_id, grp, any_value(sg) AS sg, any_value(nd) AS nd,
+           count(*) AS run_len
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(any_value(nd) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(coalesce(sum(CASE WHEN sg > 0 THEN run_len END), 0)
+            AS BIGINT) AS n_up,
+       CAST(coalesce(sum(CASE WHEN sg < 0 THEN run_len END), 0)
+            AS BIGINT) AS n_down
+FROM per_run GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization — PAA segment means binned to a 4-letter alphabet
+# ---------------------------------------------------------------------------
+
+#: fixed SAX breakpoints in integer cents (≈ the corpus daily-spend
+#: quartiles), compared exactly as seg_sum vs breakpoint·seg_len
+_SAX_BREAKS = (5000, 10000, 18000)
+
+
+def sax_symbols_events(sf_dir: str, width: int = 8):
+    """SAX symbolic approximation of each user's daily-spend series:
+    the observed-day-ordered cents split into ``width`` PAA segments
+    (segment of index i covers rows with ⌊idx·width/n⌋ = i), each
+    segment's MEAN binned against fixed cent breakpoints into 'a'–'d',
+    concatenated into one word per user — the classic index key for
+    similarity search over series shapes (Lin et al. 2003, public).
+
+    Exactness: the mean-vs-breakpoint comparison is done in integers
+    (seg_sum < break·seg_len), so no float enters the symbol choice.
+    Users need ≥ ``width`` observed days."""
+    b1, b2, b3 = _SAX_BREAKS
+
+    def fold(user_runs) -> pa.Table:
+        out_u, out_n, out_s = [], [], []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < width:
+                continue
+            idx = np.arange(n, dtype=np.int64)
+            seg = idx * width // n
+            sums = np.zeros(width, np.int64)
+            lens = np.zeros(width, np.int64)
+            np.add.at(sums, seg, cents)
+            np.add.at(lens, seg, 1)
+            word = "".join(
+                "a" if s < b1 * m else
+                "b" if s < b2 * m else
+                "c" if s < b3 * m else "d"
+                for s, m in zip(sums.tolist(), lens.tolist()))
+            out_u.append(uid)
+            out_n.append(n)
+            out_s.append(word)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "sax": pa.array(out_s, pa.string()),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "sax": pa.array([], pa.string())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def sax_symbols_sql(width: int = 8) -> str:
+    """Oracle twin of :func:`sax_symbols_events`: the same integer
+    ⌊idx·width/n⌋ segmentation and integer mean-vs-breakpoint CASE."""
+    b1, b2, b3 = _SAX_BREAKS
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+r AS (
+    SELECT user_id, day, cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) - 1
+               AS idx,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+segs AS (
+    SELECT user_id, any_value(n) AS n, (idx * {width}) // n AS seg,
+           CAST(sum(cents) AS BIGINT) AS s, count(*) AS m
+    FROM r WHERE n >= {width}
+    GROUP BY user_id, (idx * {width}) // n
+),
+sym AS (
+    SELECT user_id, n, seg,
+           CASE WHEN s < {b1} * m THEN 'a'
+                WHEN s < {b2} * m THEN 'b'
+                WHEN s < {b3} * m THEN 'c'
+                ELSE 'd' END AS c
+    FROM segs
+)
+SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_days,
+       string_agg(c, '' ORDER BY seg) AS sax
+FROM sym GROUP BY user_id
+"""

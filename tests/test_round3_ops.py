@@ -314,3 +314,78 @@ def test_lttb_planted_selection(ray_session, tmp_path_factory):
                                         unit="us")]["v_sel"].iloc[0] == 9.0
     u2 = out[out.user_id == 2]
     assert len(u2) == 3 and sorted(u2["v_sel"]) == [5.0, 6.0, 7.0]
+
+
+def test_weekly_spectral_pure_period_vs_flat(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import weekly_spectral_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    rows = []
+    eid = 0
+    # user 1: all mass on one weekly phase -> rel_power7 == 1 exactly
+    for w in (0, 7):
+        eid += 1
+        rows.append((eid, d0 + w * DAY_US + 1, 1, 1.00))
+    # keep user 1 over >=7 OBSERVED days: zero-cent filler days change
+    # neither the phase sums nor T
+    for k in range(1, 6):
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 1, 0.00))
+    # user 2: constant daily spend for 14 days -> power ~ 0
+    for k in range(14):
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 2, 1.00))
+    # user 3: only 3 observed days -> excluded
+    for k in range(3):
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 3, 5.00))
+    out = _df(weekly_spectral_events(_write_events(tmp_path, rows)))
+    assert sorted(out["user_id"]) == [1, 2]
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "rel_power7"] == 1.0
+    assert byu.loc[1, "n_days"] == 7
+    assert abs(byu.loc[2, "rel_power7"]) < 1e-5
+    assert byu.loc[2, "n_days"] == 14
+
+
+def test_rle_runs_planted_sequence(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import rle_runs_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    cents = [100, 200, 300, 200, 100, 100, 500]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    rows.append((99, d0 + 1, 2, 3.00))        # single day -> excluded
+    out = _df(rle_runs_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]
+    r = out.iloc[0]
+    # delta signs: + + - - 0 +  -> runs ++ / -- / 0 / +
+    assert (r["n_days"], r["n_runs"], r["longest_run"],
+            r["n_up"], r["n_down"]) == (7, 4, 2, 3, 2)
+
+
+def test_sax_symbols_one_day_per_segment(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import sax_symbols_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    vals = [10.00, 60.00, 120.00, 200.00] * 2   # a b c d a b c d
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, v)
+            for i, v in enumerate(vals)]
+    # user 2: 7 days < width -> excluded
+    rows += [(50 + i, d0 + i * DAY_US + 1, 2, 1.00) for i in range(7)]
+    out = _df(sax_symbols_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]
+    assert out.iloc[0]["sax"] == "abcdabcd"
+    assert out.iloc[0]["n_days"] == 8
+
+
+def test_sax_breakpoints_are_mean_based(ray_session, tmp_path):
+    """Two days fold into one segment when n > width·? — here n=16,
+    width=8 -> 2 days/segment; the symbol bins the MEAN, compared in
+    integers (sum vs break*len)."""
+    from nrt_ray.pipelines.timeseries import sax_symbols_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # each consecutive pair averages to: 49.99, 50.00 -> means straddle
+    # the 5000-cent break: [49.98,50.00]->49.99 'a', [50.00,50.00] 'b'
+    vals = ([49.98, 50.00, 50.00, 50.00] * 4)
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, v)
+            for i, v in enumerate(vals)]
+    out = _df(sax_symbols_events(_write_events(tmp_path, rows)))
+    assert out.iloc[0]["sax"] == "abab" * 2
