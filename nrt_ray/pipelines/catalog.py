@@ -168,6 +168,7 @@ def queries() -> dict:
         "shingle_hll_estimate": tx.shingle_hll_estimate,
         "ssjoin_exact_docs": tx.ssjoin_exact,
         "dup_graph_triangles_docs": tx.dup_graph_triangles,
+        "pagerank_dup_graph_docs": tx.pagerank_dup_graph,
         "token_cms_heavy_hitters": tx.token_cms_heavy_hitters,
         "bloom_semijoin_docs": tx.bloom_semijoin_docs,
         "doc_repetition_stats": tx.repetition_stats,
@@ -1500,6 +1501,8 @@ def oracle_sql() -> dict:
         "shingle_hll_estimate": sk.hll_sql(),
         "ssjoin_exact_docs": sk.ssjoin_sql(),
         "dup_graph_triangles_docs": sk.triangles_sql(),
+        # integer power iteration (floor-div), bit-exact on both engines
+        "pagerank_dup_graph_docs": sk.pagerank_sql(),
         "daily_active_users_hll": sk.hll_daily_sql(),
         "holt_winters_daily_events": tsq.holt_winters_sql(),
         "lttb_downsample_events": tsq.lttb_sql(),

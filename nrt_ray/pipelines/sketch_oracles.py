@@ -1025,3 +1025,37 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
             ELSE 0.0 END AS clustering
 FROM agg
 """)
+
+
+def pagerank_sql(num: int = 3, den: int = 5, iters: int = 3,
+                 scale: int = 10 ** 9, top_k: int = 50) -> str:
+    """PageRank oracle on the dup-graph edge set: the same integer
+    power iteration as the pipeline (floor division, order-free BIGINT
+    sums), unrolled one CTE per iteration."""
+    base = (15 * scale) // 100
+    level = """,
+pr{i} AS (
+    SELECT g.v, g.d,
+           {base} + coalesce(sum((85 * p.s) // (100 * p.d)), 0) AS s
+    FROM deg g
+    LEFT JOIN e2 ON e2.dst = g.v
+    LEFT JOIN pr{prev} p ON p.v = e2.src
+    GROUP BY g.v, g.d
+)"""
+    levels = "".join(level.format(i=i, prev=i - 1, base=base)
+                     for i in range(1, iters + 1))
+    return ("WITH " + _ssjoin_ctes(num, den) + f""",
+e2 AS (
+    SELECT doc_a AS src, doc_b AS dst FROM joined
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM joined
+),
+deg AS (SELECT src AS v, count(*) AS d FROM e2 GROUP BY src),
+pr0 AS (SELECT v, d, CAST({scale} AS BIGINT) AS s FROM deg)"""
+            + levels + f"""
+SELECT v AS doc_id, CAST(s AS BIGINT) AS pr_scaled,
+       CAST(d AS BIGINT) AS deg
+FROM pr{iters}
+ORDER BY s DESC, v
+LIMIT {top_k}
+""")

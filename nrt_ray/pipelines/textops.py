@@ -3186,3 +3186,119 @@ def dup_graph_triangles(sf_dir: str, num: int = 3, den: int = 5):
         "n_triangles": pa.array([n_tri], pa.int64()),
         "clustering": pa.array(clustering),
     })
+
+
+def pagerank_dup_graph(sf_dir: str, num: int = 3, den: int = 5,
+                       iters: int = 3, scale: int = 10 ** 9,
+                       top_k: int = 50):
+    """PageRank over the exact-join dup graph (:func:`ssjoin_exact`
+    edges, symmetrized) — ranks the "hub" documents whose text is
+    shared across the most duplication mass, the natural keep-winner
+    prior for cluster-level dedup.
+
+    INTEGER power iteration for cross-engine exactness: scores live as
+    int64 multiples of 1/``scale``; one step is
+    ``s'(v) = (15·scale)//100 + Σ_{u~v} (85·s(u)) // (100·deg(u))``
+    — floor division and order-free integer sums only, so the oracle's
+    unrolled SQL reproduces every bit.  Damping 0.85, ``iters`` fixed
+    (rank separation converges long before the values do).
+
+    Scale shape: the directed edge list (2 rows per dup pair) is
+    node-partition-resident; each iteration is one edges⋈scores hash
+    join + one dst-keyed integer fold + one node-sized join against the
+    degree table — all-to-all volume O(edges) per iteration, no driver
+    state beyond the final top-k."""
+    from nrt_ray.stages.hashagg import keyed_sum
+    from nrt_ray.stages.shuffle_join import shuffle_hash_join
+    nparts = max(2, pool_size())
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = ssjoin_exact(sf_dir, num=num, den=den) \
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow") \
+        .map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()                      # reused every iteration
+
+    def as_count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t["src"],
+            "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+
+    deg = keyed_sum(edges.map_batches(as_count, batch_format="pyarrow"),
+                    "v", ["cnt"], nparts).materialize()
+
+    base = (15 * scale) // 100
+    scores = deg.map_batches(
+        lambda t: pa.table({
+            "v": t["v"],
+            "s": pa.array(np.full(t.num_rows, scale, np.int64)),
+            "d": t["cnt"]}),
+        batch_format="pyarrow")
+
+    def sc_empty() -> pa.Table:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.int64())})
+
+    def ns_empty() -> pa.Table:
+        return pa.table({"v": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+
+    for _ in range(iters):
+        sent = shuffle_hash_join(edges, scores, on_left="src",
+                                 on_right="v", num_partitions=nparts,
+                                 empty_fn=sc_empty, how="inner")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            return pa.table({"dst": t["dst"],
+                             "c": pa.array(85 * s // (100 * d))})
+
+        summed = keyed_sum(sent.map_batches(contrib,
+                                            batch_format="pyarrow"),
+                           "dst", ["c"], nparts)
+        merged = shuffle_hash_join(
+            deg, summed.map_batches(
+                lambda t: t.rename_columns(["v", "c"]),
+                batch_format="pyarrow"),
+            on_left="v", on_right="v", num_partitions=nparts,
+            empty_fn=ns_empty, how="left_outer")
+
+        def fold_base(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(t["c"].combine_chunks(), 0) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"v": t["v"],
+                             "s": pa.array(base + c),
+                             "d": t["cnt"]})
+
+        scores = merged.map_batches(fold_base, batch_format="pyarrow") \
+            .materialize()
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pr_scaled": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        v = t["v"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s))[:top_k]
+        return pa.table({"doc_id": pa.array(v[order], pa.int64()),
+                         "pr_scaled": pa.array(s[order], pa.int64()),
+                         "deg": pa.array(d[order], pa.int64())})
+
+    part = scores.map_batches(topk_partial,
+                              batch_format="pyarrow").to_pandas()
+    part = part.sort_values(["pr_scaled", "doc_id"],
+                            ascending=[False, True]).head(top_k) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(part, preserve_index=False)

@@ -639,3 +639,54 @@ def test_triangles_match_brute_force(ray_session, tmp_path_factory):
     assert out["n_wedges"] == wedges
     assert out["n_triangles"] == tri
     assert out["clustering"] == round(3.0 * tri / wedges, 6)
+
+
+def test_pagerank_matches_brute_force_integer_iteration(
+        ray_session, tmp_path_factory):
+    """The distributed integer PageRank equals a driver-side replay of
+    the same floor-div power iteration on the brute-force edge set, and
+    the planted clique hub outranks the background docs."""
+    from itertools import combinations
+    d = tmp_path_factory.mktemp("pr")
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(10)]
+    ids, texts = list(range(10)), list(base)
+    for j in range(4):                       # 5-clique around doc 0
+        ids.append(800 + j)
+        texts.append(base[0])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    sets = {i: set(tx._shingles(t).tolist()) for i, t in zip(ids, texts)}
+    edges = set()
+    for x, y in combinations(sorted(ids), 2):
+        i = len(sets[x] & sets[y])
+        u = len(sets[x] | sets[y])
+        if 5 * i >= 3 * u:
+            edges.add((x, y))
+    adj, deg = {}, {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    scale, base_s = 10 ** 9, (15 * 10 ** 9) // 100
+    s = {v: scale for v in deg}
+    for _ in range(3):
+        s = {v: base_s + sum(85 * s[u] // (100 * deg[u])
+                             for u in adj[v]) for v in deg}
+
+    out = _tbl(tx.pagerank_dup_graph(str(d))).to_pandas()
+    exp = sorted(((sv, v) for v, sv in s.items()),
+                 key=lambda t: (-t[0], t[1]))[:50]
+    assert list(out["doc_id"]) == [v for _, v in exp]
+    assert list(out["pr_scaled"]) == [sv for sv, _ in exp]
+    assert list(out["deg"]) == [deg[v] for _, v in exp]
+    # clique members hold the top ranks
+    clique = {0, 800, 801, 802, 803}
+    assert set(out["doc_id"][:5]) == clique
