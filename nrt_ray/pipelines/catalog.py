@@ -127,6 +127,9 @@ def queries() -> dict:
         "weekly_spectral_events": tsq.weekly_spectral_events,
         "rle_runs_events": tsq.rle_runs_events,
         "sax_symbols_events": tsq.sax_symbols_events,
+        "bollinger_breakouts_events": tsq.bollinger_breakouts_events,
+        "seasonal_strength_events": tsq.seasonal_strength_events,
+        "ewma_crossover_events": tsq.ewma_crossover_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1510,6 +1513,10 @@ def oracle_sql() -> dict:
         "weekly_spectral_events": tsq.weekly_spectral_sql(),
         "rle_runs_events": tsq.rle_runs_sql(),
         "sax_symbols_events": tsq.sax_symbols_sql(),
+        # Bollinger breakouts decided by the all-integer L^2 > 4Q test
+        "bollinger_breakouts_events": tsq.bollinger_breakouts_sql(),
+        "seasonal_strength_events": tsq.seasonal_strength_sql(),
+        "ewma_crossover_events": tsq.ewma_crossover_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -2964,3 +2964,302 @@ SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_days,
        string_agg(c, '' ORDER BY seg) AS sax
 FROM sym GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bollinger breakout counts — integer-exact via the squared inequality
+# ---------------------------------------------------------------------------
+
+def bollinger_breakouts_events(sf_dir: str, window: int = 7):
+    """Bollinger-band breakout counts over each user's daily-spend
+    series: a day breaks out when its cents sit more than 2 population
+    std-devs from the trailing ``window``-day mean (window = the last
+    ``window`` OBSERVED days including today; only full windows count).
+
+    Integer-exact: with L = w·c − Σx and Q = w·Σx² − (Σx)², the test
+    |c − μ| > 2σ is equivalent to L² > 4·Q (sign of L gives the
+    direction) — no float enters the decision on either engine."""
+    w = window
+
+    def fold(user_runs) -> pa.Table:
+        cols = {k: [] for k in ("user_id", "n_days", "n_windows",
+                                "n_up", "n_down")}
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < w:
+                continue
+            c = cents.astype(np.int64)
+            csum = np.r_[0, np.cumsum(c)]
+            csq = np.r_[0, np.cumsum(c * c)]
+            sa = csum[w:] - csum[:-w]          # trailing-w sums at i>=w-1
+            saa = csq[w:] - csq[:-w]
+            cur = c[w - 1:]
+            L = w * cur - sa
+            Q = w * saa - sa * sa
+            up = (L > 0) & (L * L > 4 * Q)
+            dn = (L < 0) & (L * L > 4 * Q)
+            cols["user_id"].append(uid)
+            cols["n_days"].append(n)
+            cols["n_windows"].append(int(len(cur)))
+            cols["n_up"].append(int(up.sum()))
+            cols["n_down"].append(int(dn.sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], pa.int64())
+                         for k in ("user_id", "n_days", "n_windows",
+                                   "n_up", "n_down")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def bollinger_breakouts_sql(window: int = 7) -> str:
+    w = window
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+win AS (
+    SELECT user_id, cents,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           sum(cents) OVER (w ROWS BETWEEN {w - 1} PRECEDING
+                            AND CURRENT ROW) AS sa,
+           sum(cents * cents) OVER (w ROWS BETWEEN {w - 1} PRECEDING
+                                    AND CURRENT ROW) AS saa
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+t AS (
+    SELECT user_id, n,
+           {w} * cents - sa AS L,
+           {w} * saa - sa * sa AS Q
+    FROM win WHERE i >= {w}
+)
+SELECT user_id,
+       CAST(any_value(n) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(coalesce(sum(CASE WHEN L > 0 AND L * L > 4 * Q
+                          THEN 1 END), 0) AS BIGINT) AS n_up,
+       CAST(coalesce(sum(CASE WHEN L < 0 AND L * L > 4 * Q
+                          THEN 1 END), 0) AS BIGINT) AS n_down
+FROM t GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength — day-of-week ANOVA from integer sufficient stats
+# ---------------------------------------------------------------------------
+
+def seasonal_strength_events(sf_dir: str, min_days: int = 14):
+    """Day-of-week seasonal strength of each user's daily spend:
+    1 − SS_within / SS_total where SS_within pools the variance around
+    each weekday's own mean — the ANOVA η² complement, the model-choice
+    signal between the trend-only and harmonic fit banks.
+
+    Exactness: per-weekday sufficient statistics (n_k, Σx, Σx²) are
+    exact integers; both engines evaluate the identical 7-term
+    left-associative float expression Σ_k (Σx²_k − Σx_k²/n_k), skipping
+    empty weekdays with the same CASE."""
+    def fold(user_runs) -> pa.Table:
+        out_u, out_n, out_s = [], [], []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < min_days:
+                continue
+            c = cents.astype(object)           # exact python ints
+            dow = (day % 7).astype(np.int64)
+            sa_k = [0] * 7
+            saa_k = [0] * 7
+            n_k = [0] * 7
+            for ci, ki in zip(c.tolist(), dow.tolist()):
+                sa_k[ki] += ci
+                saa_k[ki] += ci * ci
+                n_k[ki] += 1
+            sa, saa = sum(sa_k), sum(saa_k)
+            ss_t = float(saa) - float(sa) * float(sa) / float(n)
+            if ss_t <= 0.0:
+                continue
+            ss_w = 0.0
+            for k in range(7):                 # fixed order = SQL's +
+                if n_k[k] > 0:
+                    ss_w += (float(saa_k[k])
+                             - float(sa_k[k]) * float(sa_k[k])
+                             / float(n_k[k]))
+            out_u.append(uid)
+            out_n.append(n)
+            out_s.append(1.0 - ss_w / ss_t)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "seasonal_strength": pa.array(
+                round_away(np.array(out_s, np.float64), 6)
+                if out_s else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "seasonal_strength": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def seasonal_strength_sql(min_days: int = 14) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN n{k} > 0 THEN CAST(saa{k} AS DOUBLE) "
+        f"- CAST(sa{k} AS DOUBLE) * CAST(sa{k} AS DOUBLE) "
+        f"/ CAST(n{k} AS DOUBLE) ELSE 0.0 END)" for k in range(7))
+    pivots = ",\n           ".join(
+        f"CAST(coalesce(sum(CASE WHEN day % 7 = {k} THEN cents END), 0)"
+        f" AS BIGINT) AS sa{k},\n           "
+        f"CAST(coalesce(sum(CASE WHEN day % 7 = {k} THEN cents * cents "
+        f"END), 0) AS BIGINT) AS saa{k},\n           "
+        f"CAST(coalesce(sum(CASE WHEN day % 7 = {k} THEN 1 END), 0) "
+        f"AS BIGINT) AS n{k}" for k in range(7))
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+ph AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sa,
+           CAST(sum(cents * cents) AS BIGINT) AS saa,
+           {pivots}
+    FROM d GROUP BY user_id
+    HAVING count(*) >= {min_days}
+),
+ss AS (
+    SELECT user_id, n,
+           CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ss_t,
+           ({terms}) AS ss_w
+    FROM ph
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(1.0 - ss_w / ss_t, 6) AS seasonal_strength
+FROM ss WHERE ss_t > 0.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA fast/slow crossover — the MACD-style regime-change counter
+# ---------------------------------------------------------------------------
+
+_EWMA_FAST = 0.5
+_EWMA_SLOW = 0.1
+
+
+def ewma_crossover_events(sf_dir: str, alpha_fast: float = _EWMA_FAST,
+                          alpha_slow: float = _EWMA_SLOW):
+    """Fast-vs-slow EWMA crossover count per user over the daily-spend
+    series (observed days in day order): both averages start at the
+    first day's cents, a crossover is a strict sign flip of
+    (fast − slow) between consecutive days — the classic MACD-style
+    regime-change signal, the sequential analog of the monitor bank's
+    EWMA process (kernels/monitors.py).
+
+    Exactness follows the Holt pattern: the smoothing constants and
+    their complements are inlined as identical doubles, every step is
+    the identical float expression tree, and the sign comparisons are
+    on bit-identical doubles."""
+    af, asl = float(alpha_fast), float(alpha_slow)
+    omf, oms = 1.0 - af, 1.0 - asl
+
+    def fold(user_runs) -> pa.Table:
+        out = {k: [] for k in ("user_id", "n_days", "n_cross")}
+        out_d = []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < 2:
+                continue
+            y0 = float(int(cents[0]))
+            f = s = y0
+            pd_ = 0.0
+            ncross = 0
+            dd = 0.0
+            for c in cents[1:].tolist():
+                y = float(int(c))
+                f = af * y + omf * f
+                s = asl * y + oms * s
+                dd = f - s
+                if (dd > 0 and pd_ < 0) or (dd < 0 and pd_ > 0):
+                    ncross += 1
+                pd_ = dd
+            out["user_id"].append(uid)
+            out["n_days"].append(n)
+            out["n_cross"].append(ncross)
+            out_d.append(dd)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "n_cross": pa.array(out["n_cross"], pa.int64()),
+            "last_diff": pa.array(
+                round_away(np.array(out_d, np.float64), 6)
+                if out_d else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "n_cross": pa.array([], pa.int64()),
+                         "last_diff": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def ewma_crossover_sql(alpha_fast: float = _EWMA_FAST,
+                       alpha_slow: float = _EWMA_SLOW) -> str:
+    af = repr(float(alpha_fast))
+    asl = repr(float(alpha_slow))
+    omf = repr(1.0 - float(alpha_fast))
+    oms = repr(1.0 - float(alpha_slow))
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+steps AS (
+    SELECT user_id, CAST(cents AS DOUBLE) AS y,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+rec AS (
+    SELECT user_id, i, y AS f, y AS s FROM steps WHERE i = 1
+    UNION ALL
+    SELECT r.user_id, r.i + 1,
+           {af} * st.y + {omf} * r.f,
+           {asl} * st.y + {oms} * r.s
+    FROM rec r JOIN steps st
+      ON st.user_id = r.user_id AND st.i = r.i + 1
+),
+diffs AS (
+    SELECT user_id, i, f - s AS dd,
+           lag(f - s) OVER (PARTITION BY user_id ORDER BY i) AS pd
+    FROM rec
+),
+agg AS (
+    SELECT user_id, max(i) AS mi,
+           CAST(coalesce(sum(CASE WHEN (dd > 0 AND pd < 0)
+                                    OR (dd < 0 AND pd > 0)
+                              THEN 1 END), 0) AS BIGINT) AS n_cross
+    FROM diffs GROUP BY user_id
+)
+SELECT a.user_id, CAST(a.mi AS BIGINT) AS n_days, a.n_cross,
+       round(df.dd, 6) AS last_diff
+FROM agg a JOIN diffs df ON df.user_id = a.user_id AND df.i = a.mi
+WHERE a.mi >= 2
+"""

@@ -389,3 +389,63 @@ def test_sax_breakpoints_are_mean_based(ray_session, tmp_path):
             for i, v in enumerate(vals)]
     out = _df(sax_symbols_events(_write_events(tmp_path, rows)))
     assert out.iloc[0]["sax"] == "abab" * 2
+
+
+def test_bollinger_planted_spike(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import bollinger_breakouts_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    cents = [100] * 7 + [1000]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    rows += [(90 + i, d0 + i * DAY_US + 1, 2, 1.00) for i in range(6)]
+    out = _df(bollinger_breakouts_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]       # user 2: < window days
+    r = out.iloc[0]
+    # flat window: L=0 -> no breakout; the spike day: L^2 > 4Q -> up
+    assert (r["n_days"], r["n_windows"], r["n_up"], r["n_down"]) \
+        == (8, 2, 1, 0)
+
+
+def test_seasonal_strength_pure_weekday_pattern(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import seasonal_strength_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    rows = []
+    eid = 0
+    for k in range(14):       # value a function of weekday only -> 1.0
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 1, float(10 + (k % 7))))
+    for k in range(14):       # constant -> SS_total = 0 -> excluded
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 2, 5.00))
+    for k in range(10):       # too few days -> excluded
+        eid += 1
+        rows.append((eid, d0 + k * DAY_US + 1, 3, float(k)))
+    out = _df(seasonal_strength_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]
+    assert out.iloc[0]["seasonal_strength"] == 1.0
+    assert out.iloc[0]["n_days"] == 14
+
+
+def test_ewma_crossover_matches_direct_replay(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import (_EWMA_FAST, _EWMA_SLOW,
+                                              ewma_crossover_events)
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    cents = [100, 400, 50, 500, 60, 600, 70]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    out = _df(ewma_crossover_events(_write_events(tmp_path, rows)))
+    # independent replay of the recursion
+    af, asl = _EWMA_FAST, _EWMA_SLOW
+    f = s = float(cents[0])
+    prev, ncross = 0.0, 0
+    for c in cents[1:]:
+        f = af * c + (1.0 - af) * f
+        s = asl * c + (1.0 - asl) * s
+        dd = f - s
+        if (dd > 0 > prev) or (dd < 0 < prev):
+            ncross += 1
+        prev = dd
+    r = out.iloc[0]
+    assert r["n_days"] == len(cents)
+    assert r["n_cross"] == ncross
+    assert abs(r["last_diff"] - prev) < 1e-6
