@@ -130,6 +130,9 @@ def queries() -> dict:
         "bollinger_breakouts_events": tsq.bollinger_breakouts_events,
         "seasonal_strength_events": tsq.seasonal_strength_events,
         "ewma_crossover_events": tsq.ewma_crossover_events,
+        "drawdown_events": tsq.drawdown_events,
+        "cusum_breach_events": tsq.cusum_breach_events,
+        "doc_readability_scores": tx.readability_scores,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1517,6 +1520,10 @@ def oracle_sql() -> dict:
         "bollinger_breakouts_events": tsq.bollinger_breakouts_sql(),
         "seasonal_strength_events": tsq.seasonal_strength_sql(),
         "ewma_crossover_events": tsq.ewma_crossover_sql(),
+        "drawdown_events": tsq.drawdown_sql(),
+        # integer tabular CuSum, recursive-CTE bit-exact replay
+        "cusum_breach_events": tsq.cusum_breach_sql(),
+        "doc_readability_scores": tx.readability_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -3302,3 +3302,54 @@ def pagerank_dup_graph(sf_dir: str, num: int = 3, den: int = 5,
                             ascending=[False, True]).head(top_k) \
         .reset_index(drop=True)
     return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def readability_scores(sf_dir: str):
+    """Flesch reading-ease per document from three RE2-countable
+    integer statistics — words (``\\S+`` runs), sentences (``[.!?]+``
+    runs, floored at 1), vowel-group syllables (``[aeiouy]+`` runs on
+    the lowercased text) — then the identical float formula
+    206.835 − 1.015·(words/sents) − 84.6·(syll/words) on both engines.
+    The vowel-group syllable counter is the standard dictionary-free
+    approximation; its bias cancels in corpus-relative quality
+    filtering, which is how the score is consumed."""
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        words = _count_re(text, r"\S+")
+        sents = np.maximum(_count_re(text, r"[.!?]+"), 1)
+        syll = _count_re(pc.utf8_lower(text), r"[aeiouy]+")
+        ok = words > 0
+        w = words.astype(np.float64)
+        s = sents.astype(np.float64)
+        y = syll.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(ok)),
+            "n_words": pa.array(words[ok], pa.int64()),
+            "n_sents": pa.array(sents[ok], pa.int64()),
+            "n_syllables": pa.array(syll[ok], pa.int64()),
+            "flesch": pa.array(round_away(fl[ok], 4)),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def readability_sql() -> str:
+    return r"""
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sents,
+       CAST(y AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+             - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+           AS flesch
+FROM c WHERE w > 0
+"""

@@ -3263,3 +3263,169 @@ SELECT a.user_id, CAST(a.mi AS BIGINT) AS n_days, a.n_cross,
 FROM agg a JOIN diffs df ON df.user_id = a.user_id AND df.i = a.mi
 WHERE a.mi >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# max drawdown — all-integer running-peak analytic of the cumulative series
+# ---------------------------------------------------------------------------
+
+def drawdown_events(sf_dir: str):
+    """Maximum drawdown of each user's DAILY spend level (observed days
+    in day order): the largest fall from the running per-day peak to a
+    later day, plus the 1-based index of the trough that realizes it
+    (first trough on ties) — the engagement-collapse shape over the
+    rollup tiers, and all-integer so exact by construction.  (The
+    cumulative-total variant is degenerate here — daily cents are
+    strictly positive, so the running total never falls.)"""
+    def fold(user_runs) -> pa.Table:
+        cols = {k: [] for k in ("user_id", "n_days",
+                                "max_drawdown_cents", "trough_idx")}
+        for uid, cents, day in user_runs:
+            lvl = cents.astype(np.int64)
+            peak = np.maximum.accumulate(lvl)
+            dd = peak - lvl
+            ti = int(np.argmax(dd))             # first max on ties
+            cols["user_id"].append(uid)
+            cols["n_days"].append(len(cents))
+            cols["max_drawdown_cents"].append(int(dd[ti]))
+            cols["trough_idx"].append(ti + 1)   # 1-based like row_number
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], pa.int64())
+                         for k in ("user_id", "n_days",
+                                   "max_drawdown_cents", "trough_idx")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def drawdown_sql() -> str:
+    return """
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+c AS (
+    SELECT user_id,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           max(cents) OVER (w ROWS UNBOUNDED PRECEDING) - cents AS dd
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+r AS (
+    SELECT user_id, n, dd, i,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY dd DESC, i ASC) AS rk
+    FROM c
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       CAST(dd AS BIGINT) AS max_drawdown_cents,
+       CAST(i AS BIGINT) AS trough_idx
+FROM r WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-sided integer CuSum breach counter — SQL-exact twin of the monitor
+# ---------------------------------------------------------------------------
+
+#: fixed CuSum reference and decision interval in cents (≈ the corpus
+#: median daily spend and 5x it) — the tabular-CuSum (k, h) pair
+_CUSUM_K = 10_000
+_CUSUM_H = 50_000
+
+
+def cusum_breach_events(sf_dir: str, k: int = _CUSUM_K,
+                        h: int = _CUSUM_H):
+    """Two-sided tabular CuSum over each user's daily cents with
+    INTEGER state: S⁺ = max(0, S⁺ + (c − k)), S⁻ = max(0, S⁻ + (k − c)),
+    either side breaching ``h`` counts an alarm and resets both sides —
+    the SQL-checkable twin of the engine's float CuSum monitor
+    (kernels/monitors.py CuSum; cf. /root/reference/nrt/monitor/cusum.py
+    for the reference semantics).  Every quantity is an int64, so the
+    recursive-CTE oracle matches bit-for-bit."""
+    def fold(user_runs) -> pa.Table:
+        cols = {kk: [] for kk in ("user_id", "n_days", "n_alarms",
+                                  "last_sp", "last_sn")}
+        for uid, cents, day in user_runs:
+            sp = sn = 0
+            alarms = 0
+            for c in cents.tolist():
+                c = int(c)
+                sp = max(0, sp + (c - k))
+                sn = max(0, sn + (k - c))
+                if sp > h or sn > h:
+                    alarms += 1
+                    sp = sn = 0
+            cols["user_id"].append(uid)
+            cols["n_days"].append(len(cents))
+            cols["n_alarms"].append(alarms)
+            cols["last_sp"].append(sp)
+            cols["last_sn"].append(sn)
+        return pa.table({kk: pa.array(v, pa.int64())
+                         for kk, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({kk: pa.array([], pa.int64())
+                         for kk in ("user_id", "n_days", "n_alarms",
+                                    "last_sp", "last_sn")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def cusum_breach_sql(k: int = _CUSUM_K, h: int = _CUSUM_H) -> str:
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+steps AS (
+    SELECT user_id, cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+rec AS (
+    SELECT user_id, i,
+           CASE WHEN greatest(0, cents - {k}) > {h}
+                  OR greatest(0, {k} - cents) > {h}
+                THEN 0 ELSE greatest(0, cents - {k}) END AS sp,
+           CASE WHEN greatest(0, cents - {k}) > {h}
+                  OR greatest(0, {k} - cents) > {h}
+                THEN 0 ELSE greatest(0, {k} - cents) END AS sn,
+           CASE WHEN greatest(0, cents - {k}) > {h}
+                  OR greatest(0, {k} - cents) > {h}
+                THEN 1 ELSE 0 END AS alarms
+    FROM steps WHERE i = 1
+    UNION ALL
+    SELECT r.user_id, r.i + 1,
+           CASE WHEN greatest(0, r.sp + s.cents - {k}) > {h}
+                  OR greatest(0, r.sn + {k} - s.cents) > {h}
+                THEN 0
+                ELSE greatest(0, r.sp + s.cents - {k}) END,
+           CASE WHEN greatest(0, r.sp + s.cents - {k}) > {h}
+                  OR greatest(0, r.sn + {k} - s.cents) > {h}
+                THEN 0
+                ELSE greatest(0, r.sn + {k} - s.cents) END,
+           r.alarms + CASE WHEN greatest(0, r.sp + s.cents - {k}) > {h}
+                             OR greatest(0, r.sn + {k} - s.cents) > {h}
+                           THEN 1 ELSE 0 END
+    FROM rec r JOIN steps s
+      ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT r.user_id,
+       CAST(r.i AS BIGINT) AS n_days,
+       CAST(r.alarms AS BIGINT) AS n_alarms,
+       CAST(r.sp AS BIGINT) AS last_sp,
+       CAST(r.sn AS BIGINT) AS last_sn
+FROM rec r JOIN (SELECT user_id, max(i) AS mi FROM rec
+                 GROUP BY user_id) q
+  ON q.user_id = r.user_id AND r.i = q.mi
+"""

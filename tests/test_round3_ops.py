@@ -449,3 +449,63 @@ def test_ewma_crossover_matches_direct_replay(ray_session, tmp_path):
     assert r["n_days"] == len(cents)
     assert r["n_cross"] == ncross
     assert abs(r["last_diff"] - prev) < 1e-6
+
+
+def test_drawdown_planted_peak_trough(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import drawdown_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # daily cents: 100 500 200 50 400 -> peak 500 at i=2, trough 50 at
+    # i=4 -> dd=450; the later 400 does not beat the peak
+    cents = [100, 500, 200, 50, 400]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    # user 2: strictly increasing -> drawdown 0, trough at day 1
+    rows += [(80 + i, d0 + i * DAY_US + 1, 2, float(i + 1))
+             for i in range(4)]
+    out = _df(drawdown_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert (byu.loc[1, "max_drawdown_cents"], byu.loc[1, "trough_idx"],
+            byu.loc[1, "n_days"]) == (450, 4, 5)
+    assert (byu.loc[2, "max_drawdown_cents"],
+            byu.loc[2, "trough_idx"]) == (0, 1)
+
+
+def test_cusum_breach_planted_alarm_and_reset(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import cusum_breach_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # k=10000, h=50000.  Six days at 30000: S+ grows by 20000/day ->
+    # breaches (>50000) on day 3 (60000), resets, breaches again on
+    # day 6, resets.  Then two days at 9000: S- = 1000, 2000.
+    cents = [30000] * 6 + [9000, 9000]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    out = _df(cusum_breach_events(_write_events(tmp_path, rows)))
+    r = out.iloc[0]
+    assert (r["n_days"], r["n_alarms"], r["last_sp"], r["last_sn"]) \
+        == (8, 2, 0, 2000)
+
+
+def test_readability_planted_counts(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from nrt_ray.pipelines.textops import readability_scores
+    texts = ["The cat sat. The dog ran!",   # 6 words, 2 sents
+             "no sentence markers here",    # 4 words, floored 1 sent
+             ""]                            # 0 words -> excluded
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["t"] * 3, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = _df(readability_scores(str(tmp_path)))
+    assert sorted(out["doc_id"]) == [1, 2]
+    byd = out.set_index("doc_id")
+    assert byd.loc[1, "n_words"] == 6
+    assert byd.loc[1, "n_sents"] == 2
+    # vowel groups: the-1 cat-1 sat-1 the-1 dog-1 ran-1 = 6
+    assert byd.loc[1, "n_syllables"] == 6
+    exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(byd.loc[1, "flesch"] - exp) < 1e-4
+    assert byd.loc[2, "n_sents"] == 1
