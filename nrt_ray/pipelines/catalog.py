@@ -133,6 +133,9 @@ def queries() -> dict:
         "drawdown_events": tsq.drawdown_events,
         "cusum_breach_events": tsq.cusum_breach_events,
         "doc_readability_scores": tx.readability_scores,
+        "kalman_level_events": tsq.kalman_level_events,
+        "changepoint_events": tsq.changepoint_events,
+        "mad_outlier_days_events": tsq.mad_outlier_days_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1524,6 +1527,12 @@ def oracle_sql() -> dict:
         # integer tabular CuSum, recursive-CTE bit-exact replay
         "cusum_breach_events": tsq.cusum_breach_sql(),
         "doc_readability_scores": tx.readability_sql(),
+        # local-level Kalman, Holt-style recursive float replay
+        "kalman_level_events": tsq.kalman_level_sql(),
+        # binary-segmentation split on integer prefix sums
+        "changepoint_events": tsq.changepoint_sql(),
+        # scaled-integer median/MAD order statistics
+        "mad_outlier_days_events": tsq.mad_outlier_days_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -3429,3 +3429,322 @@ FROM rec r JOIN (SELECT user_id, max(i) AS mi FROM rec
                  GROUP BY user_id) q
   ON q.user_id = r.user_id AND r.i = q.mi
 """
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter — the steady-state smoother of the rollup tiers
+# ---------------------------------------------------------------------------
+
+_KALMAN_Q = 1.0e4      # level-drift variance, cents^2
+_KALMAN_R = 1.0e6      # observation-noise variance, cents^2
+
+
+def kalman_level_events(sf_dir: str, q: float = _KALMAN_Q,
+                        r: float = _KALMAN_R):
+    """Local-level (random-walk-plus-noise) Kalman filter over each
+    user's daily cents: l₁=y₁, P₁=r; then P'=P+q, K=P'/(P'+r),
+    l+=K·(y−l), P=(1−K)·P' — the optimal recursive smoother whose
+    steady-state gain the EWMA monitor approximates.  Exactness follows
+    the Holt pattern: q and r are inlined as identical doubles and
+    every step is the identical float expression tree on both
+    engines."""
+    qf, rf = float(q), float(r)
+
+    def fold(user_runs) -> pa.Table:
+        out = {k: [] for k in ("user_id", "n_days")}
+        out_l, out_p, out_k = [], [], []
+        for uid, cents, day in user_runs:
+            y0 = float(int(cents[0]))
+            lvl, p = y0, rf
+            kg = 0.0
+            for c in cents[1:].tolist():
+                y = float(int(c))
+                pp = p + qf
+                kg = pp / (pp + rf)
+                lvl = lvl + kg * (y - lvl)
+                p = (1.0 - kg) * pp
+            out["user_id"].append(uid)
+            out["n_days"].append(len(cents))
+            out_l.append(lvl)
+            out_p.append(p)
+            out_k.append(kg)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "level": pa.array(round_away(np.array(out_l, np.float64), 6)
+                              if out_l else np.array([], np.float64)),
+            "p_var": pa.array(round_away(np.array(out_p, np.float64), 6)
+                              if out_p else np.array([], np.float64)),
+            "gain": pa.array(round_away(np.array(out_k, np.float64), 6)
+                             if out_k else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.float64()),
+                         "p_var": pa.array([], pa.float64()),
+                         "gain": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def kalman_level_sql(q: float = _KALMAN_Q, r: float = _KALMAN_R) -> str:
+    # plain decimal literals parse as DECIMAL in DuckDB and would drag
+    # the whole recursion into fixed-point arithmetic — force DOUBLE
+    qs = f"CAST({float(q)!r} AS DOUBLE)"
+    rs = f"CAST({float(r)!r} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+steps AS (
+    SELECT user_id, CAST(cents AS DOUBLE) AS y,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+rec AS (
+    SELECT user_id, i, y AS l, {rs} AS p,
+           CAST(0.0 AS DOUBLE) AS kg
+    FROM steps WHERE i = 1
+    UNION ALL
+    SELECT r2.user_id, r2.i + 1,
+           r2.l + ((r2.p + {qs}) / ((r2.p + {qs}) + {rs}))
+                  * (s.y - r2.l),
+           (1.0 - ((r2.p + {qs}) / ((r2.p + {qs}) + {rs})))
+               * (r2.p + {qs}),
+           (r2.p + {qs}) / ((r2.p + {qs}) + {rs})
+    FROM rec r2 JOIN steps s
+      ON s.user_id = r2.user_id AND s.i = r2.i + 1
+)
+SELECT rec.user_id, CAST(rec.i AS BIGINT) AS n_days,
+       round(rec.l, 6) AS level,
+       round(rec.p, 6) AS p_var,
+       round(rec.kg, 6) AS gain
+FROM rec JOIN (SELECT user_id, max(i) AS mi FROM rec
+               GROUP BY user_id) q2
+  ON q2.user_id = rec.user_id AND rec.i = q2.mi
+"""
+
+
+# ---------------------------------------------------------------------------
+# single changepoint — binary segmentation step on integer prefix sums
+# ---------------------------------------------------------------------------
+
+def changepoint_events(sf_dir: str, min_seg: int = 2):
+    """Best single changepoint of each user's daily-cents series
+    (binary-segmentation step): the split s (left = days 1..s) that
+    minimizes SSE_left + SSE_right, each side ≥ ``min_seg`` observed
+    days; reports the split index, the SSE reduction (gain) and the two
+    segment means.  Sufficient statistics are integer prefix sums; the
+    per-split cost is the identical float expression on both engines,
+    the argmin tie-broken to the smallest s."""
+    m = min_seg
+
+    def fold(user_runs) -> pa.Table:
+        out = {k: [] for k in ("user_id", "n_days", "split_idx")}
+        out_g, out_ml, out_mr = [], [], []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < 2 * m:
+                continue
+            c = cents.astype(np.int64)
+            ps = np.cumsum(c)                 # exact integer prefixes
+            ps2 = np.cumsum(c * c)
+            tot, tot2 = int(ps[-1]), int(ps2[-1])
+            s = np.arange(m, n - m + 1, dtype=np.int64)   # split sizes
+            sa_l = ps[s - 1].astype(np.float64)
+            saa_l = ps2[s - 1].astype(np.float64)
+            sa_r = (tot - ps[s - 1]).astype(np.float64)
+            saa_r = (tot2 - ps2[s - 1]).astype(np.float64)
+            nf = float(n)
+            sf = s.astype(np.float64)
+            cost = (saa_l - sa_l * sa_l / sf) \
+                + (saa_r - sa_r * sa_r / (nf - sf))
+            best = int(np.argmin(cost))       # first min on ties
+            ss_t = float(tot2) - float(tot) * float(tot) / nf
+            out["user_id"].append(uid)
+            out["n_days"].append(n)
+            out["split_idx"].append(int(s[best]))
+            out_g.append(ss_t - float(cost[best]))
+            out_ml.append(float(sa_l[best]) / float(s[best]))
+            out_mr.append(float(sa_r[best]) / (nf - float(s[best])))
+        f6 = lambda v: pa.array(round_away(np.array(v, np.float64), 6)
+                                if v else np.array([], np.float64))
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "split_idx": pa.array(out["split_idx"], pa.int64()),
+            "gain": f6(out_g),
+            "mean_left": f6(out_ml),
+            "mean_right": f6(out_mr),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "split_idx": pa.array([], pa.int64()),
+                         "gain": pa.array([], pa.float64()),
+                         "mean_left": pa.array([], pa.float64()),
+                         "mean_right": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def changepoint_sql(min_seg: int = 2) -> str:
+    m = min_seg
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+p AS (
+    SELECT user_id,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS ps,
+           CAST(sum(cents * cents) OVER (w ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS ps2
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+tot AS (
+    SELECT user_id, any_value(n) AS n,
+           max(ps) AS t1, max(ps2) AS t2
+    FROM p GROUP BY user_id HAVING any_value(n) >= {2 * m}
+),
+costs AS (
+    SELECT p.user_id, t.n, p.i AS s,
+           (CAST(p.ps2 AS DOUBLE) - CAST(p.ps AS DOUBLE)
+              * CAST(p.ps AS DOUBLE) / CAST(p.i AS DOUBLE))
+           + (CAST(t.t2 - p.ps2 AS DOUBLE)
+              - CAST(t.t1 - p.ps AS DOUBLE)
+                * CAST(t.t1 - p.ps AS DOUBLE)
+                / (CAST(t.n AS DOUBLE) - CAST(p.i AS DOUBLE))) AS cost,
+           CAST(p.ps AS DOUBLE) AS sa_l,
+           CAST(t.t1 - p.ps AS DOUBLE) AS sa_r,
+           CAST(t.t2 AS DOUBLE) - CAST(t.t1 AS DOUBLE)
+               * CAST(t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS ss_t
+    FROM p JOIN tot t USING (user_id)
+    WHERE p.i >= {m} AND p.i <= t.n - {m}
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cost ASC, s ASC) AS rk
+    FROM costs
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS split_idx,
+       round(ss_t - cost, 6) AS gain,
+       round(sa_l / CAST(s AS DOUBLE), 6) AS mean_left,
+       round(sa_r / (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)), 6)
+           AS mean_right
+FROM best WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier days — the robust shewhart twin, all-integer order stats
+# ---------------------------------------------------------------------------
+
+def mad_outlier_days_events(sf_dir: str, nmad: int = 3,
+                            min_days: int = 5):
+    """Robust outlier-day count per user: days whose cents deviate from
+    the series median by more than ``nmad`` MADs — the SQL-checkable
+    twin of the engine's MAD/shewhart screening (kernels/stats.py mad;
+    cf. /root/reference/nrt/outliers.py shewhart).
+
+    Scaled-integer exactness: 2·median = the two middle order
+    statistics summed (med2), per-day scaled deviation
+    dev2 = |2·c − med2| (= 2·|c − median|), 2·median(dev2) = mad4
+    (= 4·MAD), and the outlier test |c−med| > nmad·MAD becomes
+    2·dev2 > nmad·mad4 — integers end to end."""
+    def fold(user_runs) -> pa.Table:
+        cols = {k: [] for k in ("user_id", "n_days", "n_outliers",
+                                "med2_cents", "mad4_cents")}
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < min_days:
+                continue
+            c = np.sort(cents.astype(np.int64))
+            med2 = int(c[(n - 1) // 2]) + int(c[n // 2])
+            dev2 = np.abs(2 * cents.astype(np.int64) - med2)
+            dsort = np.sort(dev2)
+            mad4 = int(dsort[(n - 1) // 2]) + int(dsort[n // 2])
+            n_out = int((2 * dev2 > nmad * mad4).sum())
+            cols["user_id"].append(uid)
+            cols["n_days"].append(n)
+            cols["n_outliers"].append(n_out)
+            cols["med2_cents"].append(med2)
+            cols["mad4_cents"].append(mad4)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], pa.int64())
+                         for k in ("user_id", "n_days", "n_outliers",
+                                   "med2_cents", "mad4_cents")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def mad_outlier_days_sql(nmad: int = 3, min_days: int = 5) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+rnk AS (
+    SELECT user_id, cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cents) AS r,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+med AS (
+    SELECT user_id, any_value(n) AS n,
+           CAST(sum(CASE WHEN r = (n - 1) // 2 + 1 THEN cents
+                         ELSE 0 END)
+                + sum(CASE WHEN r = n // 2 + 1 THEN cents
+                      ELSE 0 END) AS BIGINT) AS med2
+    FROM rnk GROUP BY user_id HAVING any_value(n) >= {min_days}
+),
+dev AS (
+    SELECT d.user_id, m.n, m.med2,
+           abs(2 * d.cents - m.med2) AS dev2
+    FROM d JOIN med m USING (user_id)
+),
+drnk AS (
+    SELECT user_id, n, med2, dev2,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY dev2) AS r
+    FROM dev
+),
+mad AS (
+    SELECT user_id, any_value(n) AS n, any_value(med2) AS med2,
+           CAST(sum(CASE WHEN r = (n - 1) // 2 + 1 THEN dev2
+                         ELSE 0 END)
+                + sum(CASE WHEN r = n // 2 + 1 THEN dev2
+                      ELSE 0 END) AS BIGINT) AS mad4
+    FROM drnk GROUP BY user_id
+)
+SELECT v.user_id,
+       CAST(any_value(v.n) AS BIGINT) AS n_days,
+       CAST(coalesce(sum(CASE WHEN 2 * v.dev2 > {nmad} * ma.mad4
+                          THEN 1 END), 0) AS BIGINT) AS n_outliers,
+       CAST(any_value(v.med2) AS BIGINT) AS med2_cents,
+       CAST(any_value(ma.mad4) AS BIGINT) AS mad4_cents
+FROM dev v JOIN mad ma USING (user_id)
+GROUP BY v.user_id
+"""

@@ -509,3 +509,63 @@ def test_readability_planted_counts(ray_session, tmp_path):
     exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert abs(byd.loc[1, "flesch"] - exp) < 1e-4
     assert byd.loc[2, "n_sents"] == 1
+
+
+def test_kalman_level_matches_direct_replay(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import (_KALMAN_Q, _KALMAN_R,
+                                              kalman_level_events)
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    cents = [10000, 30000, 5000, 20000, 15000]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    out = _df(kalman_level_events(_write_events(tmp_path, rows)))
+    lvl, p = float(cents[0]), _KALMAN_R
+    kg = 0.0
+    for c in cents[1:]:
+        pp = p + _KALMAN_Q
+        kg = pp / (pp + _KALMAN_R)
+        lvl = lvl + kg * (c - lvl)
+        p = (1.0 - kg) * pp
+    r = out.iloc[0]
+    assert r["n_days"] == 5
+    assert abs(r["level"] - lvl) < 1e-6
+    assert abs(r["p_var"] - p) < 1e-6
+    assert abs(r["gain"] - kg) < 1e-6
+    # the filter pulls the level toward the running mean, between the
+    # first observation and the last
+    assert min(cents) < r["level"] < max(cents)
+
+
+def test_changepoint_planted_step(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import changepoint_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # clean step: 4 days at 100, then 4 days at 900 -> split at s=4
+    cents = [100] * 4 + [900] * 4
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    rows += [(90 + i, d0 + i * DAY_US + 1, 2, 1.00) for i in range(3)]
+    out = _df(changepoint_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]       # user 2: too short
+    r = out.iloc[0]
+    assert r["split_idx"] == 4
+    assert r["mean_left"] == 100.0
+    assert r["mean_right"] == 900.0
+    # perfect step: the split removes ALL the variance
+    exp_sst = sum((c - 500) ** 2 for c in cents)   # means are exact
+    assert abs(r["gain"] - exp_sst) < 1e-6
+
+
+def test_mad_outlier_days_planted(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import mad_outlier_days_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # 7 days: median 100, MAD = median(|c-100|) = 10; the 1000-cent
+    # day deviates 900 > 3*10 -> exactly one outlier
+    cents = [100, 110, 90, 100, 105, 95, 1000]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    out = _df(mad_outlier_days_events(_write_events(tmp_path, rows)))
+    r = out.iloc[0]
+    assert (r["n_days"], r["n_outliers"]) == (7, 1)
+    assert r["med2_cents"] == 200              # 2 * 100
+    # devs sorted: [0,0,5,5,10,10,900] -> median dev 5 -> 4*MAD = 20
+    assert r["mad4_cents"] == 20
