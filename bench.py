@@ -141,8 +141,11 @@ BENCH_QUERIES = (
     "clicks_before_purchase_1h",
     "user_ohlc_daily",
     "ssjoin_exact_docs",
+    "pagerank_dup_graph_docs",
     "daily_active_users_hll",
     "holt_winters_daily_events",
+    "kalman_level_events",
+    "mad_outlier_days_events",
     "pack_sequences_docs",
     "curate_corpus_docs",
 )

@@ -136,6 +136,7 @@ def queries() -> dict:
         "kalman_level_events": tsq.kalman_level_events,
         "changepoint_events": tsq.changepoint_events,
         "mad_outlier_days_events": tsq.mad_outlier_days_events,
+        "rescaled_range_events": tsq.rescaled_range_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1533,6 +1534,8 @@ def oracle_sql() -> dict:
         "changepoint_events": tsq.changepoint_sql(),
         # scaled-integer median/MAD order statistics
         "mad_outlier_days_events": tsq.mad_outlier_days_sql(),
+        # Hurst R/S via the n-scaled integer cumulative-deviation walk
+        "rescaled_range_events": tsq.rescaled_range_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

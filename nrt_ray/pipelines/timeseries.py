@@ -3748,3 +3748,101 @@ SELECT v.user_id,
 FROM dev v JOIN mad ma USING (user_id)
 GROUP BY v.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rescaled range (Hurst R/S) — long-memory diagnostic, integer-scaled
+# ---------------------------------------------------------------------------
+
+def rescaled_range_events(sf_dir: str, min_days: int = 8):
+    """Full-window rescaled range R/S of each user's daily cents — the
+    Hurst long-memory diagnostic (Mandelbrot & Wallis 1969): R = range
+    of the cumulative mean-deviation walk, S = population std-dev.
+
+    Integer-scaled exactness: the walk scaled by n,
+    W_i = n·Σ_{j≤i}c_j − i·Σc, is an exact int64 on both engines, so
+    R·n = max(W) − min(W) is exact; S enters only through the final
+    identical float expression rs = (R_n / n) / sqrt((Σc² − (Σc)²/n)/n).
+    Users need ≥ ``min_days`` observed days and nonzero variance."""
+    def fold(user_runs) -> pa.Table:
+        out_u, out_n, out_r = [], [], []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < min_days:
+                continue
+            c = cents.astype(np.int64)
+            ps = np.cumsum(c)
+            tot = int(ps[-1])
+            saa = int((c * c).sum())
+            i = np.arange(1, n + 1, dtype=np.int64)
+            walk = n * ps - i * tot            # n * cumdev_i, exact
+            rn = int(walk.max()) - int(walk.min())
+            nf = float(n)
+            var = (float(saa) - float(tot) * float(tot) / nf) / nf
+            if var <= 0.0:
+                continue
+            import math
+            rs = (float(rn) / nf) / math.sqrt(var)
+            out_u.append(uid)
+            out_n.append(n)
+            out_r.append(rs)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "rs_stat": pa.array(
+                round_away(np.array(out_r, np.float64), 6)
+                if out_r else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "rs_stat": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def rescaled_range_sql(min_days: int = 8) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+p AS (
+    SELECT user_id,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS ps
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+tot AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS t1,
+           CAST(sum(cents * cents) AS BIGINT) AS saa
+    FROM d GROUP BY user_id
+),
+w2 AS (
+    SELECT p.user_id, t.n, t.t1, t.saa,
+           t.n * p.ps - p.i * t.t1 AS walk
+    FROM p JOIN tot t USING (user_id)
+    WHERE t.n >= {min_days}
+),
+agg AS (
+    SELECT user_id, any_value(n) AS n, any_value(t1) AS t1,
+           any_value(saa) AS saa,
+           max(walk) - min(walk) AS rn
+    FROM w2 GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round((CAST(rn AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(saa AS DOUBLE) - CAST(t1 AS DOUBLE)
+                     * CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 6) AS rs_stat
+FROM agg
+WHERE (CAST(saa AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0.0
+"""

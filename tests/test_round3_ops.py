@@ -569,3 +569,28 @@ def test_mad_outlier_days_planted(ray_session, tmp_path):
     assert r["med2_cents"] == 200              # 2 * 100
     # devs sorted: [0,0,5,5,10,10,900] -> median dev 5 -> 4*MAD = 20
     assert r["mad4_cents"] == 20
+
+
+def test_rescaled_range_planted(ray_session, tmp_path):
+    import math
+    from nrt_ray.pipelines.timeseries import rescaled_range_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    cents = [100, 300, 200, 400, 100, 300, 200, 400]
+    rows = [(i + 1, d0 + i * DAY_US + 1, 1, c / 100.0)
+            for i, c in enumerate(cents)]
+    # constant user: zero variance -> excluded
+    rows += [(90 + i, d0 + i * DAY_US + 1, 2, 5.00) for i in range(8)]
+    out = _df(rescaled_range_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]
+    n = len(cents)
+    tot = sum(cents)
+    ps, acc = [], 0
+    for c in cents:
+        acc += c
+        ps.append(acc)
+    walk = [n * p - (i + 1) * tot for i, p in enumerate(ps)]
+    rn = max(walk) - min(walk)
+    var = (sum(c * c for c in cents) - tot * tot / n) / n
+    exp = (rn / n) / math.sqrt(var)
+    assert abs(out.iloc[0]["rs_stat"] - exp) < 1e-6
+    assert out.iloc[0]["n_days"] == n
