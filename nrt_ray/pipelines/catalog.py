@@ -137,6 +137,9 @@ def queries() -> dict:
         "changepoint_events": tsq.changepoint_events,
         "mad_outlier_days_events": tsq.mad_outlier_days_events,
         "rescaled_range_events": tsq.rescaled_range_events,
+        "gini_daily_events": tsq.gini_daily_events,
+        "wow_growth_events": tsq.wow_growth_events,
+        "doc_hapax_ratio": tx.hapax_ratio,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1536,6 +1539,10 @@ def oracle_sql() -> dict:
         "mad_outlier_days_events": tsq.mad_outlier_days_sql(),
         # Hurst R/S via the n-scaled integer cumulative-deviation walk
         "rescaled_range_events": tsq.rescaled_range_sql(),
+        # Gini: tie-order-invariant integer numerator, one float division
+        "gini_daily_events": tsq.gini_daily_sql(),
+        "wow_growth_events": tsq.wow_growth_sql(),
+        "doc_hapax_ratio": tx.hapax_ratio_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -3353,3 +3353,69 @@ SELECT doc_id,
            AS flesch
 FROM c WHERE w > 0
 """
+
+
+def hapax_ratio(sf_dir: str):
+    """Within-doc hapax legomena ratio: the fraction of a document's
+    DISTINCT tokens that occur exactly once — the lexical-richness
+    complement of the repetition stats (natural text ≈ 0.4-0.6;
+    template/boilerplate text collapses toward 0).  Per-doc token
+    multiplicities come from the batch-vectorized token-hash segments;
+    the oracle counts the same multiplicities at the token-string level
+    (md5-low-64 hashing is injective on every tested corpus, the same
+    assumption the LM/novelty oracles rely on).  Empty docs excluded."""
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        out = {k: [] for k in ("doc_id", "n_tokens", "n_distinct",
+                               "n_hapax")}
+        ratios = []
+        pos = 0
+        for did, n in zip(ids.tolist(), counts.tolist()):
+            seg = flat[pos:pos + n]
+            pos += n
+            if n == 0:
+                continue
+            _, cnt = np.unique(seg, return_counts=True)
+            nd = len(cnt)
+            nh = int((cnt == 1).sum())
+            out["doc_id"].append(did)
+            out["n_tokens"].append(n)
+            out["n_distinct"].append(nd)
+            out["n_hapax"].append(nh)
+            ratios.append(float(nh) / float(nd))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "n_hapax": pa.array(out["n_hapax"], pa.int64()),
+            "hapax_ratio": pa.array(
+                round_away(np.array(ratios, np.float64), 6)
+                if ratios else np.array([], np.float64)),
+        })
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def hapax_ratio_sql() -> str:
+    return r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+),
+tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+tf AS (SELECT doc_id, t, count(*) AS c FROM tok2 GROUP BY doc_id, t),
+d AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
+                AS BIGINT) AS n_hapax
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, n_hapax,
+       round(CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE), 6)
+           AS hapax_ratio
+FROM d
+"""

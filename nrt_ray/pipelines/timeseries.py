@@ -3846,3 +3846,138 @@ FROM agg
 WHERE (CAST(saa AS DOUBLE) - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE)
        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of daily spend — inequality of a user's activity
+# ---------------------------------------------------------------------------
+
+def gini_daily_events(sf_dir: str, min_days: int = 2):
+    """Gini coefficient of each user's daily cents: with the series
+    sorted ascending, G = Σᵢ(2i − n − 1)·cᵢ / (n·Σc) — how concentrated
+    the user's spend is in a few heavy days (0 = uniform, →1 = one
+    day dominates).  The numerator and denominator are exact integers
+    (the numerator is invariant to tie order since equal values
+    commute), so only one identical float division runs per user."""
+    def fold(user_runs) -> pa.Table:
+        out_u, out_n, out_g = [], [], []
+        for uid, cents, day in user_runs:
+            n = len(cents)
+            if n < min_days:
+                continue
+            c = np.sort(cents.astype(np.int64))
+            tot = int(c.sum())
+            if tot <= 0:
+                continue
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * i - n - 1) * c).sum())
+            out_u.append(uid)
+            out_n.append(n)
+            out_g.append(float(num) / (float(n) * float(tot)))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "gini": pa.array(round_away(np.array(out_g, np.float64), 6)
+                             if out_g else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "gini": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def gini_daily_sql(min_days: int = 2) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+r AS (
+    SELECT user_id, cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cents) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM d
+),
+agg AS (
+    SELECT user_id, any_value(n) AS n,
+           CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS num,
+           CAST(sum(cents) AS BIGINT) AS tot
+    FROM r GROUP BY user_id
+    HAVING any_value(n) >= {min_days} AND sum(cents) > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(CAST(num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# week-over-week growth — last vs previous observed week, integer cents
+# ---------------------------------------------------------------------------
+
+def wow_growth_events(sf_dir: str, min_weeks: int = 2):
+    """Week-over-week growth per user: the last OBSERVED calendar week's
+    cents vs the previous observed week's (absolute week = ⌊day/7⌋) —
+    the freshness KPI the 1w rollup tier serves.  All integers."""
+    def fold(user_runs) -> pa.Table:
+        cols = {k: [] for k in ("user_id", "n_weeks", "last_week_cents",
+                                "prev_week_cents", "growth_cents")}
+        for uid, cents, day in user_runs:
+            wk = (day // 7).astype(np.int64)
+            uw, inv = np.unique(wk, return_inverse=True)
+            if len(uw) < min_weeks:
+                continue
+            acc = np.zeros(len(uw), np.int64)
+            np.add.at(acc, inv, cents.astype(np.int64))
+            cols["user_id"].append(uid)
+            cols["n_weeks"].append(len(uw))
+            cols["last_week_cents"].append(int(acc[-1]))
+            cols["prev_week_cents"].append(int(acc[-2]))
+            cols["growth_cents"].append(int(acc[-1] - acc[-2]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    def empty() -> pa.Table:
+        return pa.table({k: pa.array([], pa.int64())
+                         for k in ("user_id", "n_weeks",
+                                   "last_week_cents", "prev_week_cents",
+                                   "growth_cents")})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def wow_growth_sql(min_weeks: int = 2) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS wk,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, wk
+),
+w AS (
+    SELECT user_id, cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY wk DESC) AS r,
+           count(*) OVER (PARTITION BY user_id) AS nw
+    FROM d
+)
+SELECT user_id,
+       CAST(any_value(nw) AS BIGINT) AS n_weeks,
+       CAST(sum(CASE WHEN r = 1 THEN cents END) AS BIGINT)
+           AS last_week_cents,
+       CAST(sum(CASE WHEN r = 2 THEN cents END) AS BIGINT)
+           AS prev_week_cents,
+       CAST(sum(CASE WHEN r = 1 THEN cents END)
+            - sum(CASE WHEN r = 2 THEN cents END) AS BIGINT)
+           AS growth_cents
+FROM w GROUP BY user_id HAVING any_value(nw) >= {min_weeks}
+"""

@@ -594,3 +594,63 @@ def test_rescaled_range_planted(ray_session, tmp_path):
     exp = (rn / n) / math.sqrt(var)
     assert abs(out.iloc[0]["rs_stat"] - exp) < 1e-6
     assert out.iloc[0]["n_days"] == n
+
+
+def test_gini_uniform_vs_concentrated(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import gini_daily_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    rows = []
+    # user 1: perfectly uniform 4 days -> G = 0
+    rows += [(i + 1, d0 + i * DAY_US + 1, 1, 2.00) for i in range(4)]
+    # user 2: [100,100,100,900] -> sorted, num = sum((2i-n-1)c)
+    c2 = [100, 100, 100, 900]
+    rows += [(10 + i, d0 + i * DAY_US + 1, 2, c / 100.0)
+             for i, c in enumerate(c2)]
+    out = _df(gini_daily_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "gini"] == 0.0
+    n, tot = 4, sum(c2)
+    num = sum((2 * (i + 1) - n - 1) * c
+              for i, c in enumerate(sorted(c2)))
+    assert abs(byu.loc[2, "gini"] - num / (n * tot)) < 1e-6
+
+
+def test_wow_growth_skips_gap_weeks(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import wow_growth_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    wk = 7 * DAY_US
+    rows = [
+        (1, d0 + 1, 1, 1.00),                # week 0: 100
+        (2, d0 + 2 * wk + 1, 1, 5.00),       # week 2 (week 1 absent)
+        (3, d0 + 2 * wk + DAY_US, 1, 2.00),  # week 2 again: total 700
+        (4, d0 + 1, 2, 9.00),                # user 2: single week
+    ]
+    out = _df(wow_growth_events(_write_events(tmp_path, rows)))
+    assert list(out["user_id"]) == [1]
+    r = out.iloc[0]
+    assert (r["n_weeks"], r["last_week_cents"], r["prev_week_cents"],
+            r["growth_cents"]) == (2, 700, 100, 600)
+
+
+def test_hapax_ratio_planted(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    from nrt_ray.pipelines.textops import hapax_ratio
+    texts = ["a b a c b d",    # counts a2 b2 c1 d1 -> 2/4 hapax
+             "x x x",          # 0/1
+             ""]               # excluded
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["t"] * 3, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = _df(hapax_ratio(str(tmp_path)))
+    assert sorted(out["doc_id"]) == [1, 2]
+    byd = out.set_index("doc_id")
+    assert (byd.loc[1, "n_tokens"], byd.loc[1, "n_distinct"],
+            byd.loc[1, "n_hapax"]) == (6, 4, 2)
+    assert byd.loc[1, "hapax_ratio"] == 0.5
+    assert (byd.loc[2, "n_distinct"], byd.loc[2, "n_hapax"]) == (1, 0)
+    assert byd.loc[2, "hapax_ratio"] == 0.0
