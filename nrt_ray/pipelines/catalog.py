@@ -140,6 +140,9 @@ def queries() -> dict:
         "gini_daily_events": tsq.gini_daily_events,
         "wow_growth_events": tsq.wow_growth_events,
         "doc_hapax_ratio": tx.hapax_ratio,
+        "burstiness_events": tsq.burstiness_events,
+        "fano_factor_events": tsq.fano_factor_events,
+        "user_percentile_rank_events": tsq.user_percentile_rank_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1543,6 +1546,11 @@ def oracle_sql() -> dict:
         "gini_daily_events": tsq.gini_daily_sql(),
         "wow_growth_events": tsq.wow_growth_sql(),
         "doc_hapax_ratio": tx.hapax_ratio_sql(),
+        # HUGEINT gap moments (us^2 overflows int64), identical float B
+        "burstiness_events": tsq.burstiness_sql(),
+        "fano_factor_events": tsq.fano_factor_sql(),
+        # cross-user global rank via the distributed ordered prefix scan
+        "user_percentile_rank_events": tsq.user_percentile_rank_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

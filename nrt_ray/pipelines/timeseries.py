@@ -3981,3 +3981,311 @@ SELECT user_id,
            AS growth_cents
 FROM w GROUP BY user_id HAVING any_value(nw) >= {min_weeks}
 """
+
+
+# ---------------------------------------------------------------------------
+# burstiness — Goh-Barabási B of the inter-arrival gap distribution
+# ---------------------------------------------------------------------------
+
+def burstiness_events(sf_dir: str):
+    """Goh & Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps (μs): −1 = metronome, 0 = Poisson, →1 = bursty —
+    the arrival-process diagnostic behind the monitor bank's sampling
+    assumptions.  Gap sums and SQUARED sums are exact integers (python
+    ints here, HUGEINT in the oracle — μs² overflows int64), and both
+    engines evaluate the identical float expression.  Users need ≥2
+    gaps and a positive mean gap."""
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.pipelines.relational import pool_size
+    import math
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        d = np.diff(ts)
+        same = u[1:] == u[:-1]
+        gd, gu = d[same], u[1:][same]
+        out_u, out_n, out_b = [], [], []
+        if len(gd):
+            uids, starts = np.unique(gu, return_index=True)
+            ends = np.append(starts[1:], len(gu))
+            for uu, s, e in zip(uids.tolist(), starts.tolist(),
+                                ends.tolist()):
+                n = e - s
+                if n < 2:
+                    continue
+                g = [int(x) for x in gd[s:e]]     # exact python ints
+                sg = sum(g)
+                if sg <= 0:
+                    continue
+                sgg = sum(x * x for x in g)
+                nf = float(n)
+                mu = float(sg) / nf
+                var = (float(sgg) - float(sg) * float(sg) / nf) / nf
+                sd = math.sqrt(var)
+                out_u.append(uu)
+                out_n.append(n)
+                out_b.append((sd - mu) / (sd + mu))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "burstiness": pa.array(
+                round_away(np.array(out_b, np.float64), 6)
+                if out_b else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_gaps": pa.array([], pa.int64()),
+                         "burstiness": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def burstiness_sql() -> str:
+    return """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS gap
+    FROM events
+),
+agg AS (
+    SELECT user_id, count(gap) AS n,
+           CAST(sum(gap) AS BIGINT) AS sg,
+           sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    HAVING count(gap) >= 2 AND sum(gap) > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round((sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+                    * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE))
+              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+                      * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE))
+                + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           AS burstiness
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fano factor — dispersion of daily event counts over the active span
+# ---------------------------------------------------------------------------
+
+def fano_factor_events(sf_dir: str, min_span: int = 2):
+    """Fano factor (variance-to-mean ratio) of each user's daily EVENT
+    COUNTS over their active span (first..last observed day inclusive;
+    absent days count 0): 1 = Poisson arrivals, >1 = overdispersed /
+    clumped crawling.  Integer sufficient statistics (Σc, Σc², span),
+    one identical float expression."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, 1)
+        return pa.table({"ck": pa.array(uk), "cnt": pa.array(acc)})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["cnt"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // BASE) % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        uid, day = ck // BASE, ck % BASE
+        order = np.lexsort((day, uid))
+        uid, day, cnt = uid[order], day[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_s, out_f = [], [], []
+        for s, e in zip(starts, ends):
+            span = int(day[e - 1] - day[s]) + 1
+            if span < min_span:
+                continue
+            c = cnt[s:e].astype(np.int64)
+            sc, scc = int(c.sum()), int((c * c).sum())
+            spf = float(span)
+            mu = float(sc) / spf
+            var = (float(scc) - float(sc) * float(sc) / spf) / spf
+            if mu <= 0.0:
+                continue
+            out_u.append(int(uid[s]))
+            out_s.append(span)
+            out_f.append(var / mu)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "span_days": pa.array(out_s, pa.int64()),
+            "fano": pa.array(round_away(np.array(out_f, np.float64), 6)
+                             if out_f else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "span_days": pa.array([], pa.int64()),
+                         "fano": pa.array([], pa.float64())})
+
+    return exchange_dataset(daily.map_batches(tag,
+                                              batch_format="pyarrow"),
+                            nparts, fold, empty)
+
+
+def fano_factor_sql(min_span: int = 2) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           count(*) AS cnt
+    FROM events GROUP BY user_id, day
+),
+agg AS (
+    SELECT user_id,
+           max(day) - min(day) + 1 AS span,
+           CAST(sum(cnt) AS BIGINT) AS sc,
+           CAST(sum(cnt * cnt) AS BIGINT) AS scc
+    FROM d GROUP BY user_id
+    HAVING max(day) - min(day) + 1 >= {min_span} AND sum(cnt) > 0
+)
+SELECT user_id, CAST(span AS BIGINT) AS span_days,
+       round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+               * CAST(sc AS DOUBLE) / CAST(span AS DOUBLE))
+              / CAST(span AS DOUBLE))
+             / (CAST(sc AS DOUBLE) / CAST(span AS DOUBLE)), 6) AS fano
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# global percentile rank — cross-user rank via the ordered prefix scan
+# ---------------------------------------------------------------------------
+
+def user_percentile_rank_events(sf_dir: str):
+    """Each user's global percentile rank by total spend: rank = the
+    number of users with a strictly smaller (total_cents, user_id)
+    composite — a CROSS-KEY global order, computed distributed with the
+    same range-partition + in-partition-sort + P-scalar prefix scan the
+    sequence packer uses (``stages/scan.ordered_prefix_scan``; no
+    driver-side sort of the user table).  Composite key
+    tot·2²² + user_id keeps the scan's keys unique (documented bound:
+    user_id < 2²², total < 2⁴¹ cents).  pct = rank / (n_users − 1)."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.hashagg import keyed_sum
+    from nrt_ray.stages.scan import ordered_prefix_scan
+
+    nparts = max(2, pool_size())
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"user_id": pa.array(uk),
+                         "tot_cents": pa.array(acc)})
+
+    totals = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "user_id", ["tot_cents"], nparts, key_dtype=pa.int64())
+
+    # P-scalar partials: the scan's key bound and the user count
+    stats = totals.map_batches(
+        lambda t: pa.table({
+            "mx": pa.array([int(t["tot_cents"].to_numpy(
+                zero_copy_only=False).max()) if t.num_rows else 0],
+                pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_users = int(stats["n"].sum())
+    max_tot = int(stats["mx"].max()) if n_users else 0
+
+    def add_key(t: pa.Table) -> pa.Table:
+        tot = t["tot_cents"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "tot_cents": t["tot_cents"],
+            "ckey": pa.array(tot * BASE + uid, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    scanned = ordered_prefix_scan(
+        totals.map_batches(add_key, batch_format="pyarrow"),
+        key="ckey", value="one", num_partitions=nparts,
+        key_bound=(max_tot + 1) * int(BASE), out_name="rnk")
+
+    denom = float(n_users - 1) if n_users > 1 else 1.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "tot_cents": t["tot_cents"],
+            "rnk": pa.array(rnk),
+            "pct": pa.array(round_away(
+                rnk.astype(np.float64) / denom, 6)),
+        })
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def user_percentile_rank_sql() -> str:
+    return """
+WITH tot AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS tot_cents
+    FROM events GROUP BY user_id
+),
+n AS (SELECT count(*) AS nu FROM tot)
+SELECT user_id, tot_cents,
+       CAST(row_number() OVER (ORDER BY tot_cents, user_id) - 1
+            AS BIGINT) AS rnk,
+       round(CAST(row_number() OVER (ORDER BY tot_cents, user_id) - 1
+                  AS DOUBLE)
+             / (CASE WHEN (SELECT nu FROM n) > 1
+                     THEN CAST((SELECT nu FROM n) - 1 AS DOUBLE)
+                     ELSE 1.0 END), 6) AS pct
+FROM tot
+"""

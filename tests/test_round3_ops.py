@@ -654,3 +654,58 @@ def test_hapax_ratio_planted(ray_session, tmp_path):
     assert byd.loc[1, "hapax_ratio"] == 0.5
     assert (byd.loc[2, "n_distinct"], byd.loc[2, "n_hapax"]) == (1, 0)
     assert byd.loc[2, "hapax_ratio"] == 0.0
+
+
+def test_burstiness_metronome_vs_bursty(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import burstiness_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    rows = []
+    # user 1: perfectly regular gaps -> sigma=0 -> B = -1
+    rows += [(i + 1, d0 + i * 3_600_000_000, 1, 1.0) for i in range(5)]
+    # user 2: bursty — gaps [1us, 1us, big] -> B > 0
+    for j, off in enumerate([0, 1, 2, 10**12]):
+        rows.append((50 + j, d0 + off, 2, 1.0))
+    # user 3: single event -> excluded
+    rows.append((99, d0, 3, 1.0))
+    out = _df(burstiness_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "burstiness"] == -1.0
+    assert byu.loc[1, "n_gaps"] == 4
+    # finite-size bound: max B for n=3 gaps is (sqrt(2)-1)/(sqrt(2)+1)
+    # ~ 0.1716; the planted burst sits essentially at it
+    assert byu.loc[2, "burstiness"] > 0.17
+    assert 3 not in byu.index
+
+
+def test_fano_factor_poisson_like_and_clumped(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import fano_factor_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    rows = []
+    # user 1: one event every day for 4 days -> var 0 -> fano 0
+    rows += [(i + 1, d0 + i * DAY_US + 1, 1, 1.0) for i in range(4)]
+    # user 2: 4 events on day 0, none on days 1-3 -> span 4,
+    # counts [4,0,0,0]: mu=1, var=(16-4)/4=3 -> fano 3
+    rows += [(10 + i, d0 + i, 2, 1.0) for i in range(4)]
+    rows.append((20, d0 + 3 * DAY_US + 1, 2, 1.0))
+    # ^ adds a 5th event on day 3: counts [4,0,0,1], span 4 — recompute
+    out = _df(fano_factor_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "fano"] == 0.0
+    assert byu.loc[1, "span_days"] == 4
+    sc, scc, span = 5, 17, 4
+    mu = sc / span
+    var = (scc - sc * sc / span) / span
+    assert abs(byu.loc[2, "fano"] - var / mu) < 1e-6
+
+
+def test_percentile_rank_orders_and_ties(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import user_percentile_rank_events
+    d0 = (1_700_000_000_000_000 // DAY_US) * DAY_US
+    # totals: u1=300, u2=100, u3=300 (tie with u1 -> u1 ranks first)
+    rows = [(1, d0 + 1, 1, 3.00), (2, d0 + 2, 2, 1.00),
+            (3, d0 + 3, 3, 2.00), (4, d0 + 4, 3, 1.00)]
+    out = _df(user_percentile_rank_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[2, "rnk"] == 0 and byu.loc[2, "pct"] == 0.0
+    assert byu.loc[1, "rnk"] == 1                 # tie broken by uid
+    assert byu.loc[3, "rnk"] == 2 and byu.loc[3, "pct"] == 1.0
