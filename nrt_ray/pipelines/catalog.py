@@ -53,6 +53,10 @@ def queries() -> dict:
         "q10_returned_items": rel.q10_returned_items,
         "q15_top_supplier": rel.q15_top_supplier,
         "q21_waiting_suppliers": rel.q21_waiting_suppliers,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_stock": rel.q11_important_stock,
+        "q16_supplier_part_counts": rel.q16_supplier_part_counts,
+        "q20_dominant_part_suppliers": rel.q20_dominant_part_suppliers,
         "customers_per_region": rel.customers_per_region,
         "lang_distribution": rel.lang_distribution,
         "events_head_by_time": rel.events_head_by_time,
@@ -491,6 +495,81 @@ def oracle_sql() -> dict:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             ORDER BY agg.u DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        "q2_min_cost_supplier": """
+            WITH pairs AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(min(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS mc
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE p_size = 15 AND r_name = 'EUROPE'
+                GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT l_partkey, min(mc) AS m FROM pairs GROUP BY 1
+            )
+            SELECT s.s_acctbal, s.s_name, n.n_name,
+                   pairs.l_partkey AS p_partkey,
+                   CAST(pairs.mc AS BIGINT) / 100.0 AS supply_cost
+            FROM pairs
+            JOIN best ON best.l_partkey = pairs.l_partkey
+                     AND pairs.mc = best.m
+            JOIN supplier s ON s.s_suppkey = pairs.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        """,
+        "q11_important_stock": """
+            WITH agg AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name = 'ASIA'
+                GROUP BY 1
+            )
+            SELECT l_partkey, cents / 100.0 AS part_value
+            FROM agg
+            WHERE cents * (SELECT count(*) FROM agg)
+                  > (SELECT sum(cents) FROM agg)
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+              AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_dominant_part_suppliers": """
+            WITH pq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+                FROM pq GROUP BY 1
+            )
+            SELECT pq.l_suppkey AS s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_parts_dominated
+            FROM pq JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = pq.l_suppkey
+            WHERE pq.q * 2 >= tot.tq
+            GROUP BY 1, 2
         """,
         "q15_top_supplier": """
             WITH agg AS (

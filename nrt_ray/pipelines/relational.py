@@ -1881,3 +1881,368 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 10):
         .map_batches(lambda t: batch_topk(t, keys, desc, k),
                      batch_format="pyarrow") \
         .sort(keys, descending=desc).limit(k)
+
+
+#: composite (partkey, suppkey) int key base — same bound argument as
+#: :data:`_Q21_BASE` (suppkey < 1e6 at every test scale; partkey·BASE
+#: stays far below 2⁶³)
+_PS_BASE = 1_000_003
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15,
+                         region_name: str = "EUROPE"):
+    """TPC-H Q2 shape (adapted — this schema has no partsupp, so the
+    per-(part, supplier) supply cost is the MINIMUM observed line price
+    in lineitem): for each part of one size, the region supplier(s)
+    offering it at the lowest cost — the correlated-min-subquery
+    pattern (reference has no joins at all; SURVEY §2.8).
+
+    Plan: part/supplier/nation/region are broadcast dimension filters;
+    one lineitem pass folds per-(part, supplier) min-cents combiner
+    partials into a composite-int-keyed ``groupby(Min)`` (the only
+    exchange — pair-aggregate-sized, not row-sized); the per-part min
+    comes off that aggregate (dimension-bounded) and broadcasts back
+    into the equality filter.  Exact integer cents throughout, ties all
+    returned (the spec's ORDER/LIMIT is presentation only)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"])
+    pkeys = np.sort(part.filter(pc.equal(part["p_size"], size))
+                    ["p_partkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region["r_name"].to_pylist(),
+                  region["r_regionkey"].to_pylist()))[region_name]
+    rnat = nation.filter(pc.equal(nation["n_regionkey"], rk))
+    nname = dict(zip(rnat["n_nationkey"].to_pylist(),
+                     rnat["n_name"].to_pylist()))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet")
+    sup = sup.filter(pa.array(np.isin(
+        sup["s_nationkey"].to_numpy(zero_copy_only=False),
+        rnat["n_nationkey"].to_numpy(zero_copy_only=False))))
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk)
+    skeys = sk[order]
+    sname = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
+    sacct = sup["s_acctbal"].to_numpy(zero_copy_only=False)[order]
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False)[order]
+
+    def _member(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if not len(sorted_keys):
+            return np.zeros(len(v), dtype=bool)
+        pos = np.minimum(np.searchsorted(sorted_keys, v),
+                         len(sorted_keys) - 1)
+        return sorted_keys[pos] == v
+
+    def pair_min_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = _member(pkeys, pk) & _member(skeys, s)
+        pk, s = pk[keep], s[keep]
+        cents = round_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            [keep] * 100.0, 0).astype(np.int64)
+        pair = pk * _PS_BASE + s
+        if not len(pair):
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "mc": pa.array([], pa.int64())})
+        order = np.lexsort((cents, pair))
+        pair, cents = pair[order], cents[order]
+        first = np.r_[True, pair[1:] != pair[:-1]]
+        return pa.table({"pair": pa.array(pair[first]),
+                         "mc": pa.array(cents[first])})
+
+    pairs = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(pair_min_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Min("mc", alias_name="mc")) \
+        .materialize()   # pair-aggregate-sized; scanned twice below
+
+    # per-part min: dimension-bounded (≤ |filtered parts| rows)
+    best = pairs.map_batches(
+        lambda t: pa.table({
+            "pk": pc.cast(pc.divide(t["pair"], _PS_BASE), pa.int64()),
+            "mc": t["mc"]}),
+        batch_format="pyarrow") \
+        .groupby("pk").aggregate(Min("mc", alias_name="mc")).to_pandas()
+    bk = best["pk"].to_numpy()
+    border = np.argsort(bk)
+    bkeys, bmc = bk[border], best["mc"].to_numpy()[border]
+
+    def finish(t: pa.Table) -> pa.Table:
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        mc = t["mc"].to_numpy(zero_copy_only=False)
+        pk, s = pair // _PS_BASE, pair % _PS_BASE
+        pos = np.minimum(np.searchsorted(bkeys, pk),
+                         max(len(bkeys) - 1, 0))
+        keep = (bkeys[pos] == pk) & (mc == bmc[pos]) if len(bkeys) \
+            else np.zeros(len(pk), dtype=bool)
+        pk, s, mc = pk[keep], s[keep], mc[keep]
+        spos = np.searchsorted(skeys, s)
+        return pa.table({
+            "s_acctbal": pa.array(sacct[spos]),
+            "s_name": pa.array(sname[spos], pa.string()),
+            "n_name": pa.array(
+                np.asarray([nname[int(n)] for n in snat[spos]],
+                           dtype=object), pa.string()),
+            "p_partkey": pa.array(pk),
+            "supply_cost": pa.array(mc / 100.0),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def q11_important_stock(sf_dir: str, region_name: str = "ASIA"):
+    """TPC-H Q11 shape (adapted: value of a part = Σ line-price cents
+    supplied by one region's suppliers; "important" = above the mean
+    part value, a scale-free stand-in for the spec's 0.0001/SF
+    fraction): the groupby-with-global-scalar-HAVING pattern.
+
+    Plan: region suppkeys broadcast; one lineitem pass folds per-part
+    cents combiner partials into a partkey-keyed sum (the only
+    exchange); the HAVING scalar (total cents and part count) comes off
+    the small aggregate; the threshold compare is all-integer
+    (``cents · n_parts > total``) so both engines agree exactly."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region["r_name"].to_pylist(),
+                  region["r_regionkey"].to_pylist()))[region_name]
+    rnk = nation.filter(pc.equal(nation["n_regionkey"], rk)) \
+        ["n_nationkey"].to_numpy(zero_copy_only=False)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = np.sort(sup.filter(pa.array(np.isin(
+        sup["s_nationkey"].to_numpy(zero_copy_only=False), rnk)))
+        ["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, s), len(skeys) - 1)
+            keep = skeys[pos] == s
+        else:
+            keep = np.zeros(len(s), dtype=bool)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        cents = round_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            [keep] * 100.0, 0).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(uk),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+        })
+
+    agg = _read(sf_dir, "lineitem",
+                ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(value_partial, batch_format="pyarrow") \
+        .groupby("l_partkey") \
+        .aggregate(Sum("cents", alias_name="cents")).materialize()
+    total = agg.sum("cents") or 0
+    n_parts = agg.count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        keep = cents * np.int64(n_parts) > np.int64(total)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "part_value": pa.array(
+                t["cents"].to_numpy(zero_copy_only=False) / 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q16_supplier_part_counts(sf_dir: str, brand_excl: str = "Brand#3",
+                             type_excl: str = "PROMO",
+                             sizes=(3, 9, 14, 19, 23, 36, 45, 49)):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) over parts NOT of one brand/type and of eight sizes,
+    excluding "complaint" suppliers (adapted: negative account balance
+    plays the spec's complaints LIKE — this schema has no comments).
+
+    Plan: the filtered part dim maps partkey → group id (broadcast);
+    excluded suppkeys broadcast; one lineitem pass emits per-batch
+    DISTINCT (gid, suppkey) composite keys; a composite-keyed groupby
+    dedups globally (the only row-scale exchange); the per-gid distinct
+    count is then a combiner-partial sum.  COUNT(DISTINCT) without ever
+    holding the pair set on the driver."""
+    import pyarrow.parquet as pq
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    P = max(2, pool_size())
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    keep = pc.and_(pc.and_(
+        pc.not_equal(part["p_brand"], brand_excl),
+        pc.not_equal(part["p_type"], type_excl)),
+        pc.is_in(part["p_size"], value_set=pa.array(list(sizes))))
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    porder = np.argsort(pk)
+    pkeys = pk[porder]
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[porder]
+    types = np.asarray(part["p_type"].to_pylist(), dtype=object)[porder]
+    psizes = part["p_size"].to_numpy(zero_copy_only=False)[porder]
+    # group id = index of the (brand, type, size) combo
+    combo = np.asarray([f"{b}\x1f{t}\x1f{s}" for b, t, s
+                        in zip(brands, types, psizes)], dtype=object)
+    combos, gid_of_part = np.unique(combo, return_inverse=True)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(sup.filter(pc.less(sup["s_acctbal"], 0.0))
+                  ["s_suppkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(pkeys):
+            pos = np.minimum(np.searchsorted(pkeys, p), len(pkeys) - 1)
+            keep = pkeys[pos] == p
+        else:
+            pos = np.zeros(len(p), np.int64)
+            keep = np.zeros(len(p), dtype=bool)
+        if len(bad):
+            bpos = np.minimum(np.searchsorted(bad, s), len(bad) - 1)
+            keep &= bad[bpos] != s
+        gid = gid_of_part[pos[keep]]
+        pair = np.unique(gid.astype(np.int64) * _PS_BASE + s[keep])
+        return pa.table({"pair": pa.array(pair)})
+
+    distinct = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Count(alias_name="dup"))
+
+    counts = keyed_sum(
+        distinct.map_batches(
+            lambda t: pa.table({
+                "gid": pc.cast(pc.divide(t["pair"], _PS_BASE), pa.int64()),
+                "cnt": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "gid", ["cnt"], P, key_dtype=pa.int64())
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t["gid"].to_numpy(zero_copy_only=False)
+        parts3 = [combos[i].split("\x1f") for i in g]
+        return pa.table({
+            "p_brand": pa.array([x[0] for x in parts3], pa.string()),
+            "p_type": pa.array([x[1] for x in parts3], pa.string()),
+            "p_size": pa.array([int(x[2]) for x in parts3], pa.int64()),
+            "supplier_cnt": t["cnt"],
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def q20_dominant_part_suppliers(sf_dir: str, name_prefix: str = "small",
+                                year: int = 1996):
+    """TPC-H Q20 shape (adapted: "availqty > half of shipped" becomes
+    "this supplier shipped ≥ half of the part's total quantity in the
+    year" — the same correlated per-(part, supplier)-vs-per-part
+    aggregate comparison, over parts whose name has one prefix):
+    suppliers dominating at least one such part, with the count.
+
+    Plan: prefix partkeys broadcast; shipdate year pushed into the
+    parquet scan; one lineitem pass folds per-(part, supplier) qty
+    combiner partials into the composite-keyed sum (the only exchange);
+    per-part totals are dimension-bounded and broadcast back into the
+    dominance filter; supplier names resolve from the dim.  Quantities
+    are exact int64."""
+    import pyarrow.parquet as pq
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    P = max(2, pool_size())
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pkeys = np.sort(part.filter(pc.starts_with(part["p_name"],
+                                               name_prefix))
+                    ["p_partkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(pkeys):
+            pos = np.minimum(np.searchsorted(pkeys, p), len(pkeys) - 1)
+            keep = pkeys[pos] == p
+        else:
+            keep = np.zeros(len(p), dtype=bool)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        q = round_away(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[keep], 0).astype(np.int64)
+        pair = p[keep] * _PS_BASE + s
+        uk, inv = np.unique(pair, return_inverse=True)
+        return pa.table({
+            "pair": pa.array(uk),
+            "q": pa.array(np.bincount(
+                inv, weights=q.astype(np.float64)).astype(np.int64)),
+        })
+
+    pairs = keyed_sum(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+              filter=_ts_between("l_shipdate", f"{year}-01-01",
+                                 f"{year + 1}-01-01"))
+        .map_batches(qty_partial, batch_format="pyarrow"),
+        "pair", ["q"], P, key_dtype=pa.int64()).materialize()
+
+    # per-part totals: dimension-bounded (≤ |prefix parts| rows)
+    tot = pairs.map_batches(
+        lambda t: pa.table({
+            "pk": pc.cast(pc.divide(t["pair"], _PS_BASE), pa.int64()),
+            "q": t["q"]}),
+        batch_format="pyarrow") \
+        .groupby("pk").aggregate(Sum("q", alias_name="q")).to_pandas()
+    tk = tot["pk"].to_numpy()
+    torder = np.argsort(tk)
+    tkeys, tq = tk[torder], tot["q"].to_numpy()[torder]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    skeys, sname = _sorted_lookup(sup, "s_suppkey", "s_name")
+
+    def dominated(t: pa.Table) -> pa.Table:
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        pk, s = pair // _PS_BASE, pair % _PS_BASE
+        pos = np.minimum(np.searchsorted(tkeys, pk),
+                         max(len(tkeys) - 1, 0))
+        keep = (tkeys[pos] == pk) & (q * 2 >= tq[pos]) if len(tkeys) \
+            else np.zeros(len(pk), dtype=bool)
+        s = s[keep]
+        uk, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "skey": pa.array(uk),
+            "n_parts_dominated": pa.array(
+                np.bincount(inv).astype(np.int64)),
+        })
+
+    per_supp = keyed_sum(
+        pairs.map_batches(dominated, batch_format="pyarrow"),
+        "skey", ["n_parts_dominated"], P, key_dtype=pa.int64())
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["skey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, s)
+        return pa.table({
+            "s_suppkey": t["skey"],
+            "s_name": pa.array(sname[pos], pa.string()),
+            "n_parts_dominated": t["n_parts_dominated"],
+        })
+
+    return per_supp.map_batches(finish, batch_format="pyarrow")
