@@ -214,6 +214,7 @@ def queries() -> dict:
         "dedup_spans_docs": tx.dedup_spans_docs,
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
+        "image_png_decode_stats": mm.image_png_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
         "audio_resample_stats": mm.audio_resample_stats,
         "audio_decode_stats": mm.audio_decode_stats,
@@ -1517,6 +1518,9 @@ def oracle_sql() -> dict:
         # matching the decoded statistics checks BOTH codec directions
         # (encode_bmp/decode_bmp, encode_wav/decode_wav, frame chunking)
         "image_decode_stats": mm.image_stats_sql(),
+        # PNG: same closed-form pixel replay — the Ray side must invert
+        # zlib + all five scanline filters to produce these sums
+        "image_png_decode_stats": mm.image_stats_sql(),
         "image_resize_stats": mm.resize_stats_sql(),
         "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),

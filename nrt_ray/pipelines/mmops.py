@@ -37,9 +37,9 @@ import ray.data
 
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
-                                       BmpStats, FrameSampler,
+                                       BmpStats, FrameSampler, PngStats,
                                        WavResampleStats, WavStats,
-                                       encode_bmp, encode_wav)
+                                       encode_bmp, encode_png, encode_wav)
 
 WAV_RATE = 8000
 FRAME_BYTES = 1000
@@ -59,6 +59,19 @@ def synth_image(doc_id: int) -> bytes:
     px = (doc_id * 7 + i[:, None] * 13
           + np.array([0, 29, 58], dtype=np.int64)) % 256
     return encode_bmp(px.reshape(h, w, 3).astype(np.uint8))
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic REAL PNG (zlib + filter-cycled scanlines) for one
+    doc id — same pixel formula as :func:`synth_image`, so the decode
+    side must invert zlib AND all five PNG filters to match the oracle."""
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 7
+    i = np.arange(w * h, dtype=np.int64)
+    px = (doc_id * 7 + i[:, None] * 13
+          + np.array([0, 29, 58], dtype=np.int64)) % 256
+    return encode_png(px.reshape(h, w, 3).astype(np.uint8),
+                      filter_mode="cycle")
 
 
 def synth_audio(doc_id: int) -> bytes:
@@ -103,6 +116,21 @@ def image_resize_stats(sf_dir: str):
                      batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE) \
         .map_batches(BmpResizeStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def image_png_decode_stats(sf_dir: str):
+    """doc ids → REAL PNG payloads (zlib-compressed, scanlines filtered
+    with all five PNG filter types) → REAL decode (CRC walk + inflate +
+    unfilter) → exact per-channel sums.  Same oracle as the BMP path:
+    the pixel formula replayed in closed form — any bug in either codec
+    direction (filter math, Paeth predictor, CRC, stride) breaks it."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_png),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(PngStats, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE,
                      concurrency=pool_size())
 

@@ -11,11 +11,17 @@ table.  Two codec tiers:
   :class:`WavStats`) is a genuine binary decode pipeline with no
   container dependency; it is oracle-checked end-to-end in the driver
   catalog (``pipelines/mmops.py``).
-* **Stubbed compressed codecs** — JPEG/PNG pixel decode and real video
-  demux need libraries absent from this container, so
+* **Real compressed codec** — PNG (8-bit grayscale/truecolor,
+  non-interlaced) is zlib + per-scanline filters, both pure
+  stdlib/numpy, so :func:`encode_png` / :func:`decode_png` are REAL
+  compressed-image codecs: the encoder cycles through all five PNG
+  filter types (None/Sub/Up/Average/Paeth) so a decode that mishandles
+  any inverse filter breaks the oracle match.
+* **Stubbed compressed codecs** — JPEG pixel decode (DCT + Huffman) and
+  real video demux need libraries absent from this container, so
   :class:`ImageFeatures`/:class:`FrameSampler` keep ``decode="stub"``
   deterministic fakes and ``decode="real"`` raises at the exact plug-in
-  point.
+  point for those formats.
 
 Stages:
 
@@ -34,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -117,6 +124,159 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                          offset=offset).reshape(ah, stride)
     rgb = rows[:, :w * 3].reshape(ah, w, 3)[:, :, ::-1]
     return rgb if top_down else rgb[::-1]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """uint8 array → REAL PNG bytes (8-bit, non-interlaced, zlib IDAT).
+
+    ``(h, w, 3)`` encodes truecolor (color type 2), ``(h, w)`` grayscale
+    (color type 0).  ``filter_mode="cycle"`` filters scanline ``r`` with
+    type ``r % 5`` so every PNG filter (None/Sub/Up/Average/Paeth) is
+    exercised; ``"none"`` emits filter 0 everywhere.  All filter math is
+    the spec's mod-256 byte arithmetic (forward direction).
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if gray:
+        arr = arr[:, :, None]
+    h, w, bpp = arr.shape
+    raw = arr.astype(np.int64)
+    zero = np.zeros((1, bpp), np.int64)
+    prev = np.zeros((w, bpp), np.int64)
+    out = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        ft = 0 if filter_mode == "none" else r % 5
+        left = np.vstack([zero, cur[:-1]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = (cur - left) % 256
+        elif ft == 2:
+            f = (cur - prev) % 256
+        elif ft == 3:
+            f = (cur - (left + prev) // 2) % 256
+        else:
+            ul = np.vstack([zero, prev[:-1]])
+            f = (cur - _paeth(left, prev, ul)) % 256
+        out.append(ft)
+        out += f.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode: 8-bit grayscale / truecolor, non-interlaced.
+
+    Walks the chunk list with CRC verification, inflates the
+    concatenated IDAT stream, and inverts all five scanline filter
+    types per the PNG spec.  Returns ``(h, w)`` uint8 for grayscale,
+    ``(h, w, 3)`` for truecolor; rejects other bit depths / color
+    types / interlacing (the honest plug-in point for a full library).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_ not in (0, 2) or comp or filt or interlace:
+        raise ValueError(f"unsupported PNG (depth={depth}, "
+                         f"color={ctype_}, interlace={interlace})")
+    bpp = 3 if ctype_ == 2 else 1
+    stride = w * bpp + 1
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != stride * h:
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w, bpp), dtype=np.int64)
+    prev = np.zeros((w, bpp), np.int64)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        f = raw[r, 1:].astype(np.int64).reshape(w, bpp)
+        if ft == 0:
+            cur = f
+        elif ft == 1:                      # Sub: prefix sum along the row
+            cur = np.cumsum(f, axis=0) % 256
+        elif ft == 2:                      # Up
+            cur = (f + prev) % 256
+        elif ft == 3:                      # Average: sequential in x
+            cur = np.empty_like(f)
+            left = np.zeros(bpp, np.int64)
+            for x in range(w):
+                left = (f[x] + (left + prev[x]) // 2) % 256
+                cur[x] = left
+        elif ft == 4:                      # Paeth: sequential in x
+            cur = np.empty_like(f)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            for x in range(w):
+                left = (f[x] + _paeth(left, prev[x], ul)) % 256
+                cur[x] = left
+                ul = prev[x]
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = cur
+        prev = cur
+    out = out.astype(np.uint8)
+    return out[:, :, 0] if ctype_ == 0 else out
+
+
+class PngStats:
+    """Actor-pool stage: REAL PNG decode (inflate + unfilter) →
+    per-image dimensions and exact per-channel integer pixel sums."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, sr, sg, sb = [], [], [], [], []
+        for b in batch[self.col].to_pylist():
+            rgb = decode_png(b).astype(np.int64)
+            hs.append(rgb.shape[0])
+            ws.append(rgb.shape[1])
+            csum = rgb.sum(axis=(0, 1))
+            sr.append(int(csum[0]))
+            sg.append(int(csum[1]))
+            sb.append(int(csum[2]))
+        return batch.drop_columns([self.col]) \
+            .append_column("img_width", pa.array(ws, pa.int64())) \
+            .append_column("img_height", pa.array(hs, pa.int64())) \
+            .append_column("px_sum_r", pa.array(sr, pa.int64())) \
+            .append_column("px_sum_g", pa.array(sg, pa.int64())) \
+            .append_column("px_sum_b", pa.array(sb, pa.int64()))
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -308,10 +468,14 @@ class ImageMeta:
 class ImageFeatures:
     """Actor-pool stage: binary image → fixed-size float32 feature vector.
 
-    The real decode+model path is a container-level dependency; the stub
-    produces a deterministic unit-norm vector from a BLAKE2 stream over
-    the payload so downstream similarity / dedup stages exercise the same
-    schema and batch shapes.
+    ``decode="real"`` genuinely decodes BMP (:func:`decode_bmp`) and PNG
+    (:func:`decode_png`) payloads and emits a unit-norm ``dim``-bin
+    grayscale-histogram vector — a real pixels→features head with no
+    container dependency; JPEG/GIF payloads raise at the exact plug-in
+    point (DCT/LZW codecs need a library absent here).  The default
+    ``decode="stub"`` derives a deterministic unit-norm vector from a
+    BLAKE2 stream over the raw bytes so downstream similarity / dedup
+    stages exercise the same schema and batch shapes format-free.
 
     Use as ``ds.map_batches(ImageFeatures, fn_constructor_kwargs=...,
     batch_size=BINARY_BATCH_SIZE, concurrency=N, num_cpus=1)``.
@@ -321,13 +485,9 @@ class ImageFeatures:
                  decode: str = "stub"):
         if decode not in ("stub", "real"):
             raise ValueError("decode must be 'stub' or 'real'")
-        if decode == "real":
-            raise NotImplementedError(
-                "real image decoding requires an imaging library not "
-                "present in this container; plug Pillow/torchvision in "
-                "here")
         self.dim = dim
         self.col = payload_col
+        self.decode = decode
 
     def _stub_features(self, payload: bytes) -> np.ndarray:
         raw = np.frombuffer(
@@ -337,9 +497,28 @@ class ImageFeatures:
         n = np.linalg.norm(v)
         return v / (n if n else 1.0)
 
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        fmt, _, _ = parse_image_header(payload)
+        if fmt == "bmp":
+            px = decode_bmp(payload)
+        elif fmt == "png":
+            px = decode_png(payload)
+        else:
+            raise NotImplementedError(
+                f"real decode of {fmt or 'unknown'} payloads requires an "
+                "imaging library not present in this container; plug "
+                "Pillow/torchvision in here")
+        if px.ndim == 3:                       # ITU-R 601 integer luma
+            px = (px.astype(np.int64) @ [299, 587, 114]) // 1000
+        hist = np.bincount((px.ravel().astype(np.int64) * self.dim)
+                           // 256, minlength=self.dim).astype(np.float32)
+        n = np.linalg.norm(hist)
+        return hist / (n if n else 1.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._stub_features(b or b"")
-                 for b in batch[self.col].to_pylist()]
+        fn = (self._real_features if self.decode == "real"
+              else self._stub_features)
+        feats = [fn(b or b"") for b in batch[self.col].to_pylist()]
         col = pa.array([f.tolist() for f in feats],
                        pa.list_(pa.float32()))
         return batch.drop_columns([self.col]) \

@@ -60,11 +60,89 @@ def test_stub_features_deterministic_unit_norm():
     assert "payload" not in out.column_names
 
 
-def test_real_decode_raises():
+def test_real_decode_raises_for_library_formats():
+    # BMP/PNG real decode works (tested below); JPEG needs a library and
+    # raises at the per-payload plug-in point; video demux at the ctor
+    stage = mm.ImageFeatures(decode="real")
+    batch = pa.table({"id": pa.array([1], pa.int64()),
+                      "payload": pa.array([_jpeg(8, 8)], pa.binary())})
     with pytest.raises(NotImplementedError):
-        mm.ImageFeatures(decode="real")
+        stage(batch)
     with pytest.raises(NotImplementedError):
         mm.FrameSampler(decode="real")
+
+
+def test_real_features_from_decoded_pixels():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    batch = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([mm.encode_bmp(img),
+                             mm.encode_png(img)], pa.binary()),
+    })
+    out = mm.ImageFeatures(dim=32, decode="real")(batch)
+    f = np.array(out.column("features").to_pylist())
+    assert f.shape == (2, 32)
+    # same pixels through BMP and PNG → identical real features
+    np.testing.assert_array_equal(f[0], f[1])
+    np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)
+    # and they reflect the pixels, not the bytes: a brighter image shifts
+    # mass to higher histogram bins
+    bright = mm.encode_png(np.full((9, 7, 3), 250, np.uint8))
+    fb = np.array(mm.ImageFeatures(dim=32, decode="real")(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "payload": pa.array([bright], pa.binary())})
+    ).column("features").to_pylist())[0]
+    assert fb[-1] == 1.0
+
+
+def test_png_roundtrip_every_filter_and_shape():
+    rng = np.random.default_rng(42)
+    for w, h in [(1, 1), (1, 7), (7, 1), (4, 5), (16, 11), (33, 9)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for mode in ("none", "cycle"):
+            out = mm.decode_png(mm.encode_png(img, filter_mode=mode))
+            np.testing.assert_array_equal(out, img)
+    # grayscale color type 0
+    g = rng.integers(0, 256, (6, 10), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_png(mm.encode_png(g)), g)
+
+
+def test_png_gradient_exercises_filter_inverses():
+    # smooth gradients make Sub/Up/Average/Paeth produce long zero runs —
+    # the filters genuinely transform the data (encoded ≠ raw) and the
+    # decoder must invert each type to reproduce the image
+    y, x = np.mgrid[0:10, 0:8]
+    img = np.stack([(y * 11) % 256, (x * 23) % 256, (y * 3 + x * 5) % 256],
+                   axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_png(mm.encode_png(img, filter_mode="cycle")), img)
+
+
+def test_png_header_and_crc_validation():
+    img = np.zeros((3, 3, 3), np.uint8)
+    good = bytearray(mm.encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"BM" + bytes(good))
+    corrupt = bytes(good[:40]) + bytes([good[40] ^ 0xFF]) + bytes(good[41:])
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(corrupt)
+
+
+def test_png_stats_stage_matches_bmp_stats():
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+            for _ in range(4)]
+    ids = pa.array([1, 2, 3, 4], pa.int64())
+    png_out = mm.PngStats()(pa.table({
+        "doc_id": ids,
+        "payload": pa.array([mm.encode_png(i, "cycle") for i in imgs],
+                            pa.binary())}))
+    bmp_out = mm.BmpStats()(pa.table({
+        "doc_id": ids,
+        "payload": pa.array([mm.encode_bmp(i) for i in imgs],
+                            pa.binary())}))
+    assert png_out.equals(bmp_out)
 
 
 def test_frame_sampler_fanout():
