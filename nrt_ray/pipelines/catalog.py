@@ -147,6 +147,10 @@ def queries() -> dict:
         "burstiness_events": tsq.burstiness_events,
         "fano_factor_events": tsq.fano_factor_events,
         "user_percentile_rank_events": tsq.user_percentile_rank_events,
+        "stl_trend_events": tsq.stl_trend_events,
+        "croston_events": tsq.croston_events,
+        "transition_entropy_events": tsq.transition_entropy_events,
+        "basket_lift_events": tsq.basket_lift_events,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1634,6 +1638,14 @@ def oracle_sql() -> dict:
         "fano_factor_events": tsq.fano_factor_sql(),
         # cross-user global rank via the distributed ordered prefix scan
         "user_percentile_rank_events": tsq.user_percentile_rank_sql(),
+        # STL-shaped 7-day MA decomposition, all-integer roughness
+        "stl_trend_events": tsq.stl_trend_sql(),
+        # Croston intermittent demand: recursive-CTE float replay
+        "croston_events": tsq.croston_sql(),
+        # Markov entropy rate, lex-ordered terms under round-6
+        "transition_entropy_events": tsq.transition_entropy_sql(),
+        # basket lift from the mask histogram (oracle self-joins)
+        "basket_lift_events": tsq.basket_lift_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

@@ -4289,3 +4289,536 @@ SELECT user_id, tot_cents,
                      ELSE 1.0 END), 6) AS pct
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# STL-style trend/seasonal decomposition summary (7-day centered MA trend)
+# ---------------------------------------------------------------------------
+
+def stl_trend_events(sf_dir: str, min_span: int = 9):
+    """STL-shaped decomposition summary per user: a 7-day centered
+    moving-average TREND over the zero-filled calendar span, day-of-week
+    SEASONAL means of the detrended series, and the trend-vs-raw
+    roughness ratio — the "does a smooth trend + weekly season explain
+    this series" diagnostic that picks between the rollup engine's
+    trend-only and harmonic fits (cf. the harmonic regressor bank,
+    /root/reference/nrt/utils.py build_regressors).
+
+    Exactness device: every intermediate is an INTEGER —
+    ``win7_i = Σ cents over days i−3..i+3`` (zero-filled calendar, so
+    the window sum is well defined), trend roughness
+    ``T = Σ|win7_{i+1} − win7_i|`` (= 7·Σ|Δtrend|), raw roughness
+    ``R = Σ|c_{i+1} − c_i|``, and per-phase seasonal numerators
+    ``num_k = Σ_{i≡k (7)} (7·c_i − win7_i)`` with counts ``n_k`` —
+    floats appear only in the two final closed-form expressions
+    ``smoothness_ratio = T / (7·R)`` and
+    ``seasonal_amplitude = max_k num_k/(7·n_k) − min_k …`` evaluated
+    identically on both engines.  Users whose calendar span is shorter
+    than ``min_span`` days or whose raw roughness is 0 are skipped."""
+
+    def fold(user_runs) -> pa.Table:
+        out = {"user_id": [], "span_days": [], "trend_rough": [],
+               "raw_rough": [], "smoothness_ratio": [],
+               "seasonal_amplitude": []}
+        for uid, cents, day in user_runs:
+            d0, d1 = int(day[0]), int(day[-1])
+            span = d1 - d0 + 1
+            if span < min_span:
+                continue
+            full = np.zeros(span, np.int64)
+            full[day - d0] = cents
+            raw_r = int(np.abs(np.diff(full)).sum())
+            if raw_r == 0:
+                continue
+            cs = np.concatenate(([0], np.cumsum(full)))
+            # win7[j] for interior calendar index j in [3, span-4]
+            win7 = cs[7:] - cs[:-7]
+            trend_r = int(np.abs(np.diff(win7)).sum())
+            idx = np.arange(3, span - 3, dtype=np.int64)
+            phase = ((idx + d0) % 7).astype(np.int64)
+            num = np.zeros(7, np.int64)
+            cnt = np.zeros(7, np.int64)
+            np.add.at(num, phase, 7 * full[idx] - win7)
+            np.add.at(cnt, phase, 1)
+            have = cnt > 0
+            seas = num[have].astype(np.float64) / (7.0 * cnt[have])
+            amp = float(seas.max() - seas.min())
+            out["user_id"].append(uid)
+            out["span_days"].append(span)
+            out["trend_rough"].append(trend_r)
+            out["raw_rough"].append(raw_r)
+            out["smoothness_ratio"].append(
+                float(trend_r) / (7.0 * float(raw_r)))
+            out["seasonal_amplitude"].append(amp)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "span_days": pa.array(out["span_days"], pa.int64()),
+            "trend_rough": pa.array(out["trend_rough"], pa.int64()),
+            "raw_rough": pa.array(out["raw_rough"], pa.int64()),
+            "smoothness_ratio": pa.array(round_away(
+                np.array(out["smoothness_ratio"], np.float64), 6)),
+            "seasonal_amplitude": pa.array(round_away(
+                np.array(out["seasonal_amplitude"], np.float64), 4)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "span_days": pa.array([], pa.int64()),
+            "trend_rough": pa.array([], pa.int64()),
+            "raw_rough": pa.array([], pa.int64()),
+            "smoothness_ratio": pa.array([], pa.float64()),
+            "seasonal_amplitude": pa.array([], pa.float64()),
+        })
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def stl_trend_sql(min_span: int = 9) -> str:
+    """Oracle twin of :func:`stl_trend_events`: the zero-filled calendar
+    via ``generate_series``, the same integer window sums
+    (ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING over the gap-free
+    calendar), the same integer roughness/seasonal numerators, and the
+    identical final float expressions."""
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1
+    FROM d GROUP BY user_id
+    HAVING max(day) - min(day) + 1 >= {min_span}
+),
+cal AS (
+    SELECT s.user_id, s.d0, s.d1,
+           unnest(generate_series(s.d0, s.d1)) AS day
+    FROM span s
+),
+z AS (
+    SELECT c.user_id, c.d0, c.d1, c.day,
+           coalesce(d.cents, 0) AS cents
+    FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+),
+w AS (
+    SELECT user_id, d0, d1, day, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT) AS win7,
+           lead(cents) OVER (PARTITION BY user_id ORDER BY day)
+               AS nxt_c
+    FROM z
+),
+w2 AS (
+    SELECT user_id, d0, d1, day, cents, win7, nxt_c,
+           CASE WHEN day BETWEEN d0 + 3 AND d1 - 3 THEN
+               lead(win7) OVER (PARTITION BY user_id ORDER BY day)
+           END AS nxt_w
+    FROM w
+),
+rough AS (
+    SELECT user_id,
+           CAST(any_value(d1) - any_value(d0) + 1 AS BIGINT)
+               AS span_days,
+           CAST(sum(CASE WHEN nxt_c IS NOT NULL
+                         THEN abs(nxt_c - cents) END) AS BIGINT)
+               AS raw_rough,
+           CAST(coalesce(sum(CASE WHEN day BETWEEN d0 + 3 AND d1 - 4
+                         THEN abs(nxt_w - win7) END), 0) AS BIGINT)
+               AS trend_rough
+    FROM w2
+    GROUP BY user_id
+),
+seas AS (
+    SELECT user_id, (day % 7) AS k,
+           CAST(sum(7 * cents - win7) AS BIGINT) AS num,
+           count(*) AS nk
+    FROM w2 WHERE day BETWEEN d0 + 3 AND d1 - 3
+    GROUP BY user_id, (day % 7)
+),
+amp AS (
+    SELECT user_id,
+           max(CAST(num AS DOUBLE) / (7.0 * nk))
+               - min(CAST(num AS DOUBLE) / (7.0 * nk)) AS amplitude
+    FROM seas GROUP BY user_id
+)
+SELECT r.user_id, r.span_days, r.trend_rough, r.raw_rough,
+       round(CAST(r.trend_rough AS DOUBLE)
+             / (7.0 * CAST(r.raw_rough AS DOUBLE)), 6)
+           AS smoothness_ratio,
+       round(a.amplitude, 4) AS seasonal_amplitude
+FROM rough r JOIN amp a USING (user_id)
+WHERE r.raw_rough > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecast (SES on sizes + intervals)
+# ---------------------------------------------------------------------------
+
+def croston_events(sf_dir: str, alpha: float = 0.5):
+    """Croston's intermittent-demand forecast per user: simple
+    exponential smoothing run SEPARATELY over the non-zero daily demand
+    SIZES ``z_i`` (exact integer-cents day totals, in dollars) and the
+    inter-demand INTERVALS ``p_i`` (day gaps), forecast per day =
+    ``z_hat / p_hat`` — the classic sparse-series complement to the
+    dense Holt recursion (:func:`holt_winters_daily`).
+
+    Init ``z_hat = z_1``, ``p_hat = 1.0``; for i ≥ 2::
+
+        z_hat = α·z_i + (1−α)·z_hat
+        p_hat = α·p_i + (1−α)·p_hat
+
+    The α / (1−α) doubles are computed once here and inlined verbatim
+    into the oracle's recursive CTE, so both engines evaluate the
+    identical float op tree (the Holt determinism device)."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    a = float(alpha)
+    om = 1.0 - a
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = tbl["ts"].to_numpy(zero_copy_only=False) // DAY
+        cents = round_away(
+            tbl["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        order = np.lexsort((day, u))
+        u, day, cents = u[order], day[order], cents[order]
+        db = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                  | (day[1:] != day[:-1])])
+        du, dday = u[db], day[db]
+        dc = np.add.reduceat(cents, db)
+        keep = dc != 0                     # demand days only
+        du, dday, dc = du[keep], dday[keep], dc[keep]
+        if len(du) == 0:
+            return empty()
+        z = dc.astype(np.float64) / 100.0
+        us = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        n_u = np.diff(np.r_[us, len(du)])
+        zh = z[us].copy()
+        ph = np.ones(len(us), np.float64)
+        max_n = int(n_u.max())
+        for t in range(2, max_n + 1):
+            m = n_u >= t
+            i = us[m] + t - 1
+            zh[m] = a * z[i] + om * zh[m]
+            ph[m] = a * (dday[i] - dday[i - 1]).astype(np.float64) \
+                + om * ph[m]
+        return pa.table({
+            "user_id": pa.array(du[us], pa.int64()),
+            "n_demands": pa.array(n_u.astype(np.int64)),
+            "z_hat": pa.array(round_away(zh, 6)),
+            "p_hat": pa.array(round_away(ph, 6)),
+            "rate": pa.array(round_away(zh / ph, 6)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_demands": pa.array([], pa.int64()),
+                         "z_hat": pa.array([], pa.float64()),
+                         "p_hat": pa.array([], pa.float64()),
+                         "rate": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def croston_sql(alpha: float = 0.5) -> str:
+    """Recursive-CTE replay of :func:`croston_events` with the same
+    inlined smoothing doubles and per-step float expressions."""
+    a = repr(float(alpha))
+    om = repr(1.0 - float(alpha))
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS dc
+    FROM events GROUP BY user_id, day
+    HAVING sum(CAST(round(value * 100, 0) AS BIGINT)) <> 0
+),
+steps AS (
+    SELECT user_id, day, CAST(dc AS DOUBLE) / 100.0 AS z,
+           day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS gap,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM daily
+),
+rec AS (
+    SELECT user_id, i, z AS zh, CAST(1.0 AS DOUBLE) AS ph
+    FROM steps WHERE i = 1
+    UNION ALL
+    SELECT s.user_id, s.i,
+           {a} * s.z + {om} * r.zh AS zh,
+           {a} * CAST(s.gap AS DOUBLE) + {om} * r.ph AS ph
+    FROM rec r JOIN steps s
+      ON s.user_id = r.user_id AND s.i = r.i + 1
+),
+last AS (
+    SELECT r.user_id, r.zh, r.ph
+    FROM rec r JOIN (SELECT user_id, max(i) AS mi FROM rec
+                     GROUP BY user_id) q
+      ON q.user_id = r.user_id AND r.i = q.mi
+),
+ns AS (SELECT user_id, any_value(n) AS n FROM steps GROUP BY user_id)
+SELECT user_id, CAST(ns.n AS BIGINT) AS n_demands,
+       round(l.zh, 6) AS z_hat, round(l.ph, 6) AS p_hat,
+       round(l.zh / l.ph, 6) AS rate
+FROM last l JOIN ns USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the per-user event-type Markov chain
+# ---------------------------------------------------------------------------
+
+def transition_entropy_events(sf_dir: str):
+    """Entropy RATE of each user's event-type sequence: the conditional
+    Shannon entropy H = −Σ_{s,t} (c_st/N)·ln(c_st/c_s·) over the
+    first-order transition counts, events ordered by (ts, event_id) —
+    the predictability complement to the marginal-distribution entropy
+    (:func:`user_entropy_events`) and the global transition matrix
+    (:func:`event_transitions`).
+
+    Determinism device: counts are exact integers; the float term sum
+    runs over (src, dst) pairs in LEXICOGRAPHIC order on both engines
+    (here: np.unique's sorted composite codes; oracle: ≤ 25 terms under
+    6-decimal rounding, the :func:`user_entropy_events` contract)."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        ntyp = len(types)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        src, dst = code[:-1][same], code[1:][same]
+        tu = u[:-1][same]
+        out_u, out_n, out_h = [], [], []
+        us = np.flatnonzero(np.r_[True, tu[1:] != tu[:-1]]) \
+            if len(tu) else np.array([], np.int64)
+        ends = np.r_[us[1:], len(tu)]
+        for s, e in zip(us, ends):
+            pairs = src[s:e] * ntyp + dst[s:e]
+            uk, cnt = np.unique(pairs, return_counts=True)  # sorted
+            n_tot = int(cnt.sum())
+            srow = np.zeros(ntyp, np.int64)
+            np.add.at(srow, uk // ntyp, cnt)
+            c = cnt.astype(np.float64)
+            ent = 0.0 - ((c / float(n_tot))
+                         * np.log(c / srow[uk // ntyp])).sum()
+            out_u.append(int(tu[s]))
+            out_n.append(n_tot)
+            out_h.append(ent)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_transitions": pa.array(out_n, pa.int64()),
+            "entropy_rate": pa.array(round_away(
+                np.array(out_h, np.float64), 6)
+                if out_h else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_transitions": pa.array([], pa.int64()),
+                         "entropy_rate": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def transition_entropy_sql() -> str:
+    return """
+WITH o AS (
+    SELECT user_id, event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+),
+c AS (
+    SELECT user_id, src, dst, count(*) AS n
+    FROM o WHERE dst IS NOT NULL GROUP BY user_id, src, dst
+),
+r AS (
+    SELECT user_id, n,
+           CAST(sum(n) OVER (PARTITION BY user_id, src) AS DOUBLE)
+               AS ns,
+           CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS nt,
+           CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_transitions
+    FROM c
+)
+SELECT user_id, any_value(n_transitions) AS n_transitions,
+       round(0.0 - sum((n / nt) * ln(n / ns)), 6) AS entropy_rate
+FROM r GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift of event-type pairs over (user, day) baskets
+# ---------------------------------------------------------------------------
+
+def basket_lift_events(sf_dir: str):
+    """Association-rule LIFT for every unordered event-type pair over
+    (user, day) baskets: lift(a,b) = N·n_ab / (n_a·n_b) with n_x =
+    number of baskets containing x and N = total baskets — the
+    co-occurrence signal (do errors cluster with purchases?) computed
+    WITHOUT the quadratic self-join the SQL oracle runs.
+
+    Scale shape: one basket-keyed hash exchange whose fold ORs each
+    basket's type BITMASK and emits a ≤ 2^|types| mask histogram per
+    partition; the global mask histogram (a ≤ 32-row table for the
+    5-type alphabet) is the complete sufficient statistic — pair counts
+    fall out as integer sums over masks, so no pair join ever runs and
+    the all-to-all volume is one row per distinct (user, day, type).
+    The type alphabet is discovered by a tiny distinct aggregate and
+    broadcast (bounded by the alphabet, not the corpus)."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    types = sorted(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type"])
+        .unique("event_type"))
+    tidx = {t: i for i, t in enumerate(types)}
+    ntyp = len(types)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        et = batch["event_type"].to_pylist()
+        bit = np.array([1 << tidx[t] for t in et], np.int64)
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.bitwise_or.at(acc, inv, bit)
+        return pa.table({
+            "ck": pa.array(uk), "mask": pa.array(acc),
+            "pid": pa.array((uk % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        mask = tbl["mask"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.bitwise_or.at(acc, inv, mask)
+        mk, mc = np.unique(acc, return_counts=True)
+        return pa.table({"mask": pa.array(mk),
+                         "n": pa.array(mc.astype(np.int64))})
+
+    def empty() -> pa.Table:
+        return pa.table({"mask": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    hist = exchange_dataset(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow"),
+        nparts, fold, empty) \
+        .groupby("mask").aggregate(Sum("n", alias_name="n")) \
+        .repartition(1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        mask = t["mask"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        n_tot = int(n.sum())
+        na = np.array([int(n[(mask >> i) & 1 == 1].sum())
+                       for i in range(ntyp)], np.int64)
+        out = {"type_a": [], "type_b": [], "n_ab": [], "lift": []}
+        for i in range(ntyp):
+            for j in range(i + 1, ntyp):
+                both = (mask >> i) & (mask >> j) & 1
+                n_ab = int(n[both == 1].sum())
+                if n_ab == 0:
+                    continue
+                out["type_a"].append(types[i])
+                out["type_b"].append(types[j])
+                out["n_ab"].append(n_ab)
+                out["lift"].append(
+                    float(n_ab) * float(n_tot)
+                    / (float(na[i]) * float(na[j])))
+        return pa.table({
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "n_ab": pa.array(out["n_ab"], pa.int64()),
+            "lift": pa.array(round_away(
+                np.array(out["lift"], np.float64), 6)
+                if out["lift"] else np.array([], np.float64)),
+        })
+
+    return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def basket_lift_sql() -> str:
+    return """
+WITH b AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           event_type
+    FROM events
+),
+nb AS (SELECT count(*) AS n
+       FROM (SELECT DISTINCT user_id, day FROM b)),
+ta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS na
+       FROM b GROUP BY event_type),
+pair AS (
+    SELECT b1.event_type AS type_a, b2.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM b b1 JOIN b b2
+      ON b1.user_id = b2.user_id AND b1.day = b2.day
+     AND b1.event_type < b2.event_type
+    GROUP BY b1.event_type, b2.event_type
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM nb)
+             / (CAST(t1.na AS DOUBLE) * CAST(t2.na AS DOUBLE)), 6)
+           AS lift
+FROM pair p
+JOIN ta t1 ON t1.event_type = p.type_a
+JOIN ta t2 ON t2.event_type = p.type_b
+"""
