@@ -101,6 +101,15 @@ def main(argv=None) -> int:
                     help="newline-delimited url list")
     fg.add_argument("--num-cpus", type=int, default=None)
 
+    bf = sub.add_parser("backfill", help="apply dead-lettered late rows "
+                                         "by rebuilding only the owning "
+                                         "partitions")
+    bf.add_argument("--input", required=True, nargs="+",
+                    help="ALL ingested input parquet paths (original + "
+                         "increment batches, incl. the late rows' source)")
+    bf.add_argument("--out", required=True)
+    bf.add_argument("--num-cpus", type=int, default=None)
+
     rep = sub.add_parser("report", help="top-k recent confirmed breaks")
     rep.add_argument("--out", required=True)
     rep.add_argument("--k", type=int, default=100)
@@ -241,6 +250,10 @@ def main(argv=None) -> int:
             finally:
                 cm.close()
             print(json.dumps({**totals, **ck}))
+        elif args.cmd == "backfill":
+            from nrt_ray.pipelines.incremental import run_backfill
+            inp = args.input if len(args.input) > 1 else args.input[0]
+            print(json.dumps(run_backfill(args.out, inp)))
         elif args.cmd == "forget":
             from nrt_ray.pipelines.incremental import run_forget
             urls = list(args.urls or [])

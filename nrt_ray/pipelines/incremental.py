@@ -565,3 +565,91 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
         "urls_forgotten": int(len(urls_arr)),
         "affected_pids": pids,
     }
+
+
+def run_backfill(out_dir: str, input_path, run_id: str = "backfill",
+                 reduce_num_cpus: float = 1.0) -> dict:
+    """Fold the dead-lettered LATE rows into the committed output by
+    rebuilding only the partitions that own them — the repair path for
+    the strictly-forward increment contract (``run_increment`` routes
+    rows at or below the committed high-water mark to the
+    ``dead_letter`` audit table instead of corrupting order-sensitive
+    monitor state; this applies them properly, by recomputation).
+
+    ``input_path`` must cover EVERYTHING the run has ingested INCLUDING
+    the late rows' source batches (original input plus every increment
+    batch — ``read_parquet`` accepts a list), the same contract as
+    ``run_forget``: affected partitions rebuild from source, and the
+    dead-letter table is only used to locate them (its url set hashes
+    to exactly the partitions whose state is missing late data).  The
+    result is identical to a fresh one-shot run over the combined
+    input; untouched partitions are never recomputed or rewritten.
+
+    On success the applied dead-letter files are moved to
+    ``dead_letter_applied/{run_id}/`` (append-only audit, never
+    re-applied).  Refuses salted runs like the other partition-surgery
+    entry points.  Returns a summary dict.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    from nrt_ray.stages.assemble import bucket_of
+
+    config = read_run_config(out_dir)
+    P = int(config["num_partitions"])
+    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
+        raise RuntimeError("run_backfill does not support salted runs "
+                           "(merged hot partitions present)")
+    dl_dir = os.path.join(out_dir, "dead_letter")
+    if not os.path.isdir(dl_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(dl_dir)):
+        return {"late_rows_applied": 0, "partitions_rebuilt": 0,
+                "affected_pids": [],
+                "high_water_us": int(config["high_water_us"])}
+
+    # affected partitions, computed distributed: per-batch distinct pid
+    # partials — the driver sees at most P values, never the url set
+    dl = _rd.read_parquet(dl_dir)
+    late_rows = dl.count()
+
+    def pid_partial(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t.column("url").to_pandas(), dtype=object)
+        pids = np.unique(bucket_of(urls, P)).astype(np.int64)
+        return pa.table({"pid": pa.array(pids)})
+
+    pids = sorted(int(p) for p in
+                  dl.map_batches(pid_partial, batch_format="pyarrow")
+                  .unique("pid"))
+    manifest.uncommit_partitions(out_dir, pids)
+
+    summary = mp.run_pipeline(
+        input_path, out_dir,
+        strategy=config["strategy"],
+        monitor_start=config["monitor_start"],
+        num_partitions=P,
+        tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+        monitor_params=config.get("monitor_params"),
+        fit_params=config.get("fit_params"),
+        fit_method=config.get("fit_method"),
+        screen_outliers=config.get("screen_outliers", "default"),
+        high_water_us=int(config["high_water_us"]),
+        resume=True, run_id=run_id,
+        reduce_num_cpus=reduce_num_cpus)
+
+    # archive the applied dead-letter files (audit, never re-applied)
+    applied = os.path.join(out_dir, "dead_letter_applied", run_id)
+    os.makedirs(os.path.dirname(applied), exist_ok=True)
+    n = 2
+    while os.path.exists(applied):
+        applied = os.path.join(out_dir, "dead_letter_applied",
+                               f"{run_id}-{n}")
+        n += 1
+    os.replace(dl_dir, applied)
+
+    return {
+        "late_rows_applied": int(late_rows),
+        "partitions_rebuilt": int(summary["partitions_processed"]),
+        "affected_pids": pids,
+        "high_water_us": int(config["high_water_us"]),
+    }
