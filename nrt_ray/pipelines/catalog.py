@@ -151,6 +151,11 @@ def queries() -> dict:
         "croston_events": tsq.croston_events,
         "transition_entropy_events": tsq.transition_entropy_events,
         "basket_lift_events": tsq.basket_lift_events,
+        "seasonal_naive_mase_events": tsq.seasonal_naive_mase_events,
+        "peak_days_events": tsq.peak_days_events,
+        "benford_deviation_events": tsq.benford_deviation_events,
+        "token_bucket_drops_events": tsq.token_bucket_drops_events,
+        "source_js_divergence_docs": tx.source_js_divergence,
         "user_time_weighted_avg": tsq.user_time_weighted_avg,
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
@@ -1646,6 +1651,16 @@ def oracle_sql() -> dict:
         "transition_entropy_events": tsq.transition_entropy_sql(),
         # basket lift from the mask histogram (oracle self-joins)
         "basket_lift_events": tsq.basket_lift_sql(),
+        # lag-7-vs-lag-1 MAE ratio from two integer sums
+        "seasonal_naive_mase_events": tsq.seasonal_naive_mase_sql(),
+        # strict local maxima with integer prominence, ±2-day window
+        "peak_days_events": tsq.peak_days_sql(),
+        # Benford first-digit chi^2 with inlined probability doubles
+        "benford_deviation_events": tsq.benford_deviation_sql(),
+        # integer token-bucket recursion (admission control replay)
+        "token_bucket_drops_events": tsq.token_bucket_sql(),
+        # per-source JSD vs corpus unigram distribution
+        "source_js_divergence_docs": tx.source_js_divergence_sql(),
         # count-min sketch heavy hitters, integer-exact hash replay
         "token_cms_heavy_hitters": sk.cms_sql(),
         # bloom semi-join prefilter with exact false-positive accounting

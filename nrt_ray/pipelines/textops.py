@@ -3419,3 +3419,128 @@ SELECT doc_id, n_tokens, n_distinct, n_hapax,
            AS hapax_ratio
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence from the corpus distribution
+# ---------------------------------------------------------------------------
+
+def source_js_divergence(sf_dir: str):
+    """Distribution drift per ``source``: Jensen-Shannon divergence (in
+    nats) between each source's unigram token distribution and the
+    whole-corpus distribution — the domain-mix / drift monitor a
+    training-data pipeline runs per crawl or per provider.
+
+    Scale shape: (source, token) counts via one combiner + keyed
+    aggregate (output bounded by sources × vocabulary, not the corpus);
+    the corpus token-total SIDE TABLE (vocabulary-sized) is collected
+    once and closed over by the per-source fold — the engine's standard
+    broadcast-small-side device.  Term sums run over alphabetically
+    ordered tokens on both engines with left-associated accumulation;
+    6-decimal rounding absorbs residual float-order noise (the
+    ``user_entropy_events`` contract)."""
+    import math
+
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import round_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        flat, doc_idx = _doc_tokens(batch)
+        if not len(flat):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tok_u, tok_i = np.unique(flat, return_inverse=True)
+        src_of = src[doc_idx]
+        src_u, src_i = np.unique(src_of, return_inverse=True)
+        key = src_i.astype(np.int64) * len(tok_u) + tok_i
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array(src_u[uk // len(tok_u)].astype(object),
+                               pa.string()),
+            "token": pa.array(tok_u[uk % len(tok_u)].astype(object),
+                              pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    agg = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "token"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    # vocabulary-sized corpus side table (broadcast, sorted order)
+    tot = agg.groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    vocab = np.asarray(tot["token"], dtype=object)
+    qn = tot["n"].to_numpy().astype(np.int64)
+    n_corpus = int(qn.sum())
+
+    def fold(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist(), dtype=object)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = int(n.sum())
+        pn = np.zeros(len(vocab), np.int64)
+        pn[np.searchsorted(vocab, toks)] = n
+        jsd = 0.0
+        for w in range(len(vocab)):     # alphabetical, left-assoc
+            p = float(pn[w]) / float(ns)
+            q = float(qn[w]) / float(n_corpus)
+            m = 0.5 * (p + q)
+            # one fused term per token (matches the oracle's per-row v)
+            if p > 0.0:
+                jsd += 0.5 * (p * math.log(p / m)) \
+                    + 0.5 * (q * math.log(q / m))
+            else:
+                jsd += 0.5 * (q * math.log(q / m))
+        return pa.table({
+            "source": pa.array([g["source"][0].as_py()], pa.string()),
+            "n_tokens": pa.array([ns], pa.int64()),
+            "jsd": pa.array([float(round_away(
+                np.array([jsd]), 6)[0])]),
+        })
+
+    return agg.groupby("source").map_groups(fold,
+                                            batch_format="pyarrow")
+
+
+def source_js_divergence_sql() -> str:
+    return r"""
+WITH tok AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+),
+tok2 AS (SELECT source, t FROM tok WHERE t <> ''),
+sw AS (SELECT source, t, count(*) AS n FROM tok2 GROUP BY source, t),
+cw AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok2 GROUP BY t),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok2),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       FROM tok2 GROUP BY source),
+grid AS (
+    SELECT ns.source, cw.t, ns.n AS n_s, cw.n AS n_w,
+           coalesce(sw.n, 0) AS n_sw
+    FROM ns CROSS JOIN cw
+    LEFT JOIN sw ON sw.source = ns.source AND sw.t = cw.t
+),
+term AS (
+    SELECT source, n_s,
+           (CASE WHEN n_sw > 0 THEN
+               0.5 * ((n_sw / CAST(n_s AS DOUBLE))
+                   * ln((n_sw / CAST(n_s AS DOUBLE))
+                        / (0.5 * ((n_sw / CAST(n_s AS DOUBLE))
+                                  + (n_w / CAST((SELECT n FROM nc)
+                                                AS DOUBLE))))))
+            ELSE 0.0 END)
+           + 0.5 * ((n_w / CAST((SELECT n FROM nc) AS DOUBLE))
+               * ln((n_w / CAST((SELECT n FROM nc) AS DOUBLE))
+                    / (0.5 * ((n_sw / CAST(n_s AS DOUBLE))
+                              + (n_w / CAST((SELECT n FROM nc)
+                                            AS DOUBLE)))))) AS v
+    FROM grid
+)
+SELECT source, any_value(n_s) AS n_tokens,
+       round(sum(v), 6) AS jsd
+FROM term GROUP BY source
+"""

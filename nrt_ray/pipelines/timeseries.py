@@ -4822,3 +4822,434 @@ FROM pair p
 JOIN ta t1 ON t1.event_type = p.type_a
 JOIN ta t2 ON t2.event_type = p.type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive MASE — forecast-difficulty metric per user
+# ---------------------------------------------------------------------------
+
+def seasonal_naive_mase_events(sf_dir: str, min_span: int = 15):
+    """MASE-style ratio of the SEASONAL-naive (lag-7) to the naive
+    (lag-1) forecaster on each user's zero-filled daily-cents calendar:
+    mase < 1 means last-week's-day beats yesterday — the model-selection
+    signal for the rollup engine's seasonal tiers.  Both MAE numerators
+    are INTEGER sums (Σ|c_i − c_{i−7}|, Σ|c_i − c_{i−1}|); floats only
+    in the final two-division expression."""
+
+    def fold(user_runs) -> pa.Table:
+        out = {"user_id": [], "span_days": [], "naive_sum": [],
+               "seasonal_sum": [], "mase": []}
+        for uid, cents, day in user_runs:
+            d0, d1 = int(day[0]), int(day[-1])
+            span = d1 - d0 + 1
+            if span < min_span:
+                continue
+            full = np.zeros(span, np.int64)
+            full[day - d0] = cents
+            ns = int(np.abs(full[1:] - full[:-1]).sum())
+            ss = int(np.abs(full[7:] - full[:-7]).sum())
+            if ns == 0:
+                continue
+            mase = (float(ss) / float(span - 7)) \
+                / (float(ns) / float(span - 1))
+            out["user_id"].append(uid)
+            out["span_days"].append(span)
+            out["naive_sum"].append(ns)
+            out["seasonal_sum"].append(ss)
+            out["mase"].append(mase)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "span_days": pa.array(out["span_days"], pa.int64()),
+            "naive_sum": pa.array(out["naive_sum"], pa.int64()),
+            "seasonal_sum": pa.array(out["seasonal_sum"], pa.int64()),
+            "mase": pa.array(round_away(
+                np.array(out["mase"], np.float64), 6)
+                if out["mase"] else np.array([], np.float64)),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "span_days": pa.array([], pa.int64()),
+                         "naive_sum": pa.array([], pa.int64()),
+                         "seasonal_sum": pa.array([], pa.int64()),
+                         "mase": pa.array([], pa.float64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def seasonal_naive_mase_sql(min_span: int = 15) -> str:
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1
+    FROM d GROUP BY user_id
+    HAVING max(day) - min(day) + 1 >= {min_span}
+),
+z AS (
+    SELECT c.user_id, c.day, s.d0, s.d1,
+           coalesce(d.cents, 0) AS cents
+    FROM (SELECT s.user_id, s.d0, s.d1,
+                 unnest(generate_series(s.d0, s.d1)) AS day
+          FROM span s) c
+    JOIN span s ON s.user_id = c.user_id
+    LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+),
+lagd AS (
+    SELECT user_id, d0, d1, cents,
+           lag(cents, 1) OVER (PARTITION BY user_id ORDER BY day)
+               AS c1,
+           lag(cents, 7) OVER (PARTITION BY user_id ORDER BY day)
+               AS c7
+    FROM z
+),
+agg AS (
+    SELECT user_id,
+           CAST(any_value(d1) - any_value(d0) + 1 AS BIGINT)
+               AS span_days,
+           CAST(sum(CASE WHEN c1 IS NOT NULL
+                         THEN abs(cents - c1) END) AS BIGINT)
+               AS naive_sum,
+           CAST(sum(CASE WHEN c7 IS NOT NULL
+                         THEN abs(cents - c7) END) AS BIGINT)
+               AS seasonal_sum
+    FROM lagd GROUP BY user_id
+)
+SELECT user_id, span_days, naive_sum, seasonal_sum,
+       round((CAST(seasonal_sum AS DOUBLE)
+              / CAST(span_days - 7 AS DOUBLE))
+             / (CAST(naive_sum AS DOUBLE)
+                / CAST(span_days - 1 AS DOUBLE)), 6) AS mase
+FROM agg WHERE naive_sum > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak detection — strict local maxima with prominence, per user
+# ---------------------------------------------------------------------------
+
+_PEAK_NEG = -(np.int64(1) << np.int64(62))
+
+
+def peak_days_events(sf_dir: str, min_span: int = 5):
+    """Strict local maxima of each user's zero-filled daily-cents
+    calendar over a ±2-day window (truncated at the span edges, both
+    engines substituting the same sentinel for an empty side), with
+    integer PROMINENCE = cents − max(two-sided neighbor max).  Output:
+    peak count, best prominence, and the earliest day achieving it —
+    all integers, so exactness is structural."""
+    NEG = int(_PEAK_NEG)
+
+    def fold(user_runs) -> pa.Table:
+        out = {"user_id": [], "n_peaks": [], "best_prom": [],
+               "best_day": []}
+        for uid, cents, day in user_runs:
+            d0, d1 = int(day[0]), int(day[-1])
+            span = d1 - d0 + 1
+            if span < min_span:
+                continue
+            full = np.zeros(span, np.int64)
+            full[day - d0] = cents
+            pad = np.concatenate((
+                np.full(2, NEG, np.int64), full,
+                np.full(2, NEG, np.int64)))
+            prev2 = np.maximum(pad[0:span], pad[1:span + 1])
+            next2 = np.maximum(pad[3:span + 3], pad[4:span + 4])
+            nb = np.maximum(prev2, next2)
+            is_peak = full > nb
+            if not is_peak.any():
+                continue
+            prom = full - nb
+            idx = np.flatnonzero(is_peak)
+            best = int(prom[idx].max())
+            bday = int(idx[prom[idx] == best][0]) + d0
+            out["user_id"].append(uid)
+            out["n_peaks"].append(int(is_peak.sum()))
+            out["best_prom"].append(best)
+            out["best_day"].append(bday)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "n_peaks": pa.array(out["n_peaks"], pa.int64()),
+            "best_prom": pa.array(out["best_prom"], pa.int64()),
+            "best_day": pa.array(out["best_day"], pa.int64()),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_peaks": pa.array([], pa.int64()),
+                         "best_prom": pa.array([], pa.int64()),
+                         "best_day": pa.array([], pa.int64())})
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def peak_days_sql(min_span: int = 5) -> str:
+    neg = int(_PEAK_NEG)
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1
+    FROM d GROUP BY user_id
+    HAVING max(day) - min(day) + 1 >= {min_span}
+),
+z AS (
+    SELECT c.user_id, c.day, coalesce(d.cents, 0) AS cents
+    FROM (SELECT s.user_id,
+                 unnest(generate_series(s.d0, s.d1)) AS day
+          FROM span s) c
+    LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+),
+w AS (
+    SELECT user_id, day, cents,
+           greatest(
+               coalesce(max(cents) OVER (PARTITION BY user_id
+                   ORDER BY day
+                   ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+                   {neg}),
+               coalesce(max(cents) OVER (PARTITION BY user_id
+                   ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+                   {neg})) AS nb
+    FROM z
+),
+pk AS (
+    SELECT user_id, day, cents - nb AS prom
+    FROM w WHERE cents > nb
+),
+agg AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_peaks,
+           CAST(max(prom) AS BIGINT) AS best_prom
+    FROM pk GROUP BY user_id
+)
+SELECT a.user_id, a.n_peaks, a.best_prom,
+       CAST(min(p.day) AS BIGINT) AS best_day
+FROM agg a JOIN pk p
+  ON p.user_id = a.user_id AND p.prom = a.best_prom
+GROUP BY a.user_id, a.n_peaks, a.best_prom
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit deviation per event type — data-quality analytic
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_deviation_events(sf_dir: str):
+    """First-digit (Benford) χ² deviation of positive integer-cent event
+    values per event type — the classic synthetic-data / fraud signal.
+    Digit counts are exact integer combiner partials; χ² is the same
+    left-associated 9-term expression on both engines with the Benford
+    probabilities inlined as identical Python doubles."""
+    from ray.data.aggregate import Sum
+    from nrt_ray.pipelines.relational import pool_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        pos = cents > 0
+        et, c = et[pos], cents[pos]
+        while (c >= 10).any():
+            m = c >= 10
+            c[m] //= 10
+        tu, ti = np.unique(et, return_inverse=True)
+        key = ti * 10 + c
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(tu[uk // 10].astype(object),
+                                   pa.string()),
+            "digit": pa.array((uk % 10).astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    agg = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "digit"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def fold(g: pa.Table) -> pa.Table:
+        dig = g["digit"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        cnt = np.zeros(10, np.int64)
+        cnt[dig] = n
+        tot = int(cnt.sum())
+        chi2 = 0.0
+        for d in range(1, 10):      # left-assoc, d order = SQL's +
+            e = float(tot) * _BENFORD_P[d - 1]
+            chi2 += (float(cnt[d]) - e) * (float(cnt[d]) - e) / e
+        return pa.table({
+            "event_type": pa.array(
+                [g["event_type"][0].as_py()], pa.string()),
+            "n_values": pa.array([tot], pa.int64()),
+            "chi2": pa.array([float(round_away(
+                np.array([chi2]), 6)[0])]),
+            "digit1_share": pa.array([float(round_away(
+                np.array([float(cnt[1]) / float(tot)]), 6)[0])]),
+        })
+
+    return agg.groupby("event_type").map_groups(
+        fold, batch_format="pyarrow")
+
+
+def benford_deviation_sql() -> str:
+    ps = [repr(p) for p in _BENFORD_P]
+    pivots = ",\n           ".join(
+        f"CAST(coalesce(sum(CASE WHEN digit = {d} THEN n END), 0) "
+        f"AS BIGINT) AS n{d}" for d in range(1, 10))
+    terms = " + ".join(
+        f"(CAST(n{d} AS DOUBLE) - CAST(n_values AS DOUBLE) * {ps[d-1]})"
+        f" * (CAST(n{d} AS DOUBLE) - CAST(n_values AS DOUBLE) * "
+        f"{ps[d-1]}) / (CAST(n_values AS DOUBLE) * {ps[d-1]})"
+        for d in range(1, 10))
+    return f"""
+WITH c AS (
+    SELECT event_type,
+           CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS n
+    FROM events
+    WHERE CAST(round(value * 100, 0) AS BIGINT) > 0
+    GROUP BY event_type, digit
+),
+p AS (
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_values,
+           {pivots}
+    FROM c GROUP BY event_type
+)
+SELECT event_type, n_values,
+       round({terms}, 6) AS chi2,
+       round(CAST(n1 AS DOUBLE) / CAST(n_values AS DOUBLE), 6)
+           AS digit1_share
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limit simulation — integer-exact streaming recursion
+# ---------------------------------------------------------------------------
+
+_TB_CAP = 2                      # bucket capacity, tokens
+_TB_PERIOD_US = 2 * 86400 * US  # refill: one token per 2 days
+
+
+def token_bucket_drops_events(sf_dir: str, cap: int = _TB_CAP,
+                              period_us: int = _TB_PERIOD_US):
+    """Token-bucket rate limiter replayed over each user's event stream
+    (ordered by ts, event_id): the bucket starts FULL (``cap`` tokens),
+    refills continuously at one token per ``period_us``, and each event
+    consumes one token if available — otherwise it is DROPPED.  Levels
+    are held in integer microsecond-equivalents (level ∈ [0, cap·period];
+    refill = elapsed µs, consume = period µs), so the whole recursion is
+    int64-exact on both engines — the throttling / admission-control
+    analytic every event pipeline needs, and a second stateful-recursion
+    shape (integer, vs Holt/Kalman's float CTE replays)."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    capl = int(cap) * int(period_us)
+    per = int(period_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        us = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n_u = np.diff(np.r_[us, len(u)])
+        # event 1: full bucket, always accepted (cap >= 1)
+        level = np.full(len(us), capl - per, np.int64)
+        drops = np.zeros(len(us), np.int64)
+        max_n = int(n_u.max()) if len(n_u) else 0
+        for t in range(2, max_n + 1):
+            m = n_u >= t
+            i = us[m] + t - 1
+            pre = np.minimum(capl, level[m] + (ts[i] - ts[i - 1]))
+            acc = pre >= per
+            level[m] = pre - per * acc
+            drops[m] += ~acc
+        return pa.table({
+            "user_id": pa.array(u[us], pa.int64()),
+            "n_events": pa.array(n_u.astype(np.int64)),
+            "n_dropped": pa.array(drops),
+            "end_level_us": pa.array(level),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_dropped": pa.array([], pa.int64()),
+                         "end_level_us": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def token_bucket_sql(cap: int = _TB_CAP,
+                     period_us: int = _TB_PERIOD_US) -> str:
+    capl = int(cap) * int(period_us)
+    per = int(period_us)
+    return f"""
+WITH RECURSIVE steps AS (
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+rec AS (
+    SELECT user_id, i, ts,
+           CAST({capl} - {per} AS BIGINT) AS lvl,
+           CAST(0 AS BIGINT) AS drops
+    FROM steps WHERE i = 1
+    UNION ALL
+    SELECT s.user_id, s.i, s.ts,
+           CASE WHEN least({capl}, r.lvl + (s.ts - r.ts)) >= {per}
+                THEN least({capl}, r.lvl + (s.ts - r.ts)) - {per}
+                ELSE least({capl}, r.lvl + (s.ts - r.ts)) END AS lvl,
+           r.drops + (CASE WHEN least({capl}, r.lvl + (s.ts - r.ts))
+                           >= {per} THEN 0 ELSE 1 END) AS drops
+    FROM rec r JOIN steps s
+      ON s.user_id = r.user_id AND s.i = r.i + 1
+),
+last AS (
+    SELECT r.user_id, r.lvl, r.drops
+    FROM rec r JOIN (SELECT user_id, max(i) AS mi FROM rec
+                     GROUP BY user_id) q
+      ON q.user_id = r.user_id AND r.i = q.mi
+),
+ns AS (SELECT user_id, any_value(n) AS n FROM steps GROUP BY user_id)
+SELECT user_id, CAST(ns.n AS BIGINT) AS n_events,
+       l.drops AS n_dropped, l.lvl AS end_level_us
+FROM last l JOIN ns USING (user_id)
+"""

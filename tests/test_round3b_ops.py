@@ -140,3 +140,116 @@ def test_basket_lift_three_baskets(ray_session, tmp_path):
     assert r["n_ab"] == 1
     # lift = n_ab * N / (n_a * n_b) = 1*3 / (2*2)
     assert r["lift"] == 0.75
+
+
+def test_seasonal_naive_mase_perfect_weekly(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import seasonal_naive_mase_events
+    # 1.00 every 7th day over a 15-day span: lag-7 error 0, lag-1 error
+    # 400 cents -> mase exactly 0
+    rows = [(i + 1, D0 + d * DAY_US, 1, "view", 1.00)
+            for i, d in enumerate((0, 7, 14))]
+    out = _df(seasonal_naive_mase_events(_write_events(tmp_path, rows)))
+    r = out.iloc[0]
+    assert (r["span_days"], r["naive_sum"], r["seasonal_sum"],
+            r["mase"]) == (15, 400, 0, 0.0)
+
+
+def test_peak_days_prominence(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import peak_days_events
+    d0_day = D0 // DAY_US
+    rows = [
+        # user 1: span 0..6; peaks at day2 (300) and day5 (500)
+        (1, D0, 1, "view", 0.0),
+        (2, D0 + 2 * DAY_US, 1, "view", 3.00),
+        (3, D0 + 5 * DAY_US, 1, "view", 5.00),
+        (4, D0 + 6 * DAY_US, 1, "view", 0.0),
+        # user 2: edge peak on day0 (truncated left window)
+        (5, D0, 2, "view", 2.00),
+        (6, D0 + 4 * DAY_US, 2, "view", 0.0),
+    ]
+    out = _df(peak_days_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "n_peaks"] == 2
+    assert byu.loc[1, "best_prom"] == 500
+    assert byu.loc[1, "best_day"] == d0_day + 5
+    assert byu.loc[2, "n_peaks"] == 1
+    assert byu.loc[2, "best_prom"] == 200
+    assert byu.loc[2, "best_day"] == d0_day
+
+
+def test_benford_counts_and_exclusions(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import (_BENFORD_P,
+                                              benford_deviation_events)
+    rows = [
+        (1, D0 + 1, 1, "x", 1.00),     # 100 -> digit 1
+        (2, D0 + 2, 1, "x", 2.50),     # 250 -> digit 2
+        (3, D0 + 3, 2, "x", 0.09),     # 9 -> digit 9
+        (4, D0 + 4, 2, "x", 19.99),    # 1999 -> digit 1
+        (5, D0 + 5, 2, "x", -5.00),    # negative: excluded
+        (6, D0 + 6, 2, "x", 0.0),      # zero: excluded
+    ]
+    out = _df(benford_deviation_events(_write_events(tmp_path, rows)))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_values"] == 4
+    assert r["digit1_share"] == 0.5
+    cnt = {1: 2, 2: 1, 9: 1}
+    chi2 = 0.0
+    for d in range(1, 10):
+        e = 4.0 * _BENFORD_P[d - 1]
+        chi2 += (float(cnt.get(d, 0)) - e) ** 2 / e
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-9
+
+
+def test_token_bucket_hand_walked(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import (_TB_PERIOD_US,
+                                              token_bucket_drops_events)
+    S = 1_000_000
+    rows = [
+        # cap=2, refill 1 token / 2 days; 4 events 1 s apart:
+        # e1 accepted (level 2d), e2 accepted (level 1 s),
+        # e3 dropped (2 s < period), e4 dropped (3 s)
+        (1, D0, 1, "x", 0.0),
+        (2, D0 + 1 * S, 1, "x", 0.0),
+        (3, D0 + 2 * S, 1, "x", 0.0),
+        (4, D0 + 3 * S, 1, "x", 0.0),
+        # user 2: two events a full period apart -> both accepted
+        (5, D0, 2, "x", 0.0),
+        (6, D0 + _TB_PERIOD_US, 2, "x", 0.0),
+    ]
+    out = _df(token_bucket_drops_events(_write_events(tmp_path, rows)))
+    byu = out.set_index("user_id")
+    assert byu.loc[1, "n_dropped"] == 2
+    assert byu.loc[1, "end_level_us"] == 3 * S
+    assert byu.loc[2, "n_dropped"] == 0
+    # user 2: after e1 level=period; refill full period -> capped at
+    # 2*period, consume one -> period
+    assert byu.loc[2, "end_level_us"] == _TB_PERIOD_US
+
+
+def test_source_jsd_closed_form(ray_session, tmp_path):
+    from nrt_ray.pipelines.textops import source_js_divergence
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a b", "b"], pa.string()),
+        "source": pa.array(["A", "B"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = _df(source_js_divergence(str(tmp_path)))
+    bys = out.set_index("source")
+    # corpus: a:2 b:2 (N=4); A: a:2 b:1 (n=3); B: b:1 (n=1)
+    pa_, pb = 2 / 3, 1 / 3
+    qa, qb = 0.5, 0.5
+    ma, mb = 0.5 * (pa_ + qa), 0.5 * (pb + qb)
+    jsd_a = (0.5 * (pa_ * math.log(pa_ / ma))
+             + 0.5 * (qa * math.log(qa / ma))
+             + 0.5 * (pb * math.log(pb / mb))
+             + 0.5 * (qb * math.log(qb / mb)))
+    ma2, mb2 = 0.5 * (0 + qa), 0.5 * (1 + qb)
+    jsd_b = (0.5 * (qa * math.log(qa / ma2))
+             + 0.5 * (1.0 * math.log(1.0 / mb2))
+             + 0.5 * (qb * math.log(qb / mb2)))
+    assert bys.loc["A", "n_tokens"] == 3
+    assert bys.loc["B", "n_tokens"] == 1
+    assert abs(bys.loc["A", "jsd"] - round(jsd_a, 6)) < 1e-9
+    assert abs(bys.loc["B", "jsd"] - round(jsd_b, 6)) < 1e-9
