@@ -224,6 +224,7 @@ def queries() -> dict:
         # ---- multimodal binary decode -----------------------------------
         "image_decode_stats": mm.image_decode_stats,
         "image_png_decode_stats": mm.image_png_decode_stats,
+        "image_jpeg_decode_stats": mm.image_jpeg_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
         "audio_resample_stats": mm.audio_resample_stats,
         "audio_decode_stats": mm.audio_decode_stats,
@@ -1530,6 +1531,8 @@ def oracle_sql() -> dict:
         # PNG: same closed-form pixel replay — the Ray side must invert
         # zlib + all five scanline filters to produce these sums
         "image_png_decode_stats": mm.image_stats_sql(),
+        # real baseline JPEG decode, exactly-invertible fixture
+        "image_jpeg_decode_stats": mm.jpeg_stats_sql(),
         "image_resize_stats": mm.resize_stats_sql(),
         "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),

@@ -37,9 +37,11 @@ import ray.data
 
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
-                                       BmpStats, FrameSampler, PngStats,
+                                       BmpStats, FrameSampler, JpegStats,
+                                       PngStats,
                                        WavResampleStats, WavStats,
-                                       encode_bmp, encode_png, encode_wav)
+                                       encode_bmp, encode_jpeg,
+                                       encode_png, encode_wav)
 
 WAV_RATE = 8000
 FRAME_BYTES = 1000
@@ -72,6 +74,22 @@ def synth_png(doc_id: int) -> bytes:
           + np.array([0, 29, 58], dtype=np.int64)) % 256
     return encode_png(px.reshape(h, w, 3).astype(np.uint8),
                       filter_mode="cycle")
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic REAL baseline JPEG for one doc id: block-aligned
+    grayscale with EVEN-valued constant 8×8 blocks, so the DC-only
+    quantization is exactly invertible (k = (v−128)/2 is an integer —
+    no half-integer rounding boundary for float DCT noise to flip) and
+    the decode is pixel-exact, giving the full Huffman/DCT machinery a
+    closed-form SQL oracle."""
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    nbx, nby = w // 8, h // 8
+    b = np.arange(nbx * nby, dtype=np.int64)
+    vb = (2 * ((doc_id * 7 + b * 13) % 128)).reshape(nby, nbx)
+    img = np.kron(vb, np.ones((8, 8), np.int64)).astype(np.uint8)
+    return encode_jpeg(img)
 
 
 def synth_audio(doc_id: int) -> bytes:
@@ -131,6 +149,24 @@ def image_png_decode_stats(sf_dir: str):
                      batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE) \
         .map_batches(PngStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
+
+
+def image_jpeg_decode_stats(sf_dir: str):
+    """doc ids → REAL baseline JPEG payloads (custom canonical Huffman
+    tables in DHT, byte-stuffed entropy segment, Annex-K quantization)
+    → REAL decode (marker walk + Huffman + dequant + IDCT) → exact
+    integer pixel sums.  The fixture's even-valued constant blocks make
+    the lossy pipeline exactly invertible, so the oracle replays the
+    block-value formula in closed form — any bug in either codec
+    direction (zigzag, DC prediction, bit stuffing, IDCT scale) breaks
+    the match."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_jpeg),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(JpegStats, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE,
                      concurrency=pool_size())
 
@@ -316,4 +352,30 @@ def frame_stats_sql() -> str:
                CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
                CAST(sum(v) AS BIGINT) AS frame_byte_sum
         FROM by_ GROUP BY doc_id
+    """
+
+
+def jpeg_stats_sql() -> str:
+    """Closed-form replay of the JPEG fixture: per block
+    ``v = 2*((doc_id*7 + b*13) % 128)`` and the even-value DC-only
+    pipeline decodes pixel-exact, so px_sum = Σ_b 64·v_b."""
+    return """
+        WITH d AS (
+            SELECT doc_id,
+                   8 * (1 + doc_id % 3) AS w,
+                   8 * (1 + doc_id % 2) AS h
+            FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, (w // 8) * (h // 8) - 1))
+                       AS b
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(any_value(w) AS BIGINT) AS img_width,
+               CAST(any_value(h) AS BIGINT) AS img_height,
+               CAST(sum(64 * 2 * ((doc_id * 7 + b * 13) % 128))
+                    AS BIGINT) AS px_sum
+        FROM blk GROUP BY doc_id
     """

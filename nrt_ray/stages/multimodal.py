@@ -11,17 +11,22 @@ table.  Two codec tiers:
   :class:`WavStats`) is a genuine binary decode pipeline with no
   container dependency; it is oracle-checked end-to-end in the driver
   catalog (``pipelines/mmops.py``).
-* **Real compressed codec** — PNG (8-bit grayscale/truecolor,
+* **Real compressed codecs** — PNG (8-bit grayscale/truecolor,
   non-interlaced) is zlib + per-scanline filters, both pure
   stdlib/numpy, so :func:`encode_png` / :func:`decode_png` are REAL
   compressed-image codecs: the encoder cycles through all five PNG
   filter types (None/Sub/Up/Average/Paeth) so a decode that mishandles
-  any inverse filter breaks the oracle match.
-* **Stubbed compressed codecs** — JPEG pixel decode (DCT + Huffman) and
-  real video demux need libraries absent from this container, so
-  :class:`ImageFeatures`/:class:`FrameSampler` keep ``decode="stub"``
-  deterministic fakes and ``decode="real"`` raises at the exact plug-in
-  point for those formats.
+  any inverse filter breaks the oracle match.  JPEG (baseline
+  sequential, 8-bit, 1×1 sampling) is implemented in full from the
+  T.81 spec — FDCT, Annex-K quantization, zigzag, DC prediction,
+  run-length AC, canonical Huffman with byte stuffing, all markers —
+  as :func:`encode_jpeg` / :func:`decode_jpeg` (pure numpy, no
+  libraries); progressive / subsampled / 12-bit streams raise at the
+  documented plug-in point.
+* **Stubbed codecs** — real video demux needs libraries absent from
+  this container, so :class:`FrameSampler` keeps a ``decode="stub"``
+  deterministic fake and ``decode="real"`` raises at the exact plug-in
+  point.
 
 Stages:
 
@@ -561,3 +566,438 @@ class FrameSampler:
             "frame_no": pa.array(frame_nos, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+# ---------------------------------------------------------------------------
+# JPEG — REAL baseline sequential DCT codec (pure numpy, no libraries)
+# ---------------------------------------------------------------------------
+# Encoder and decoder implement the full ITU T.81 baseline pipeline:
+# level shift → 8×8 FDCT → quantization → zigzag → DC-differential +
+# AC run-length → canonical Huffman entropy coding with byte stuffing,
+# wrapped in SOI/DQT/SOF0/DHT/SOS/EOI markers.  The Huffman tables are
+# CUSTOM canonical tables carried in DHT segments (spec-compliant —
+# optimized encoders routinely emit their own), so the decoder builds
+# its codes from the stream like any real JPEG reader.  Only 8-bit
+# baseline with 1×1 sampling (grayscale or 4:4:4 color) is supported;
+# everything else raises at the documented plug-in point.
+
+_JPEG_Q_LUM = np.array([        # ITU T.81 Annex K.1 luminance table
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.int64)
+
+_JPEG_Q_CHR = np.array([        # Annex K.2 chrominance table
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], np.int64)
+
+
+def _zigzag_order() -> np.ndarray:
+    """The standard JPEG zigzag scan as flat 8×8 indices."""
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 \
+            else range(max(0, s - 7), min(s, 7) + 1)
+        for u in rng:
+            out.append(u * 8 + (s - u))
+    return np.array(out, np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+_DCT_M = (np.array([[np.cos((2 * x + 1) * u * np.pi / 16)
+                     for x in range(8)] for u in range(8)])
+          * np.r_[1 / np.sqrt(2), np.ones(7)][:, None] / 2.0)
+
+# canonical Huffman tables: 12 DC symbols (categories 0..11) at 4 bits,
+# 162 AC symbols at 9 bits — Kraft-feasible, no all-ones max code
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s
+                           for r in range(16) for s in range(1, 11)]
+_DC_BITS = [0, 0, 0, 12] + [0] * 12          # all 12 codes length 4
+_AC_BITS = [0] * 8 + [162] + [0] * 7         # all 162 codes length 9
+
+
+def _canonical_codes(bits, syms):
+    """(symbol → (code, length)) for a canonical Huffman table."""
+    table, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[syms[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+_DC_ENC = _canonical_codes(_DC_BITS, _DC_SYMS)
+_AC_ENC = _canonical_codes(_AC_BITS, _AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:               # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_prev: int) -> int:
+    """Huffman-encode one quantized zigzag block; returns its DC."""
+    dc = int(coefs[0])
+    diff = dc - dc_prev
+    s = _category(diff)
+    code, ln = _DC_ENC[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs) else 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = _AC_ENC[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_ENC[0x00]              # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray, bw: _BitWriter,
+                    dc_prev: int) -> int:
+    """FDCT + quantize + entropy-code every 8×8 block of one plane."""
+    h, w = plane.shape
+    qz = q.reshape(-1)[_ZIGZAG].astype(np.float64)
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = plane[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coef = (_DCT_M @ blk @ _DCT_M.T).reshape(-1)[_ZIGZAG]
+            kq = np.sign(coef) * np.floor(np.abs(coef) / qz + 0.5)
+            dc_prev = _encode_block(bw, kq.astype(np.int64), dc_prev)
+    return dc_prev
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _dht_segment(tc_th: int, bits, syms) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(
+        int(v) for v in q.reshape(-1)[_ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """uint8 array → REAL baseline JPEG bytes.
+
+    ``(h, w)`` encodes single-component grayscale; ``(h, w, 3)`` encodes
+    4:4:4 YCbCr color.  Dimensions must be multiples of 8 (no padding
+    logic — the synthetic fixtures are block-aligned; a general encoder
+    would edge-extend).  Quantization is round-half-away-from-zero over
+    the Annex K tables; entropy coding uses the module's canonical
+    Huffman tables, carried in DHT segments like any real stream.
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs block-aligned dimensions")
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += _dqt_segment(0, _JPEG_Q_LUM)
+    ncomp = 1 if gray else 3
+    if not gray:
+        out += _dqt_segment(1, _JPEG_Q_CHR)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, _DC_BITS, _DC_SYMS)      # DC table 0
+    out += _dht_segment(0x10, _AC_BITS, _AC_SYMS)      # AC table 0
+    if not gray:
+        out += _dht_segment(0x01, _DC_BITS, _DC_SYMS)
+        out += _dht_segment(0x11, _AC_BITS, _AC_SYMS)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    bw = _BitWriter()
+    if gray:
+        _quantize_plane(arr, _JPEG_Q_LUM, bw, 0)
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        # 4:4:4, 1×1 sampling: MCU = one block per component, raster
+        # order — interleave per MCU as the spec requires
+        dc = [0, 0, 0]
+        qz = [_JPEG_Q_LUM, _JPEG_Q_CHR, _JPEG_Q_CHR]
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                for c in range(3):
+                    blk = ycc[by:by + 8, bx:bx + 8, c] \
+                        .astype(np.float64) - 128.0
+                    coef = (_DCT_M @ blk @ _DCT_M.T) \
+                        .reshape(-1)[_ZIGZAG]
+                    qv = qz[c].reshape(-1)[_ZIGZAG].astype(np.float64)
+                    kq = np.sign(coef) * np.floor(np.abs(coef) / qv
+                                                  + 0.5)
+                    dc[c] = _encode_block(bw, kq.astype(np.int64),
+                                          dc[c])
+    out += bw.flush()
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:                       # marker: feed pad bits
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff_tables(body: bytes):
+    """One DHT segment body → {(tc, th): (mincode, maxcode, valptr,
+    vals)} canonical decode tables (may hold several tables)."""
+    out = {}
+    pos = 0
+    while pos < len(body):
+        tc_th = body[pos]
+        bits = list(body[pos + 1:pos + 17])
+        nvals = sum(bits)
+        vals = list(body[pos + 17:pos + 17 + nvals])
+        mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+        code, i = 0, 0
+        for ln in range(1, 17):
+            valptr[ln] = i
+            mincode[ln] = code
+            code += bits[ln - 1]
+            i += bits[ln - 1]
+            maxcode[ln] = code - 1 if bits[ln - 1] else -1
+            code <<= 1
+        out[(tc_th >> 4, tc_th & 0xF)] = (mincode, maxcode, valptr,
+                                          vals)
+        pos += 17 + nvals
+    return out
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if maxcode[ln] >= 0 and code <= maxcode[ln]:
+            return vals[valptr[ln] + (code - mincode[ln])]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode (8-bit, 1×1 sampling): marker walk,
+    DHT canonical-code construction, entropy decode with de-stuffing,
+    dequantize, inverse zigzag, IDCT, level shift; YCbCr→RGB for
+    3-component scans.  Rejects progressive / subsampled / 12-bit
+    streams (the honest plug-in point for a full library)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt, huff, sof, scomp = {}, {}, None, None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(body):
+                tq = body[p] & 0xF
+                if body[p] >> 4:
+                    raise ValueError("16-bit DQT unsupported")
+                z = np.frombuffer(body[p + 1:p + 65], np.uint8) \
+                    .astype(np.int64)
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZIGZAG] = z
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif m == 0xC4:
+            huff.update(_decode_huff_tables(body))
+        elif m == 0xC0:
+            depth, h, w, nc = body[0], *struct.unpack_from(">HH", body,
+                                                           1), body[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+            if depth != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            sof = (h, w, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif m == 0xDA:
+            ns = body[0]
+            scomp = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                      body[2 + 2 * c] & 0xF) for c in range(ns)]
+            pos += 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scomp is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = sof
+    tq_of = dict(comps)
+    br = _BitReader(payload, pos)
+    planes = [np.zeros((h, w), np.int64) for _ in scomp]
+    dc = [0] * len(scomp)
+    zq = [qt[tq_of[cid]].reshape(-1)[_ZIGZAG] for cid, _, _ in scomp]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, (cid, td, ta) in enumerate(scomp):
+                s = _read_symbol(br, huff[(0, td)])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                dc[ci] += diff
+                coefs = np.zeros(64, np.int64)
+                coefs[0] = dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, huff[(1, ta)])
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    ssz = rs & 0xF
+                    coefs[k] = _extend(br.read_bits(ssz), ssz)
+                    k += 1
+                deq = (coefs * zq[ci]).astype(np.float64)
+                blk = np.zeros(64, np.float64)
+                blk[_ZIGZAG] = deq
+                px = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
+                planes[ci][by:by + 8, bx:bx + 8] = np.clip(
+                    np.rint(px), 0, 255).astype(np.int64)
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    ycc = np.stack(planes, axis=-1).astype(np.uint8)
+    return _ycbcr_to_rgb(ycc)
+
+
+class JpegStats:
+    """Actor-pool stage: REAL baseline JPEG decode (Huffman + dequant +
+    IDCT) → per-image dimensions and the exact integer pixel sum."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, ps = [], [], []
+        for b in batch[self.col].to_pylist():
+            px = decode_jpeg(b).astype(np.int64)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            ps.append(int(px.sum()))
+        return batch.drop_columns([self.col]) \
+            .append_column("img_width", pa.array(ws, pa.int64())) \
+            .append_column("img_height", pa.array(hs, pa.int64())) \
+            .append_column("px_sum", pa.array(ps, pa.int64()))

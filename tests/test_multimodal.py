@@ -288,3 +288,79 @@ def test_resample_nn_and_stage():
         assert row["n_samples"] == len(r)
         assert row["amp_sum"] == int(r.sum())
         assert row["energy"] == int((r * r).sum())
+
+
+# ---------------------------------------------------------------- JPEG
+
+def test_jpeg_exact_on_even_constant_blocks():
+    # even-valued constant 8x8 blocks -> DC-only spectrum with integer
+    # half-quotients: the lossy pipeline is exactly invertible
+    rng = np.random.default_rng(7)
+    vb = (2 * rng.integers(0, 128, (2, 3))).astype(np.uint8)
+    img = np.kron(vb, np.ones((8, 8), np.uint8))
+    out = mm.decode_jpeg(mm.encode_jpeg(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_jpeg_gray_gradient_quantization_bounded():
+    y, x = np.mgrid[0:16, 0:24]
+    g = ((y * 5 + x * 3) % 200 + 20).astype(np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(g)).astype(np.int64)
+    err = np.abs(out - g.astype(np.int64))
+    assert out.shape == g.shape
+    assert err.max() <= 8           # Annex-K quantization loss bound
+    assert err.mean() < 3.0
+
+
+def test_jpeg_color_roundtrip_bounded():
+    y, x = np.mgrid[0:16, 0:16]
+    rgb = np.stack([(y * 4 + x) % 180 + 30,
+                    (y + x * 4) % 180 + 40,
+                    (y * 2 + x * 2) % 180 + 50],
+                   axis=-1).astype(np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(rgb)).astype(np.int64)
+    err = np.abs(out - rgb.astype(np.int64))
+    assert out.shape == rgb.shape
+    assert err.max() <= 20          # chroma quantization is coarser
+    assert err.mean() < 5.0
+
+
+def test_jpeg_deterministic_and_compressed():
+    y, x = np.mgrid[0:64, 0:64]
+    g = ((y * 2 + x) % 256).astype(np.uint8)
+    b1, b2 = mm.encode_jpeg(g), mm.encode_jpeg(g)
+    assert b1 == b2
+    assert b1[:2] == b"\xff\xd8" and b1[-2:] == b"\xff\xd9"
+    assert len(b1) < g.size          # actually compresses (4096 raw)
+
+
+def test_jpeg_rejects_unsupported():
+    import pytest
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        mm.encode_jpeg(np.zeros((7, 8), np.uint8))   # not block-aligned
+    # progressive marker (SOF2) is rejected at the plug-in point
+    body = b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08"
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(body + b"\xff\xd9")
+
+
+def test_jpeg_stats_stage(ray_session):
+    import ray.data
+    from nrt_ray.pipelines.mmops import synth_jpeg
+    ids = [1, 2, 3, 10, 47]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_jpeg(i) for i in ids], pa.binary()),
+    }))
+    out = ds.map_batches(mm.JpegStats, batch_format="pyarrow",
+                         concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for _, r in out.iterrows():
+        did = int(r["doc_id"])
+        w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+        b = np.arange((w // 8) * (h // 8), dtype=np.int64)
+        expect = int((64 * 2 * ((did * 7 + b * 13) % 128)).sum())
+        assert (r["img_width"], r["img_height"]) == (w, h)
+        assert r["px_sum"] == expect
