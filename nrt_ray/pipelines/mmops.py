@@ -37,10 +37,12 @@ import ray.data
 
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
-                                       BmpStats, FrameSampler, JpegStats,
+                                       AviFrameSampler, BmpStats,
+                                       FrameSampler, JpegStats,
                                        PngStats,
                                        WavResampleStats, WavStats,
-                                       encode_bmp, encode_jpeg,
+                                       encode_avi, encode_bmp,
+                                       encode_jpeg,
                                        encode_png, encode_wav)
 
 WAV_RATE = 8000
@@ -90,6 +92,21 @@ def synth_jpeg(doc_id: int) -> bytes:
     vb = (2 * ((doc_id * 7 + b * 13) % 128)).reshape(nby, nbx)
     img = np.kron(vb, np.ones((8, 8), np.int64)).astype(np.uint8)
     return encode_jpeg(img)
+
+
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic REAL uncompressed AVI for one doc id: RIFF/LIST
+    container around bottom-up padded DIB frames, pixels from a
+    closed-form formula the oracle replays."""
+    nf = 2 + doc_id % 5
+    w = 3 + doc_id % 4
+    h = 2 + doc_id % 3
+    i = np.arange(h * w, dtype=np.int64)
+    frames = np.stack([
+        ((doc_id * 11 + f * 5 + i[:, None] * 13
+          + np.array([0, 29, 58], dtype=np.int64)) % 256)
+        .reshape(h, w, 3) for f in range(nf)]).astype(np.uint8)
+    return encode_avi(frames)
 
 
 def synth_audio(doc_id: int) -> bytes:
@@ -169,6 +186,22 @@ def image_jpeg_decode_stats(sf_dir: str):
         .map_batches(JpegStats, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE,
                      concurrency=pool_size())
+
+
+def video_avi_frame_stats(sf_dir: str):
+    """doc ids → REAL AVI payloads → REAL container demux (RIFF walk,
+    LIST nesting, DIB row padding, bottom-up BGR unpack) → every 2nd
+    frame fans out to its own row with exact integer pixel sums.  The
+    oracle replays the frame/pixel formula in closed form, so any demux
+    error (chunk sizes, padding, channel order, frame order) breaks the
+    match."""
+    sampler = AviFrameSampler(id_col="doc_id", stride=2)
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_avi),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(sampler, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE)
 
 
 def audio_decode_stats(sf_dir: str):
@@ -378,4 +411,33 @@ def jpeg_stats_sql() -> str:
                CAST(sum(64 * 2 * ((doc_id * 7 + b * 13) % 128))
                     AS BIGINT) AS px_sum
         FROM blk GROUP BY doc_id
+    """
+
+
+def avi_frame_stats_sql() -> str:
+    """Closed-form replay of the AVI fixture: sampled frames
+    (fno % 2 = 0) × the per-channel pixel formula."""
+    return """
+        WITH d AS (
+            SELECT doc_id, 2 + doc_id % 5 AS nf,
+                   3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, w, h,
+                   unnest(generate_series(0, nf - 1)) AS fno
+            FROM d
+        ),
+        sf AS (SELECT * FROM f WHERE fno % 2 = 0),
+        px AS (
+            SELECT doc_id, fno, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS j
+            FROM sf
+        )
+        SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+               CAST(any_value(h) AS BIGINT) AS frame_h,
+               CAST(any_value(w) AS BIGINT) AS frame_w,
+               CAST(sum((doc_id * 11 + fno * 5 + (j // 3) * 13
+                         + (j % 3) * 29) % 256) AS BIGINT) AS px_sum
+        FROM px GROUP BY doc_id, fno
     """

@@ -61,15 +61,33 @@ def test_stub_features_deterministic_unit_norm():
 
 
 def test_real_decode_raises_for_library_formats():
-    # BMP/PNG real decode works (tested below); JPEG needs a library and
-    # raises at the per-payload plug-in point; video demux at the ctor
+    # BMP/PNG/JPEG real decode works (tested below); GIF still needs a
+    # library and raises at the per-payload plug-in point; chunked video
+    # "demux" at the ctor (real container demux lives in AviFrameSampler)
     stage = mm.ImageFeatures(decode="real")
     batch = pa.table({"id": pa.array([1], pa.int64()),
-                      "payload": pa.array([_jpeg(8, 8)], pa.binary())})
+                      "payload": pa.array([_gif(8, 8)], pa.binary())})
     with pytest.raises(NotImplementedError):
         stage(batch)
     with pytest.raises(NotImplementedError):
         mm.FrameSampler(decode="real")
+
+
+def test_real_features_from_jpeg_pixels():
+    # even-constant blocks decode pixel-exact, so JPEG real features
+    # must equal the BMP features of the same image
+    vb = np.array([[20, 144, 128]], np.uint8)   # even values: exact
+    img = np.kron(vb, np.ones((8, 8), np.uint8))
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    fj = mm.ImageFeatures(dim=16, decode="real")(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array([mm.encode_jpeg(img)], pa.binary())}))
+    fb = mm.ImageFeatures(dim=16, decode="real")(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array([mm.encode_bmp(rgb)], pa.binary())}))
+    a = np.array(fj.column("features").to_pylist())
+    b = np.array(fb.column("features").to_pylist())
+    np.testing.assert_array_equal(a, b)
 
 
 def test_real_features_from_decoded_pixels():
@@ -364,3 +382,49 @@ def test_jpeg_stats_stage(ray_session):
         expect = int((64 * 2 * ((did * 7 + b * 13) % 128)).sum())
         assert (r["img_width"], r["img_height"]) == (w, h)
         assert r["px_sum"] == expect
+
+
+# ----------------------------------------------------------------- AVI
+
+def test_avi_roundtrip_with_row_padding():
+    rng = np.random.default_rng(3)
+    # odd width (7*3=21 bytes/row -> padded to 24) exercises alignment
+    fr = rng.integers(0, 256, (5, 6, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.demux_avi(mm.encode_avi(fr)), fr)
+    fr2 = rng.integers(0, 256, (1, 4, 4, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.demux_avi(mm.encode_avi(fr2)), fr2)
+
+
+def test_avi_rejects_bad_input():
+    import pytest
+    with pytest.raises(ValueError):
+        mm.demux_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        mm.demux_avi(b"nope")
+
+
+def test_avi_frame_sampler_stage(ray_session):
+    import ray.data
+    from nrt_ray.pipelines.mmops import synth_avi
+    ids = [1, 4, 9]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_avi(i) for i in ids], pa.binary()),
+    }))
+    sampler = mm.AviFrameSampler(id_col="doc_id", stride=2)
+    out = ds.map_batches(sampler, batch_format="pyarrow") \
+        .to_pandas().sort_values(["doc_id", "frame_no"]) \
+        .reset_index(drop=True)
+    for _, r in out.iterrows():
+        did, fno = int(r["doc_id"]), int(r["frame_no"])
+        assert fno % 2 == 0
+        w, h = 3 + did % 4, 2 + did % 3
+        i = np.arange(h * w, dtype=np.int64)
+        px = (did * 11 + fno * 5 + i[:, None] * 13
+              + np.array([0, 29, 58], dtype=np.int64)) % 256
+        assert (r["frame_w"], r["frame_h"]) == (w, h)
+        assert r["px_sum"] == int(px.sum())
+    # sampled-frame counts per doc: ceil(nf/2)
+    for did in ids:
+        nf = 2 + did % 5
+        assert (out["doc_id"] == did).sum() == (nf + 1) // 2
