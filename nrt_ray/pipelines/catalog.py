@@ -226,6 +226,7 @@ def queries() -> dict:
         "image_png_decode_stats": mm.image_png_decode_stats,
         "image_jpeg_decode_stats": mm.image_jpeg_decode_stats,
         "video_avi_frame_stats": mm.video_avi_frame_stats,
+        "image_gif_decode_stats": mm.image_gif_decode_stats,
         "image_resize_stats": mm.image_resize_stats,
         "audio_resample_stats": mm.audio_resample_stats,
         "audio_decode_stats": mm.audio_decode_stats,
@@ -1536,6 +1537,8 @@ def oracle_sql() -> dict:
         "image_jpeg_decode_stats": mm.jpeg_stats_sql(),
         # real RIFF/AVI container demux, frame fan-out
         "video_avi_frame_stats": mm.avi_frame_stats_sql(),
+        # real LZW GIF decode (lossless), closed-form replay
+        "image_gif_decode_stats": mm.gif_stats_sql(),
         "image_resize_stats": mm.resize_stats_sql(),
         "audio_resample_stats": mm.resample_stats_sql(),
         "audio_decode_stats": mm.audio_stats_sql(),

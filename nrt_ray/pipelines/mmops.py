@@ -38,10 +38,12 @@ import ray.data
 from nrt_ray.pipelines.relational import pool_size
 from nrt_ray.stages.multimodal import (BINARY_BATCH_SIZE, BmpResizeStats,
                                        AviFrameSampler, BmpStats,
-                                       FrameSampler, JpegStats,
+                                       FrameSampler, GifStats,
+                                       JpegStats,
                                        PngStats,
                                        WavResampleStats, WavStats,
                                        encode_avi, encode_bmp,
+                                       encode_gif,
                                        encode_jpeg,
                                        encode_png, encode_wav)
 
@@ -107,6 +109,21 @@ def synth_avi(doc_id: int) -> bytes:
           + np.array([0, 29, 58], dtype=np.int64)) % 256)
         .reshape(h, w, 3) for f in range(nf)]).astype(np.uint8)
     return encode_avi(frames)
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic REAL GIF89a animation for one doc id: grayscale
+    palette, real variable-width LZW frame data, pixels from a
+    closed-form formula the oracle replays (GIF is lossless, so the
+    decode is pixel-exact by construction)."""
+    nf = 1 + doc_id % 3
+    w = 5 + doc_id % 6
+    h = 4 + doc_id % 5
+    i = np.arange(h * w, dtype=np.int64)
+    frames = np.stack([
+        ((doc_id * 13 + f * 7 + i * 3) % 256).reshape(h, w)
+        for f in range(nf)]).astype(np.uint8)
+    return encode_gif(frames)
 
 
 def synth_audio(doc_id: int) -> bytes:
@@ -202,6 +219,21 @@ def video_avi_frame_stats(sf_dir: str):
                      batch_size=BINARY_BATCH_SIZE) \
         .map_batches(sampler, batch_format="pyarrow",
                      batch_size=BINARY_BATCH_SIZE)
+
+
+def image_gif_decode_stats(sf_dir: str):
+    """doc ids → REAL GIF payloads (LZW-compressed grayscale-palette
+    animations) → REAL decode (sub-block walk + variable-width LZW +
+    palette mapping) → frame counts and exact pixel sums.  Closed-form
+    oracle: any bug in LZW width growth, dictionary reset, KwKwK
+    handling or the block walk breaks the match."""
+    return _read_ids(sf_dir) \
+        .map_batches(lambda t: _synth_batch(t, synth_gif),
+                     batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE) \
+        .map_batches(GifStats, batch_format="pyarrow",
+                     batch_size=BINARY_BATCH_SIZE,
+                     concurrency=pool_size())
 
 
 def audio_decode_stats(sf_dir: str):
@@ -440,4 +472,28 @@ def avi_frame_stats_sql() -> str:
                CAST(sum((doc_id * 11 + fno * 5 + (j // 3) * 13
                          + (j % 3) * 29) % 256) AS BIGINT) AS px_sum
         FROM px GROUP BY doc_id, fno
+    """
+
+
+def gif_stats_sql() -> str:
+    """Closed-form replay of the GIF fixture (lossless decode)."""
+    return """
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 3 AS nf,
+                   5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, nf, w, h,
+                   unnest(generate_series(0, nf * w * h - 1)) AS j
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(any_value(nf) AS BIGINT) AS n_frames,
+               CAST(any_value(h) AS BIGINT) AS img_height,
+               CAST(any_value(w) AS BIGINT) AS img_width,
+               CAST(sum((doc_id * 13 + (j // (w * h)) * 7
+                         + (j % (w * h)) * 3) % 256) AS BIGINT)
+                   AS px_sum
+        FROM px GROUP BY doc_id
     """

@@ -23,10 +23,15 @@ table.  Two codec tiers:
   as :func:`encode_jpeg` / :func:`decode_jpeg` (pure numpy, no
   libraries); progressive / subsampled / 12-bit streams raise at the
   documented plug-in point.
-* **Stubbed codecs** — real video demux needs libraries absent from
-  this container, so :class:`FrameSampler` keeps a ``decode="stub"``
-  deterministic fake and ``decode="real"`` raises at the exact plug-in
-  point.
+  GIF89a (grayscale palette, full frames) is a real from-scratch
+  variable-width LZW codec (:func:`encode_gif` / :func:`decode_gif`),
+  and AVI (:func:`encode_avi` / :func:`demux_avi`) is a real RIFF
+  container demux over uncompressed DIB frames.
+* **Stubbed codecs** — compressed video codecs (H.26x etc.) need
+  libraries absent from this container, so :class:`FrameSampler` keeps
+  a ``decode="stub"`` byte-chunking fake and ``decode="real"`` raises
+  at the exact plug-in point (real container demux lives in
+  :class:`AviFrameSampler`).
 
 Stages:
 
@@ -510,6 +515,10 @@ class ImageFeatures:
             px = decode_png(payload)
         elif fmt == "jpeg":
             px = decode_jpeg(payload)
+        elif fmt == "gif":
+            px = decode_gif(payload)
+            if px.ndim == 3:
+                px = px[0]               # first frame of an animation
         else:
             raise NotImplementedError(
                 f"real decode of {fmt or 'unknown'} payloads requires an "
@@ -1136,3 +1145,212 @@ class AviFrameSampler:
             "frame_w": pa.array(ws, pa.int64()),
             "px_sum": pa.array(sums, pa.int64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# GIF — REAL GIF89a codec: LZW compression from scratch (pure python/numpy)
+# ---------------------------------------------------------------------------
+# Grayscale-palette GIF with one or more full-size frames (a lossless
+# animation container).  The LZW coder is the real variable-width
+# algorithm — clear/end codes, LSB-first bit packing, width growth to
+# 12 bits, dictionary reset at 4096 — so the decoder exercises the same
+# machinery as any web GIF.  Local color tables, interlacing, partial
+# frames and transparency raise at the documented plug-in point.
+
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n                 # LSB-first packing
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    nxt, width = end + 1, mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            nxt, width = end + 1, mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int, npix: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = n = pos = 0
+    prev = None
+    while len(out) < npix:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):         # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:npix])
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray) -> bytes:
+    """(n, h, w) or (h, w) uint8 grayscale → REAL GIF89a bytes with a
+    256-entry grayscale palette and real LZW-compressed frame data."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    n, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])           # global table: 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()                 # grayscale palette
+    for f in frames:
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)                    # LZW min code size
+        out += _gif_subblocks(_lzw_compress(f.tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode: screen descriptor, palette, sub-block walk,
+    variable-width LZW.  Returns ``(h, w)`` uint8 for single-frame
+    grayscale-palette GIFs, ``(n, h, w)`` for animations.  Non-gray
+    palettes return the palette-mapped luma; local color tables,
+    interlacing and partial frames raise at the plug-in point."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    pal = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        pal = np.frombuffer(payload[pos:pos + 3 * size],
+                            np.uint8).reshape(size, 3)
+        pos += 3 * size
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:                    # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload,
+                                                   pos + 1)
+            fpacked = payload[pos + 9]
+            if fpacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if fpacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("partial GIF frames unsupported")
+            mcs = payload[pos + 10]
+            pos += 11
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(data), mcs, w * h),
+                np.uint8).reshape(h, w)
+            if pal is None:
+                frames.append(idx)
+            else:
+                rgb = pal[idx].astype(np.int64)
+                gray = (rgb @ [299, 587, 114]) // 1000
+                frames.append(gray.astype(np.uint8))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    out = np.stack(frames)
+    return out[0] if len(frames) == 1 else out
+
+
+class GifStats:
+    """Actor-pool stage: REAL GIF decode (LZW + palette) → frame count,
+    dimensions and the exact integer pixel sum over all frames."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, hs, ws, ps = [], [], [], []
+        for b in batch[self.col].to_pylist():
+            px = decode_gif(b)
+            if px.ndim == 2:
+                px = px[None]
+            ns.append(px.shape[0])
+            hs.append(px.shape[1])
+            ws.append(px.shape[2])
+            ps.append(int(px.astype(np.int64).sum()))
+        return batch.drop_columns([self.col]) \
+            .append_column("n_frames", pa.array(ns, pa.int64())) \
+            .append_column("img_height", pa.array(hs, pa.int64())) \
+            .append_column("img_width", pa.array(ws, pa.int64())) \
+            .append_column("px_sum", pa.array(ps, pa.int64()))

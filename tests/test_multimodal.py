@@ -61,12 +61,13 @@ def test_stub_features_deterministic_unit_norm():
 
 
 def test_real_decode_raises_for_library_formats():
-    # BMP/PNG/JPEG real decode works (tested below); GIF still needs a
-    # library and raises at the per-payload plug-in point; chunked video
-    # "demux" at the ctor (real container demux lives in AviFrameSampler)
+    # BMP/PNG/JPEG/GIF real decode works (tested below); unknown formats
+    # raise at the per-payload plug-in point; chunked video "demux" at
+    # the ctor (real container demux lives in AviFrameSampler)
     stage = mm.ImageFeatures(decode="real")
     batch = pa.table({"id": pa.array([1], pa.int64()),
-                      "payload": pa.array([_gif(8, 8)], pa.binary())})
+                      "payload": pa.array([b"unknown-bytes"],
+                                          pa.binary())})
     with pytest.raises(NotImplementedError):
         stage(batch)
     with pytest.raises(NotImplementedError):
@@ -428,3 +429,73 @@ def test_avi_frame_sampler_stage(ray_session):
     for did in ids:
         nf = 2 + did % 5
         assert (out["doc_id"] == did).sum() == (nf + 1) // 2
+
+
+# ----------------------------------------------------------------- GIF
+
+def test_gif_roundtrip_single_anim_and_reset():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_gif(mm.encode_gif(img)), img)
+    anim = rng.integers(0, 256, (4, 9, 11), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_gif(mm.encode_gif(anim)),
+                                  anim)
+    # 6400 random pixels force LZW width growth to 12 bits + dict reset
+    big = rng.integers(0, 256, (80, 80), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_gif(mm.encode_gif(big)), big)
+
+
+def test_gif_compresses_smooth_content():
+    grad = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+    assert len(mm.encode_gif(grad)) < grad.size // 2 + 800
+
+
+def test_gif_rejects_unsupported():
+    with pytest.raises(ValueError):
+        mm.decode_gif(b"JIF89a")
+    good = bytearray(mm.encode_gif(np.zeros((4, 4), np.uint8)))
+    corrupt = good.copy()
+    # image descriptor sits right after the 13-byte header + 768-byte
+    # global palette; flip its interlace bit
+    idx = 13 + 768
+    assert corrupt[idx] == 0x2C
+    corrupt[idx + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_gif(bytes(corrupt))
+
+
+def test_gif_real_features_match_bmp():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    fg = mm.ImageFeatures(dim=16, decode="real")(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array([mm.encode_gif(g)], pa.binary())}))
+    fb = mm.ImageFeatures(dim=16, decode="real")(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "payload": pa.array([mm.encode_bmp(rgb)], pa.binary())}))
+    np.testing.assert_array_equal(
+        np.array(fg.column("features").to_pylist()),
+        np.array(fb.column("features").to_pylist()))
+
+
+def test_gif_stats_stage(ray_session):
+    import ray.data
+    from nrt_ray.pipelines.mmops import synth_gif
+    ids = [1, 2, 7]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_gif(i) for i in ids], pa.binary()),
+    }))
+    out = ds.map_batches(mm.GifStats, batch_format="pyarrow",
+                         concurrency=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for _, r in out.iterrows():
+        did = int(r["doc_id"])
+        nf, w, h = 1 + did % 3, 5 + did % 6, 4 + did % 5
+        j = np.arange(nf * w * h, dtype=np.int64)
+        expect = int(((did * 13 + (j // (w * h)) * 7
+                       + (j % (w * h)) * 3) % 256).sum())
+        assert (r["n_frames"], r["img_width"], r["img_height"]) \
+            == (nf, w, h)
+        assert r["px_sum"] == expect
