@@ -148,6 +148,11 @@ BENCH_QUERIES = (
     "mad_outlier_days_events",
     "pack_sequences_docs",
     "curate_corpus_docs",
+    "stl_trend_events",
+    "token_bucket_drops_events",
+    "source_js_divergence_docs",
+    "image_jpeg_decode_stats",
+    "video_avi_frame_stats",
 )
 
 
