@@ -124,6 +124,10 @@ def main(argv=None) -> int:
     dec.add_argument("--out", required=True,
                      help="pipeline output dir (reads its segments)")
     dec.add_argument("--tier", default=None)
+    dec.add_argument("--max-points", type=int, default=None,
+                     help="auto-select the finest tier whose point "
+                          "count over [--t0, --t1) fits this budget "
+                          "(overrides --tier; needs both bounds)")
     dec.add_argument("--t0", default=None,
                      help="ISO start (inclusive): prune segments by "
                           "metadata at the parquet scan, never decoding "
@@ -314,18 +318,32 @@ def main(argv=None) -> int:
             if t1_us is not None:
                 f1 = pc_.field("seg_start") < np.datetime64(args.t1, "us")
                 flt = f1 if flt is None else (flt & f1)
-            if args.tier is not None:
-                ft = pc_.field("tier") == args.tier
+            tier = args.tier
+            if args.max_points is not None:
+                if t0_us is None or t1_us is None:
+                    raise SystemExit("decode: --max-points needs --t0 "
+                                     "and --t1")
+                from nrt_ray.pipelines.incremental import read_run_config
+                from nrt_ray.stages.rollup import TierSpec, choose_tier
+                cfg = read_run_config(args.out)
+                tiers = [TierSpec(**t) for t in cfg["tiers"]]
+                tier = choose_tier(tiers, t0_us, t1_us,
+                                   args.max_points,
+                                   now_us=int(cfg["high_water_us"])
+                                   ).name
+            if tier is not None:
+                ft = pc_.field("tier") == tier
                 flt = ft if flt is None else (flt & ft)
             ds = ray.data.read_parquet(
                 f"{args.out}/segments", filter=flt).map_batches(
-                lambda t: decode_segments_table(t, tier=args.tier,
+                lambda t: decode_segments_table(t, tier=tier,
                                                 t0_us=t0_us, t1_us=t1_us),
                 batch_format="pyarrow")
             ds.write_parquet(args.dest)
             import pyarrow.dataset as pds_
             n = pds_.dataset(args.dest).count_rows()
-            print(json.dumps({"points": int(n), "dest": args.dest}))
+            print(json.dumps({"points": int(n), "dest": args.dest,
+                              "tier": tier}))
         elif args.cmd == "report":
             from nrt_ray.pipelines.monitor_pipeline import top_recent_breaks
             ds = top_recent_breaks(args.out, k=args.k)

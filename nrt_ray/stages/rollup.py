@@ -250,3 +250,37 @@ def rollup_series_table(series: pa.Table, tiers=DEFAULT_TIERS,
             "gapfilled": pa.array(rolled["gapfilled"], pa.bool_()),
         })
     return out
+
+
+def choose_tier(tiers, t0_us: int, t1_us: int, max_points: int,
+                now_us: int | None = None):
+    """Resolution-aware tier selection (the Grafana/M3 downsample-read
+    rule): return the FINEST tier whose point count over ``[t0, t1)``
+    fits the ``max_points`` budget, falling back to the coarsest
+    eligible tier when even it overflows.  Ties in width resolve to the
+    first listed.
+
+    A tier with a retention policy is only ELIGIBLE when its retained
+    window still covers ``t0`` (``now_us`` — normally the run's
+    committed high-water mark — minus ``retention_us``): a 90-day 1-hour
+    tier cannot serve last year's data no matter how well it fits the
+    point budget.  Pass ``now_us=None`` to skip the retention check.
+
+    This is the storage-side query planner for the continuous-aggregate
+    tiers: a dashboard asking for ≤ 500 points over a year reads the
+    1-week tier and never touches the 1-hour segments.
+    """
+    if t1_us <= t0_us or max_points <= 0:
+        raise ValueError("need t1 > t0 and max_points > 0")
+
+    def eligible(t):
+        return (now_us is None or t.retention_us is None
+                or now_us - t.retention_us <= t0_us)
+
+    cands = [t for t in tiers if eligible(t)] or list(tiers)
+    span = t1_us - t0_us
+    fitting = [t for t in cands
+               if -(-span // t.width_us) <= max_points]
+    if fitting:
+        return min(fitting, key=lambda t: t.width_us)
+    return max(cands, key=lambda t: t.width_us)

@@ -137,3 +137,35 @@ def test_gapfill_linear_values():
     assert got.column("gapfilled").to_pylist() == [False, True, True, True,
                                                    False]
     assert got.column("count").to_pylist() == [1, 0, 0, 0, 1]
+
+
+def test_choose_tier_resolution_rule():
+    import pytest
+
+    from nrt_ray.stages.rollup import TierSpec, choose_tier
+    US = 1_000_000
+    tiers = [TierSpec("1h"), TierSpec("1d"),
+             TierSpec("1w", retention_us=None)]
+    day = 86400 * US
+    # 30 days at <=800 points: 1h gives 720 -> finest fitting is 1h
+    assert choose_tier(tiers, 0, 30 * day, 800).name == "1h"
+    # 30 days at <=100 points: 1h=720, 1d=30 -> 1d
+    assert choose_tier(tiers, 0, 30 * day, 100).name == "1d"
+    # 2 years at <=100 points: 1d=730 no, 1w=105 no -> coarsest wins
+    assert choose_tier(tiers, 0, 730 * day, 100).name == "1w"
+    # 2 years at <=110 points: 1w=105 fits
+    assert choose_tier(tiers, 0, 730 * day, 110).name == "1w"
+    # ceil rounding: 25h span at 1h tier = 25 points, budget 24 -> 1d
+    assert choose_tier(tiers, 0, 25 * 3600 * US, 24).name == "1d"
+    with pytest.raises(ValueError):
+        choose_tier(tiers, 10, 10, 5)
+    # retention: a 90-day 1h tier cannot serve a year-old window even
+    # when it fits the budget — the next eligible tier wins
+    now = 1000 * day
+    rt = [TierSpec("1h", retention_us=90 * day), TierSpec("1d"),
+          TierSpec("1w")]
+    old0, old1 = now - 400 * day, now - 399 * day
+    assert choose_tier(rt, old0, old1, 10_000, now_us=now).name == "1d"
+    # recent window: 1h eligible again
+    assert choose_tier(rt, now - day, now, 10_000,
+                       now_us=now).name == "1h"
