@@ -110,6 +110,12 @@ def main(argv=None) -> int:
     bf.add_argument("--out", required=True)
     bf.add_argument("--num-cpus", type=int, default=None)
 
+    lu = sub.add_parser("lookup", help="O(1)-partition point lookup: "
+                                       "one url's state, alert count "
+                                       "and per-tier latest points")
+    lu.add_argument("--out", required=True)
+    lu.add_argument("--url", required=True)
+
     rep = sub.add_parser("report", help="top-k recent confirmed breaks")
     rep.add_argument("--out", required=True)
     rep.add_argument("--k", type=int, default=100)
@@ -210,6 +216,12 @@ def main(argv=None) -> int:
         from nrt_ray.sources.synthetic import generate_webtext
         info = generate_webtext(args.out, n_urls=args.urls, seed=args.seed)
         print(json.dumps(info))
+        return 0
+
+    if args.cmd == "lookup":
+        # pure local reads of one partition's files — no Ray session
+        from nrt_ray.pipelines.monitor_pipeline import lookup_url
+        print(json.dumps(lookup_url(args.out, args.url), default=str))
         return 0
 
     ray = _init_ray(args.num_cpus)

@@ -540,3 +540,64 @@ def read_output_table(out_dir: str, table: str):
     if not parts:
         return None
     return pa.concat_tables(parts)
+
+
+def lookup_url(out_dir: str, url: str) -> dict:
+    """O(1)-partition point lookup: hash the url to its owning
+    partition, read ONLY that partition's state / alerts / segments
+    files, and return the url's monitor state plus per-tier decoded
+    point counts and the latest rollup point per tier.  The whole read
+    touches ``|tables|`` files regardless of P or corpus size — the
+    serving-path complement to the scan-shaped queries.
+
+    Salted runs are refused like the other partition-surgery paths
+    (a hot url's state lives in merged partitions)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nrt_ray.pipelines.incremental import read_run_config
+    from nrt_ray.stages.assemble import bucket_of
+    from nrt_ray.stages.compress import decode_segments_table
+    from nrt_ray.state import manifest as mf
+
+    config = read_run_config(out_dir)
+    P = int(config["num_partitions"])
+    if any(pid >= P for pid in mf.committed_partitions(out_dir)):
+        raise RuntimeError("lookup_url does not support salted runs")
+    pid = int(bucket_of(np.asarray([url], dtype=object), P)[0])
+    out = {"url": url, "pid": pid, "state": None, "alerts": 0,
+           "tiers": {}}
+
+    def _part(table: str):
+        f = os.path.join(mf.partition_dir(out_dir, table, pid),
+                         "part.parquet")
+        return pq.read_table(f) if os.path.exists(f) else None
+
+    st = _part("state")
+    if st is not None:
+        hit = st.filter(pc.equal(st.column("url"), url))
+        if hit.num_rows:
+            out["state"] = hit.to_pylist()[0]
+    al = _part("alerts")
+    if al is not None:
+        out["alerts"] = int(
+            al.filter(pc.equal(al.column("url"), url)).num_rows)
+    seg = _part("segments")
+    if seg is not None:
+        mine = seg.filter(pc.equal(seg.column("url"), url))
+        if mine.num_rows:
+            pts = decode_segments_table(mine)
+            tiers = np.asarray(pts.column("tier").to_pylist(),
+                               dtype=object)
+            ts = pts.column("bucket_ts").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            mean = pts.column("mean").to_numpy(zero_copy_only=False)
+            for t in np.unique(tiers):
+                m = tiers == t
+                last = int(ts[m].max())
+                out["tiers"][str(t)] = {
+                    "points": int(m.sum()),
+                    "last_bucket_us": last,
+                    "last_mean": float(mean[m][ts[m] == last][0]),
+                }
+    return out
