@@ -499,3 +499,50 @@ def test_gif_stats_stage(ray_session):
         assert (r["n_frames"], r["img_width"], r["img_height"]) \
             == (nf, w, h)
         assert r["px_sum"] == expect
+
+
+# ------------------------------------------------- codec property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2 ** 31))
+def test_gif_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_gif(mm.encode_gif(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 9), st.integers(1, 9),
+       st.integers(0, 2 ** 31))
+def test_avi_roundtrip_property(n, w, h, seed):
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.demux_avi(mm.encode_avi(fr)), fr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2 ** 31))
+def test_jpeg_exact_property_on_even_blocks(bw, bh, seed):
+    rng = np.random.default_rng(seed)
+    vb = (2 * rng.integers(0, 128, (bh, bw))).astype(np.uint8)
+    img = np.kron(vb, np.ones((8, 8), np.uint8))
+    np.testing.assert_array_equal(mm.decode_jpeg(mm.encode_jpeg(img)),
+                                  img)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2 ** 31))
+def test_jpeg_loss_bound_property(bw, bh, seed):
+    # arbitrary uint8 content: decode must stay within the worst-case
+    # Annex-K quantization loss envelope (empirically < 128 by far; we
+    # assert a conservative structural bound plus shape/type)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8 * bh, 8 * bw), dtype=np.uint8)
+    out = mm.decode_jpeg(mm.encode_jpeg(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+    assert err.max() <= 160      # random noise quantizes hard but bounded
