@@ -115,6 +115,11 @@ def main(argv=None) -> int:
                                        "and per-tier latest points")
     lu.add_argument("--out", required=True)
     lu.add_argument("--url", required=True)
+    lu.add_argument("--t0", default=None,
+                    help="with --t1: return the url's points over "
+                         "[t0, t1) from the auto-selected tier")
+    lu.add_argument("--t1", default=None)
+    lu.add_argument("--max-points", type=int, default=500)
 
     rep = sub.add_parser("report", help="top-k recent confirmed breaks")
     rep.add_argument("--out", required=True)
@@ -220,8 +225,18 @@ def main(argv=None) -> int:
 
     if args.cmd == "lookup":
         # pure local reads of one partition's files — no Ray session
-        from nrt_ray.pipelines.monitor_pipeline import lookup_url
-        print(json.dumps(lookup_url(args.out, args.url), default=str))
+        if args.t0 and args.t1:
+            import numpy as np
+            from nrt_ray.pipelines.monitor_pipeline import read_url_range
+            res = read_url_range(
+                args.out, args.url,
+                int(np.datetime64(args.t0, "us").astype(np.int64)),
+                int(np.datetime64(args.t1, "us").astype(np.int64)),
+                max_points=args.max_points)
+        else:
+            from nrt_ray.pipelines.monitor_pipeline import lookup_url
+            res = lookup_url(args.out, args.url)
+        print(json.dumps(res, default=str))
         return 0
 
     ray = _init_ray(args.num_cpus)

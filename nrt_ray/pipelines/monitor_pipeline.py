@@ -601,3 +601,53 @@ def lookup_url(out_dir: str, url: str) -> dict:
                     "last_mean": float(mean[m][ts[m] == last][0]),
                 }
     return out
+
+
+def read_url_range(out_dir: str, url: str, t0_us: int, t1_us: int,
+                   max_points: int = 500) -> dict:
+    """Dashboard-shaped serving read: one url's points over
+    ``[t0, t1)`` at ≤ ``max_points`` resolution — hash to the owning
+    partition, pick the finest retention-eligible tier that fits the
+    budget (:func:`nrt_ray.stages.rollup.choose_tier`), decode ONLY
+    that url's segments overlapping the range (segment metadata prunes
+    before any payload decodes), and return the (bucket_ts, mean)
+    series.  Still O(1) files read at any P or corpus size."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nrt_ray.pipelines.incremental import read_run_config
+    from nrt_ray.stages.assemble import bucket_of
+    from nrt_ray.stages.compress import decode_segments_table
+    from nrt_ray.stages.rollup import TierSpec, choose_tier
+    from nrt_ray.state import manifest as mf
+
+    config = read_run_config(out_dir)
+    P = int(config["num_partitions"])
+    if any(pid >= P for pid in mf.committed_partitions(out_dir)):
+        raise RuntimeError("read_url_range does not support salted runs")
+    tiers = [TierSpec(**t) for t in config["tiers"]]
+    tier = choose_tier(tiers, t0_us, t1_us, max_points,
+                       now_us=int(config["high_water_us"]))
+    pid = int(bucket_of(np.asarray([url], dtype=object), P)[0])
+    f = os.path.join(mf.partition_dir(out_dir, "segments", pid),
+                     "part.parquet")
+    out = {"url": url, "pid": pid, "tier": tier.name, "points": 0,
+           "bucket_ts_us": [], "mean": []}
+    if not os.path.exists(f):
+        return out
+    seg = pq.read_table(f)
+    mine = seg.filter(pc.and_(
+        pc.equal(seg.column("url"), url),
+        pc.equal(seg.column("tier"), tier.name)))
+    if not mine.num_rows:
+        return out
+    pts = decode_segments_table(mine, tier=tier.name,
+                                t0_us=t0_us, t1_us=t1_us)
+    ts = pts.column("bucket_ts").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    mean = pts.column("mean").to_numpy(zero_copy_only=False)
+    order = np.argsort(ts)
+    out["points"] = int(len(ts))
+    out["bucket_ts_us"] = [int(v) for v in ts[order]]
+    out["mean"] = [float(v) for v in mean[order]]
+    return out
