@@ -3425,84 +3425,167 @@ FROM d
 # Per-source Jensen-Shannon divergence from the corpus distribution
 # ---------------------------------------------------------------------------
 
+class _JsdTermScorer:
+    """Per-batch JSD term partials against broadcast side tables.
+
+    Loads the vocabulary-sized corpus-counts side file and the
+    sources-sized per-source-totals side file once per actor (plain
+    paths, no driver-held refs — the tf-idf broadcast device); each
+    batch of reduced (source, token, n) pair counts collapses to one
+    row per source carrying Σv (the oracle's fused per-present-token
+    term, fully vectorized) and Σq (the corpus probability mass the
+    source's vocabulary covers) — the absent-token remainder is
+    0.5·ln2·(1−Σq) in closed form, folded at finalize."""
+
+    def __init__(self, vocab_path: str, ns_path: str):
+        t = pq.read_table(vocab_path)
+        tokens = np.asarray(t["token"].to_pylist(), dtype=object)
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        self.qn = t["n"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        self.n_corpus = int(self.qn.sum())
+        s = pq.read_table(ns_path)
+        srcs = np.asarray(s["source"].to_pylist(), dtype=object)
+        so = np.argsort(srcs)
+        self.srcs = srcs[so]
+        self.ns = s["n"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[so]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "sum_v": pa.array([], pa.float64()),
+                             "sum_q": pa.array([], pa.float64())})
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        tok = np.asarray(batch["token"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = self.ns[np.searchsorted(self.srcs, src)]
+        q = self.qn[np.searchsorted(self.tokens, tok)] \
+            / float(self.n_corpus)
+        p = n / ns.astype(np.float64)           # n ≥ 1 ⇒ p > 0 always
+        m = 0.5 * (p + q)
+        v = 0.5 * (p * np.log(p / m)) + 0.5 * (q * np.log(q / m))
+        su, inv = np.unique(src, return_inverse=True)
+        sv = np.zeros(len(su))
+        np.add.at(sv, inv, v)
+        sq = np.zeros(len(su))
+        np.add.at(sq, inv, q)
+        return pa.table({"source": pa.array(su, pa.string()),
+                         "sum_v": pa.array(sv),
+                         "sum_q": pa.array(sq)})
+
+
 def source_js_divergence(sf_dir: str):
     """Distribution drift per ``source``: Jensen-Shannon divergence (in
     nats) between each source's unigram token distribution and the
     whole-corpus distribution — the domain-mix / drift monitor a
     training-data pipeline runs per crawl or per provider.
 
-    Scale shape: (source, token) counts via one combiner + keyed
-    aggregate (output bounded by sources × vocabulary, not the corpus);
-    the corpus token-total SIDE TABLE (vocabulary-sized) is collected
-    once and closed over by the per-source fold — the engine's standard
-    broadcast-small-side device.  Term sums run over alphabetically
-    ordered tokens on both engines with left-associated accumulation;
-    6-decimal rounding absorbs residual float-order noise (the
+    Scale shape: ONE hash exchange on the composite (source, token) key
+    (combiner emits one row per distinct pair per batch, so the shuffle
+    is bounded by sources × vocabulary, not the corpus); the corpus
+    token totals and per-source totals are vocabulary-/sources-sized
+    side files broadcast into a vectorized actor-pool term stage, and
+    the per-source reduction is per-batch float partials + a tiny
+    driver fold.  Absent-token terms never materialize: for n_sw = 0
+    the oracle's fused term is exactly 0.5·q·ln2 (q/(0.5·q) divides to
+    exactly 2.0 in IEEE double), so their sum folds to
+    0.5·ln2·(1 − Σ_present q) in closed form.  Summation order differs
+    from the oracle's unspecified ``sum()`` order by ≤ ~1e-12 on these
+    O(1)-magnitude terms; 6-decimal rounding absorbs it (the
     ``user_entropy_events`` contract)."""
     import math
+    import tempfile
 
-    from ray.data.aggregate import Sum
-    from nrt_ray.pipelines.relational import round_away
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    SEP = "\x1f"
 
     def partial(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch["source"].to_pylist(), dtype=object)
         flat, doc_idx = _doc_tokens(batch)
         if not len(flat):
+            return pa.table({"ck": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uk, n = np.unique(src[doc_idx] + SEP + flat, return_counts=True)
+        return pa.table({"ck": pa.array(uk, pa.string()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    pairs = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "ck", ["n"], nparts)
+
+    def split_ck(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table({"source": pa.array([], pa.string()),
                              "token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        tok_u, tok_i = np.unique(flat, return_inverse=True)
-        src_of = src[doc_idx]
-        src_u, src_i = np.unique(src_of, return_inverse=True)
-        key = src_i.astype(np.int64) * len(tok_u) + tok_i
-        uk, n = np.unique(key, return_counts=True)
+        parts = pd.Series(batch["ck"].to_pylist()) \
+            .str.split(SEP, n=1, expand=True)
         return pa.table({
-            "source": pa.array(src_u[uk // len(tok_u)].astype(object),
+            "source": pa.array(parts[0].to_numpy(dtype=object),
                                pa.string()),
-            "token": pa.array(tok_u[uk % len(tok_u)].astype(object),
+            "token": pa.array(parts[1].to_numpy(dtype=object),
                               pa.string()),
-            "n": pa.array(n.astype(np.int64)),
-        })
+            "n": batch["n"]})
 
-    agg = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                columns=["source", "text"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby(["source", "token"]) \
-        .aggregate(Sum("n", alias_name="n"))
+    # reduced pair stream (exchange output = materialized refs, so the
+    # three consumers below re-run only the cheap vectorized split)
+    tripled = pairs.map_batches(split_ck, batch_format="pyarrow")
 
-    # vocabulary-sized corpus side table (broadcast, sorted order)
-    tot = agg.groupby("token").aggregate(Sum("n", alias_name="n")) \
-        .to_pandas().sort_values("token").reset_index(drop=True)
-    vocab = np.asarray(tot["token"], dtype=object)
-    qn = tot["n"].to_numpy().astype(np.int64)
-    n_corpus = int(qn.sum())
+    # vocabulary-sized corpus side table (second, much smaller exchange)
+    tot = keyed_sum(tripled, "token", ["n"], nparts).to_pandas()
 
-    def fold(g: pa.Table) -> pa.Table:
-        toks = np.asarray(g["token"].to_pylist(), dtype=object)
-        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = int(n.sum())
-        pn = np.zeros(len(vocab), np.int64)
-        pn[np.searchsorted(vocab, toks)] = n
-        jsd = 0.0
-        for w in range(len(vocab)):     # alphabetical, left-assoc
-            p = float(pn[w]) / float(ns)
-            q = float(qn[w]) / float(n_corpus)
-            m = 0.5 * (p + q)
-            # one fused term per token (matches the oracle's per-row v)
-            if p > 0.0:
-                jsd += 0.5 * (p * math.log(p / m)) \
-                    + 0.5 * (q * math.log(q / m))
-            else:
-                jsd += 0.5 * (q * math.log(q / m))
-        return pa.table({
-            "source": pa.array([g["source"][0].as_py()], pa.string()),
-            "n_tokens": pa.array([ns], pa.int64()),
-            "jsd": pa.array([float(round_away(
-                np.array([jsd]), 6)[0])]),
-        })
+    # sources-sized totals: per-batch partials + tiny driver fold
+    def src_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, inv = np.unique(src, return_inverse=True)
+        acc = np.zeros(len(su), np.int64)
+        np.add.at(acc, inv, n)
+        return pa.table({"source": pa.array(su, pa.string()),
+                         "n": pa.array(acc)})
 
-    return agg.groupby("source").map_groups(fold,
-                                            batch_format="pyarrow")
+    nsf = tripled.map_batches(src_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if len(nsf):
+        nsf = nsf.groupby("source", as_index=False)["n"].sum()
+
+    if not len(tot) or not len(nsf):
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "jsd": pa.array([], pa.float64())})
+
+    vocab_path = tempfile.mktemp(prefix="nrt_ray_jsd_vocab_",
+                                 suffix=".parquet")
+    pq.write_table(pa.Table.from_pandas(tot, preserve_index=False),
+                   vocab_path)
+    ns_path = tempfile.mktemp(prefix="nrt_ray_jsd_ns_",
+                              suffix=".parquet")
+    pq.write_table(pa.Table.from_pandas(nsf, preserve_index=False),
+                   ns_path)
+
+    part = tripled.map_batches(
+        _JsdTermScorer, fn_constructor_args=(vocab_path, ns_path),
+        batch_format="pyarrow", concurrency=pool_size()).to_pandas()
+    g = part.groupby("source", as_index=False)[["sum_v", "sum_q"]].sum()
+    ns_map = dict(zip(nsf["source"], nsf["n"]))
+    jsd = g["sum_v"].to_numpy() \
+        + (0.5 * math.log(2.0)) * (1.0 - g["sum_q"].to_numpy())
+    src_out = g["source"].to_numpy(dtype=object)
+    return pa.table({
+        "source": pa.array(src_out, pa.string()),
+        "n_tokens": pa.array([int(ns_map[s]) for s in src_out],
+                             pa.int64()),
+        "jsd": pa.array(round_away(jsd, 6)),
+    })
 
 
 def source_js_divergence_sql() -> str:
