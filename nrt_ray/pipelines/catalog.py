@@ -148,6 +148,7 @@ def queries() -> dict:
         "fano_factor_events": tsq.fano_factor_events,
         "user_percentile_rank_events": tsq.user_percentile_rank_events,
         "stl_trend_events": tsq.stl_trend_events,
+        "user_motif_daily": tsq.user_motif_daily,
         "croston_events": tsq.croston_events,
         "transition_entropy_events": tsq.transition_entropy_events,
         "basket_lift_events": tsq.basket_lift_events,
@@ -1654,6 +1655,7 @@ def oracle_sql() -> dict:
         "user_percentile_rank_events": tsq.user_percentile_rank_sql(),
         # STL-shaped 7-day MA decomposition, all-integer roughness
         "stl_trend_events": tsq.stl_trend_sql(),
+        "user_motif_daily": tsq.user_motif_sql(),
         # Croston intermittent demand: recursive-CTE float replay
         "croston_events": tsq.croston_sql(),
         # Markov entropy rate, lex-ordered terms under round-6

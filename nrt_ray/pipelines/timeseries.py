@@ -4374,6 +4374,118 @@ def stl_trend_events(sf_dir: str, min_span: int = 9):
     return _daily_cents_exchange(sf_dir, fold, empty)
 
 
+def user_motif_daily(sf_dir: str, m: int = 7):
+    """Top-1 motif per user — the matrix-profile minimum (Yeh et al.
+    2016, "Matrix Profile I", ICDM): the pair of non-overlapping
+    ``m``-day windows of the zero-filled daily-cents calendar with the
+    smallest squared Euclidean distance, exclusion zone ``j − i ≥ m``
+    (trivial-match suppression).  The repeated-weekly-pattern detector
+    a rollup engine runs to propose seasonal model templates.
+
+    Integer-exact: windows are int64 cents vectors, so dist² in cents²
+    is an exact int64 on both engines — the Gram-matrix trick
+    ``dist²(i,j) = s(i) + s(j) − 2·(S Sᵀ)ᵢⱼ`` runs entirely in int64
+    (no BLAS/float; W is span−m+1, tiny per series, and the fold is
+    embarrassingly parallel across users inside the standard daily-cents
+    exchange).  Tie-break: smallest dist², then (i, j) lexicographic —
+    np.argmin over the row-major upper triangle IS that order.  Users
+    whose calendar span is shorter than ``2m`` days have no admissible
+    pair and are skipped."""
+
+    def fold(user_runs) -> pa.Table:
+        out_u, out_i, out_j, out_d = [], [], [], []
+        for uid, cents, day in user_runs:
+            d0, d1 = int(day[0]), int(day[-1])
+            span = d1 - d0 + 1
+            if span < 2 * m:
+                continue
+            full = np.zeros(span, np.int64)
+            full[day - d0] = cents
+            S = np.lib.stride_tricks.sliding_window_view(full, m)
+            W = S.shape[0]
+            G = S @ S.T                      # int64 matmul: exact
+            sq = np.einsum("ij,ij->i", S, S)
+            ii, jj = np.triu_indices(W, k=m)
+            dd = sq[ii] + sq[jj] - 2 * G[ii, jj]
+            k = int(np.argmin(dd))           # first min = lex-min (i,j)
+            out_u.append(uid)
+            out_i.append(d0 + int(ii[k]))
+            out_j.append(d0 + int(jj[k]))
+            out_d.append(int(dd[k]))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "day_i": pa.array(out_i, pa.int64()),
+            "day_j": pa.array(out_j, pa.int64()),
+            "dist2_cents2": pa.array(out_d, pa.int64()),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "day_i": pa.array([], pa.int64()),
+            "day_j": pa.array([], pa.int64()),
+            "dist2_cents2": pa.array([], pa.int64()),
+        })
+
+    return _daily_cents_exchange(sf_dir, fold, empty)
+
+
+def user_motif_sql(m: int = 7) -> str:
+    """Oracle twin of :func:`user_motif_daily`: the zero-filled calendar
+    via ``generate_series``, every admissible window pair expanded to
+    its ``m`` aligned offsets, integer dist² per pair, and the same
+    (dist², i, j) lexicographic argmin via ``row_number``."""
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY user_id, day
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1
+    FROM d GROUP BY user_id
+    HAVING max(day) - min(day) + 1 >= {2 * m}
+),
+cal AS (
+    SELECT s.user_id, s.d0, s.d1,
+           unnest(generate_series(s.d0, s.d1)) AS day
+    FROM span s
+),
+z AS (
+    SELECT c.user_id, c.d0, c.d1, c.day,
+           coalesce(d.cents, 0) AS cents
+    FROM cal c LEFT JOIN d ON d.user_id = c.user_id AND d.day = c.day
+),
+pairs AS (
+    SELECT a.user_id, a.day AS di, b.day AS dj
+    FROM z a
+    JOIN z b ON b.user_id = a.user_id AND b.day >= a.day + {m}
+    WHERE a.day <= a.d1 - {m - 1} AND b.day <= b.d1 - {m - 1}
+),
+offs AS (SELECT unnest(generate_series(0, {m - 1})) AS off),
+dist AS (
+    SELECT p.user_id, p.di, p.dj,
+           CAST(sum((za.cents - zb.cents) * (za.cents - zb.cents))
+                AS BIGINT) AS dist2
+    FROM pairs p
+    CROSS JOIN offs k
+    JOIN z za ON za.user_id = p.user_id AND za.day = p.di + k.off
+    JOIN z zb ON zb.user_id = p.user_id AND zb.day = p.dj + k.off
+    GROUP BY p.user_id, p.di, p.dj
+),
+best AS (
+    SELECT user_id, di, dj, dist2,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY dist2, di, dj) AS r
+    FROM dist
+)
+SELECT user_id, di AS day_i, dj AS day_j, dist2 AS dist2_cents2
+FROM best WHERE r = 1
+"""
+
+
 def stl_trend_sql(min_span: int = 9) -> str:
     """Oracle twin of :func:`stl_trend_events`: the zero-filled calendar
     via ``generate_series``, the same integer window sums

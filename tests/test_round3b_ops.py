@@ -253,3 +253,38 @@ def test_source_jsd_closed_form(ray_session, tmp_path):
     assert bys.loc["B", "n_tokens"] == 1
     assert abs(bys.loc["A", "jsd"] - round(jsd_a, 6)) < 1e-9
     assert abs(bys.loc["B", "jsd"] - round(jsd_b, 6)) < 1e-9
+
+
+def test_user_motif_planted_repeat(ray_session, tmp_path):
+    """A user with two identical 7-day windows 14 days apart must report
+    that pair with dist2 = 0; a short-span user is absent; ties resolve
+    to the lexicographically smallest (i, j)."""
+    from nrt_ray.pipelines.timeseries import user_motif_daily
+    rows = []
+    eid = 1
+    pattern = [5.00, 1.00, 8.00, 2.00, 9.00, 3.00, 7.00]
+    # user 1: pattern at days 0-6 and 14-20, loud noise days 7-13 so no
+    # other pair comes close; span 21 >= 2m
+    for i, v in enumerate(pattern):
+        rows.append((eid, D0 + i * DAY_US, 1, "view", v)); eid += 1
+    for i in range(7, 14):
+        rows.append((eid, D0 + i * DAY_US, 1, "view", 500.0 + 37.0 * i))
+        eid += 1
+    for i, v in enumerate(pattern):
+        rows.append((eid, D0 + (14 + i) * DAY_US, 1, "view", v)); eid += 1
+    # user 2: span 13 < 2m=14 -> absent
+    for i in range(13):
+        rows.append((eid, D0 + i * DAY_US, 2, "view", 1.0 * i)); eid += 1
+    # user 3: constant 14 days -> every admissible pair has dist2 0;
+    # only (d0, d0+7) is admissible here anyway (W=8, j-i>=7)
+    for i in range(14):
+        rows.append((eid, D0 + i * DAY_US, 3, "view", 2.0)); eid += 1
+    out = _df(user_motif_daily(_write_events(tmp_path, rows)))
+    d0_day = D0 // DAY_US
+    assert list(out["user_id"]) == [1, 3]
+    u1 = out[out["user_id"] == 1].iloc[0]
+    assert (u1["day_i"], u1["day_j"]) == (d0_day, d0_day + 14)
+    assert u1["dist2_cents2"] == 0
+    u3 = out[out["user_id"] == 3].iloc[0]
+    assert (u3["day_i"], u3["day_j"]) == (d0_day, d0_day + 7)
+    assert u3["dist2_cents2"] == 0
