@@ -130,6 +130,30 @@ def main(argv=None) -> int:
                                        "partitions, row counts, metrics")
     sts.add_argument("--out", required=True)
 
+    rt = sub.add_parser("retier", help="add a rollup tier to a committed "
+                                       "store, composed from a persisted "
+                                       "finer tier (no raw re-scan)")
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--tier", required=True,
+                    help="new tier name (1h/1d/1w, or any name with "
+                         "--width-s)")
+    rt.add_argument("--source", required=True,
+                    help="existing tier to compose from; its width must "
+                         "divide the new tier's")
+    rt.add_argument("--width-s", type=int, default=None,
+                    help="new tier bucket width in seconds (defaults to "
+                         "the builtin width for 1h/1d/1w names)")
+    rt.add_argument("--retention-days", type=int, default=None)
+    rt.add_argument("--max-gap", type=int, default=None)
+    rt.add_argument("--no-gapfill", action="store_true")
+    rt.add_argument("--num-cpus", type=int, default=None)
+
+    fs = sub.add_parser("fsck", help="verify a store against its lineage "
+                                     "records: state checksums, per-table "
+                                     "row counts, segment metadata")
+    fs.add_argument("--out", required=True)
+    fs.add_argument("--num-cpus", type=int, default=None)
+
     dec = sub.add_parser("decode", help="decode compressed segments back "
                                         "to rollup points (parquet out)")
     dec.add_argument("--out", required=True,
@@ -281,6 +305,22 @@ def main(argv=None) -> int:
             finally:
                 cm.close()
             print(json.dumps({**totals, **ck}))
+        elif args.cmd == "retier":
+            from nrt_ray.pipelines.retier import run_retier
+            from nrt_ray.stages.rollup import TierSpec
+            spec = TierSpec(
+                args.tier,
+                width_us=(args.width_s * 1_000_000
+                          if args.width_s else None),
+                gapfill=not args.no_gapfill, max_gap=args.max_gap,
+                retention_us=(args.retention_days * 86400 * 1_000_000
+                              if args.retention_days else None))
+            print(json.dumps(run_retier(args.out, spec, args.source)))
+        elif args.cmd == "fsck":
+            from nrt_ray.pipelines.retier import verify_store
+            rep = verify_store(args.out)
+            print(json.dumps(rep))
+            return 0 if not rep["issues"] else 1
         elif args.cmd == "backfill":
             from nrt_ray.pipelines.incremental import run_backfill
             inp = args.input if len(args.input) > 1 else args.input[0]

@@ -51,9 +51,19 @@ def write_partition_table(out_dir: str, table: str, pid: int,
 
 
 def state_checksum(state: pa.Table) -> str:
-    """Order-insensitive sha256 of a state table (rows sorted by url)."""
+    """Order-insensitive sha256 of a state table (rows sorted by url).
+
+    The schema is canonicalized first (metadata stripped, list child
+    fields renamed to Arrow's default) so the checksum survives a
+    Parquet roundtrip — ``verify_store`` recomputes it from the file."""
     if state.num_rows == 0:
         return hashlib.sha256(b"empty").hexdigest()
+
+    def canon(t: pa.DataType) -> pa.DataType:
+        return pa.list_(canon(t.value_type)) if pa.types.is_list(t) else t
+
+    state = state.cast(pa.schema(
+        [pa.field(f.name, canon(f.type)) for f in state.schema]))
     idx = pa.compute.sort_indices(state.column("url"))
     sorted_tbl = state.take(idx).combine_chunks()
     sink = pa.BufferOutputStream()

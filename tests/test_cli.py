@@ -148,3 +148,27 @@ def test_cli_query_subcommand(tmp_path):
          "--sf-dir", "/tmp", "--num-cpus", "4"],
         cwd=d, env=env, capture_output=True, text=True, timeout=120)
     assert bad.returncode != 0 and "unknown name" in bad.stderr
+
+
+def test_cli_retier_fsck(tmp_path):
+    d = str(tmp_path)
+    gen = subprocess.run(
+        [sys.executable, "-m", "nrt_ray.cli", "generate",
+         "--out", "wt", "--urls", "20", "--seed", "9"],
+        cwd=d, env=dict(os.environ, PYTHONPATH="/root/repo"),
+        capture_output=True, text=True, timeout=300)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    _run(["run", "--input", "wt/webtext.parquet", "--out", "out",
+          "--strategy", "CUSUM", "--partitions", "3"], d)
+
+    s = _run(["retier", "--out", "out", "--tier", "4w",
+              "--width-s", str(4 * 7 * 86400), "--source", "1w"], d)
+    assert s["partitions"] == 3 and s["rollup_points"] > 0
+
+    rep = _run(["fsck", "--out", "out"], d)
+    assert rep["partitions"] == 3 and rep["ok"] == 3 and not rep["issues"]
+
+    # the decode path serves the new tier
+    dec = _run(["decode", "--out", "out", "--tier", "4w",
+                "--dest", "dec"], d)
+    assert dec["points"] == s["rollup_points"]
