@@ -161,6 +161,8 @@ def queries() -> dict:
         "user_ohlc_daily": tsq.user_ohlc_daily,
         "user_autocorr_daily": tsq.user_autocorr_daily,
         "user_click_purchase_corr": tsq.user_click_purchase_corr,
+        "user_leadlag_events": tsq.user_leadlag_events,
+        "events_cube": tsq.events_cube,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -1656,6 +1658,10 @@ def oracle_sql() -> dict:
         # STL-shaped 7-day MA decomposition, all-integer roughness
         "stl_trend_events": tsq.stl_trend_sql(),
         "user_motif_daily": tsq.user_motif_sql(),
+        # best click→purchase lead/lag, exact int xcorr, smallest-lag tie
+        "user_leadlag_events": tsq.user_leadlag_sql(),
+        # OLAP grouping sets composed from one finest-grain pass
+        "events_cube": tsq.EVENTS_CUBE_SQL,
         # Croston intermittent demand: recursive-CTE float replay
         "croston_events": tsq.croston_sql(),
         # Markov entropy rate, lex-ordered terms under round-6

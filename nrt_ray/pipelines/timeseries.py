@@ -5365,3 +5365,242 @@ SELECT user_id, CAST(ns.n AS BIGINT) AS n_events,
        l.drops AS n_dropped, l.lvl AS end_level_us
 FROM last l JOIN ns USING (user_id)
 """
+
+
+# ------------------------------------------------- lead-lag correlation
+def user_leadlag_events(sf_dir: str, max_lag: int = 3,
+                        left_type: str = "click",
+                        right_type: str = "purchase"):
+    """Best lead/lag between a user's daily click activity and purchase
+    activity: the lag l ∈ [−max_lag, max_lag] maximizing the integer
+    cross-correlation Σ_d n_click(d)·n_buy(d+l) — "does buying follow
+    browsing by k days".  Tie-break: smallest lag.
+
+    Scale shape: one (user, day)-keyed count exchange (`keyed_sum` over
+    combiner partials — the corpus never reshuffles raw rows), then a
+    per-user fold on the user-keyed exchange.  Per user the 2·max_lag+1
+    alignments are searchsorted day matches — O(days · lags) integer
+    work, no calendar materialization (zero-count days contribute
+    nothing to the products).  Exact int64 on both engines.  Users need
+    ≥1 event of each type."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        uid, day, et = uid[keep], day[keep], et[keep]
+        ck = uid * BASE + day
+        uk, inv = np.unique(ck, return_inverse=True)
+        nc = np.zeros(len(uk), np.int64)
+        nb = np.zeros(len(uk), np.int64)
+        is_l = et == left_type
+        np.add.at(nc, inv[is_l], 1)
+        np.add.at(nb, inv[~is_l], 1)
+        return pa.table({"ck": pa.array(uk), "nc": pa.array(nc),
+                         "nb": pa.array(nb)})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "event_type"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["nc", "nb"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // BASE) % nparts).astype(np.int64)))
+
+    lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        nc_all = tbl["nc"].to_numpy(zero_copy_only=False)
+        nb_all = tbl["nb"].to_numpy(zero_copy_only=False)
+        uid = ck // BASE
+        day = ck % BASE
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        nc_all, nb_all = nc_all[order], nb_all[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_l, out_x = [], [], []
+        for s, e in zip(starts, ends):
+            d, a, b = day[s:e], nc_all[s:e], nb_all[s:e]
+            if not (a.any() and b.any()):
+                continue
+            best_s, best_l = -1, 0
+            for l in lags:
+                idx = np.searchsorted(d, d + l)
+                ok = (idx < len(d))
+                ok[ok] = d[idx[ok]] == d[ok] + l
+                sl = int(np.dot(a[ok], b[idx[ok]]))
+                if sl > best_s:
+                    best_s, best_l = sl, int(l)
+            out_u.append(int(uid[s]))
+            out_l.append(best_l)
+            out_x.append(best_s)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "best_lag": pa.array(out_l, pa.int64()),
+            "best_xcorr": pa.array(out_x, pa.int64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "best_lag": pa.array([], pa.int64()),
+                         "best_xcorr": pa.array([], pa.int64())})
+
+    return exchange_dataset(daily.map_batches(tag,
+                                              batch_format="pyarrow"),
+                            nparts, fold, empty)
+
+
+def user_leadlag_sql(max_lag: int = 3, left_type: str = "click",
+                     right_type: str = "purchase") -> str:
+    """DuckDB oracle for :func:`user_leadlag_events`: pair join within
+    the lag window + a full (user × lag) grid so absent alignments score
+    0, then argmax with the smallest-lag tie-break."""
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           sum(CASE WHEN event_type = '{left_type}' THEN 1
+               ELSE 0 END) AS nc,
+           sum(CASE WHEN event_type = '{right_type}' THEN 1
+               ELSE 0 END) AS nb
+    FROM events
+    WHERE event_type IN ('{left_type}', '{right_type}')
+    GROUP BY user_id, day
+),
+users AS (
+    SELECT user_id FROM d GROUP BY user_id
+    HAVING sum(nc) > 0 AND sum(nb) > 0
+),
+pairs AS (
+    SELECT a.user_id, b.day - a.day AS lag,
+           CAST(sum(a.nc * b.nb) AS BIGINT) AS s
+    FROM d a JOIN d b ON a.user_id = b.user_id
+     AND b.day BETWEEN a.day - {max_lag} AND a.day + {max_lag}
+    GROUP BY a.user_id, b.day - a.day
+),
+grid AS (
+    SELECT u.user_id, l.lag
+    FROM users u CROSS JOIN
+         (SELECT unnest(range(-{max_lag}, {max_lag} + 1)) AS lag) l
+),
+full_grid AS (
+    SELECT g.user_id, g.lag, COALESCE(p.s, 0) AS s
+    FROM grid g LEFT JOIN pairs p
+      ON p.user_id = g.user_id AND p.lag = g.lag
+)
+SELECT user_id, CAST(lag AS BIGINT) AS best_lag, s AS best_xcorr
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY s DESC, lag) AS rn
+      FROM full_grid)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------- OLAP grouping sets
+def events_cube(sf_dir: str):
+    """GROUPING SETS ((event_type, dow), (event_type), (dow), ()) over
+    events — counts and exact cent sums, the OLAP cube primitive.
+
+    Scale shape: the corpus is touched ONCE — per-batch combiner
+    partials at the finest (event_type, isodow) grain (≤ types × 7 rows
+    per batch) → one vocabulary-sized keyed-sum exchange → every
+    coarser grouping set is COMPOSED from the finest level on a single
+    tiny finalize pass (the same aggregate-reuse principle as the
+    rollup tier compose: never re-scan for a coarser grain).  ALL
+    markers: event_type='ALL', dow=-1."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        dow = ((day + 3) % 7) + 1          # 1970-01-01 = Thursday = 4
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype(str), "\x1f"),
+                          dow.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(c, inv, cents)
+        return pa.table({"k": pa.array(uk.astype(object), pa.string()),
+                         "n_events": pa.array(n),
+                         "value_cents": pa.array(c)})
+
+    finest = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "ts", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "k", ["n_events", "value_cents"], nparts)
+
+    def compose(t: pa.Table) -> pa.Table:
+        ks = np.asarray(t["k"].to_pylist(), dtype=object)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        c = t["value_cents"].to_numpy(zero_copy_only=False)
+        if len(ks):
+            split = np.array([k.split("\x1f") for k in ks], dtype=object)
+            ets = split[:, 0]
+            dows = split[:, 1].astype(np.int64)
+        else:
+            ets = np.array([], dtype=object)
+            dows = np.array([], dtype=np.int64)
+        out_e, out_d, out_n, out_c = [], [], [], []
+
+        def emit(et, dow, nn, cc):
+            out_e.append(et)
+            out_d.append(int(dow))
+            out_n.append(int(nn))
+            out_c.append(int(cc))
+
+        for i in range(len(ets)):                      # (event_type, dow)
+            emit(ets[i], dows[i], n[i], c[i])
+        for et in np.unique(ets):                      # (event_type)
+            m = ets == et
+            emit(et, -1, n[m].sum(), c[m].sum())
+        for dow in np.unique(dows):                    # (dow)
+            m = dows == dow
+            emit("ALL", dow, n[m].sum(), c[m].sum())
+        emit("ALL", -1, n.sum(), c.sum())              # ()
+        return pa.table({
+            "event_type": pa.array(out_e, pa.string()),
+            "dow": pa.array(out_d, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "value_cents": pa.array(out_c, pa.int64())})
+
+    return finest.repartition(1).map_batches(compose,
+                                             batch_format="pyarrow")
+
+
+EVENTS_CUBE_SQL = """
+WITH base AS (
+    SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(dow, -1) AS dow,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM base
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+"""
