@@ -163,6 +163,7 @@ def queries() -> dict:
         "user_click_purchase_corr": tsq.user_click_purchase_corr,
         "user_leadlag_events": tsq.user_leadlag_events,
         "events_cube": tsq.events_cube,
+        "user_week_shape_dtw": tsq.user_week_shape_dtw,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -1662,6 +1663,8 @@ def oracle_sql() -> dict:
         "user_leadlag_events": tsq.user_leadlag_sql(),
         # OLAP grouping sets composed from one finest-grain pass
         "events_cube": tsq.EVENTS_CUBE_SQL,
+        # 7×7 integer DTW, DP unrolled via chained lateral-alias CTEs
+        "user_week_shape_dtw": tsq.user_week_shape_dtw_sql(),
         # Croston intermittent demand: recursive-CTE float replay
         "croston_events": tsq.croston_sql(),
         # Markov entropy rate, lex-ordered terms under round-6

@@ -5604,3 +5604,161 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM base
 GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
 """
+
+
+# ------------------------------------------------------------ weekly DTW
+def user_week_shape_dtw(sf_dir: str):
+    """Dynamic-time-warping distance (classic DP, |·| cost, full 7×7
+    grid) between a user's FIRST and SECOND calendar-week day-of-week
+    cent profiles — "did week 2 repeat week 1's shape, allowing day
+    shifts".  All-integer cents → bit-exact on both engines.
+
+    Scale shape: one (user, week, dow)-keyed cent exchange (combiner
+    partials; raw rows never reshuffle), then a per-user fold that runs
+    the 49-cell DP VECTORIZED ACROSS USERS (49 numpy steps per
+    partition regardless of user count).  Weeks start Monday
+    (epoch_day+3 ≡ 0 mod 7)."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(5)       # (wk, dw) packs into 5 bits
+    UBASE = np.int64(1) << np.int64(32)     # wk*32+dw < 2^18 ≪ 2^32
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        cents = round_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        wk = (day + 3) // 7
+        dw = (day + 3) % 7
+        ck = uid * UBASE + wk * BASE + dw
+        uk, inv = np.unique(ck, return_inverse=True)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, cents)
+        return pa.table({"ck": pa.array(uk), "cents": pa.array(c)})
+
+    weekly = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "value"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["cents"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // UBASE) % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        uid = ck // UBASE
+        wk = (ck % UBASE) // BASE
+        dw = ck % BASE
+        order = np.argsort(uid, kind="stable")
+        uid, wk, dw, cents = uid[order], wk[order], dw[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        # first week per user, broadcast back to rows
+        w0 = np.minimum.reduceat(wk, starts)
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(uid)]))
+        rel = wk - w0[seg]
+        U = len(starts)
+        a = np.zeros((U, 7), np.int64)
+        b = np.zeros((U, 7), np.int64)
+        m0 = rel == 0
+        m1 = rel == 1
+        a[seg[m0], dw[m0]] = cents[m0]
+        b[seg[m1], dw[m1]] = cents[m1]
+        # vectorized 7×7 DTW across users
+        INF = np.int64(1) << np.int64(60)
+        cost = np.abs(a[:, :, None] - b[:, None, :])   # (U, i, j)
+        dp = np.full((U, 7, 7), INF, np.int64)
+        for i in range(7):
+            for j in range(7):
+                if i == 0 and j == 0:
+                    best = 0
+                elif i == 0:
+                    best = dp[:, 0, j - 1]
+                elif j == 0:
+                    best = dp[:, i - 1, 0]
+                else:
+                    best = np.minimum(np.minimum(dp[:, i - 1, j],
+                                                 dp[:, i, j - 1]),
+                                      dp[:, i - 1, j - 1])
+                dp[:, i, j] = cost[:, i, j] + best
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "dtw_cents": pa.array(dp[:, 6, 6], pa.int64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "dtw_cents": pa.array([], pa.int64())})
+
+    return exchange_dataset(weekly.map_batches(tag,
+                                               batch_format="pyarrow"),
+                            nparts, fold, empty)
+
+
+def user_week_shape_dtw_sql() -> str:
+    """DuckDB oracle for :func:`user_week_shape_dtw`: the 7×7 DP fully
+    unrolled as 7 chained CTE columns whose 7 cells chain through
+    lateral column aliases — no recursion, bit-exact integers."""
+    prof_a = ",\n           ".join(
+        f"COALESCE(sum(CASE WHEN rel = 0 AND dw = {i} THEN c END), 0) "
+        f"AS a{i + 1}" for i in range(7))
+    prof_b = ",\n           ".join(
+        f"COALESCE(sum(CASE WHEN rel = 1 AND dw = {i} THEN c END), 0) "
+        f"AS b{i + 1}" for i in range(7))
+    carry = ", ".join([f"a{i + 1}" for i in range(7)]
+                      + [f"b{i + 1}" for i in range(7)])
+    cols = []
+    # column j=1: dp(i,1) = cost(i,1) + dp(i-1,1)
+    cells = ["abs(a1 - b1) AS d1"]
+    for i in range(2, 8):
+        cells.append(f"abs(a{i} - b1) + d{i - 1} AS d{i}")
+    cols.append(f"c1 AS (\n    SELECT user_id, {carry},\n           "
+                + ",\n           ".join(cells) + "\n    FROM prof\n)")
+    for j in range(2, 8):
+        cells = [f"abs(a1 - b{j}) + d1 AS e1"]
+        for i in range(2, 8):
+            cells.append(
+                f"abs(a{i} - b{j}) + least(d{i}, d{i - 1}, e{i - 1}) "
+                f"AS e{i}")
+        rename = ", ".join(f"e{i} AS d{i}" for i in range(1, 8))
+        cols.append(
+            f"c{j} AS (\n    SELECT user_id, {carry}, {rename} FROM (\n"
+            f"    SELECT user_id, {carry},\n           "
+            + ",\n           ".join(cells)
+            + f"\n    FROM c{j - 1})\n)")
+    return f"""
+WITH d AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT user_id, (day + 3) // 7 AS wk, (day + 3) % 7 AS dw,
+           CAST(sum(cents) AS BIGINT) AS c
+    FROM d GROUP BY 1, 2, 3
+),
+fw AS (SELECT user_id, min(wk) AS w0 FROM w GROUP BY 1),
+rw AS (
+    SELECT w.user_id, w.wk - f.w0 AS rel, w.dw, w.c
+    FROM w JOIN fw f ON w.user_id = f.user_id
+),
+prof AS (
+    SELECT user_id,
+           {prof_a},
+           {prof_b}
+    FROM rw GROUP BY user_id
+),
+{",".join(cols)}
+SELECT user_id, d7 AS dtw_cents FROM c7
+"""

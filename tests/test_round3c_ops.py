@@ -106,3 +106,90 @@ def test_events_cube_levels(ray_session, tmp_path):
         ("ALL", 1): (3, 400), ("ALL", 2): (1, 1001),
         ("ALL", -1): (4, 1401),
     }
+
+
+def test_dtw_hand_computed(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import user_week_shape_dtw
+    rows, eid = [], 1
+    # user 1: week0 = [100,0,0,...], week1 = [0,100,0,...] — the spike
+    # shifts one day: DTW warps it for |100-100|=0 plus boundary cells:
+    # path (1,1)->(2,2)? cost(1,1)=|100-0|=100... hand DP below says 100
+    rows.append((eid, D0, 1, "view", 1.00)); eid += 1
+    rows.append((eid, D0 + 8 * DAY_US, 1, "view", 1.00)); eid += 1
+    # user 2: identical weeks → DTW 0
+    for d in (0, 2, 7, 9):
+        rows.append((eid, D0 + d * DAY_US, 2, "view", 2.50)); eid += 1
+    sf = _write_events(tmp_path, rows)
+    df = _df(user_week_shape_dtw(sf))
+    got = {int(r.user_id): int(r.dtw_cents) for r in df.itertuples()}
+
+    def dtw(a, b):
+        INF = float("inf")
+        dp = [[INF] * 7 for _ in range(7)]
+        for i in range(7):
+            for j in range(7):
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                elif i == 0:
+                    dp[i][j] = c + dp[0][j - 1]
+                elif j == 0:
+                    dp[i][j] = c + dp[i - 1][0]
+                else:
+                    dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1],
+                                       dp[i - 1][j - 1])
+        return dp[6][6]
+
+    a1 = [100, 0, 0, 0, 0, 0, 0]
+    b1 = [0, 100, 0, 0, 0, 0, 0]
+    a2 = [250, 0, 250, 0, 0, 0, 0]
+    assert got == {1: dtw(a1, b1), 2: dtw(a2, a2)}
+    assert got[2] == 0
+
+
+def test_dtw_property_random(ray_session, tmp_path):
+    import numpy as np
+    from nrt_ray.pipelines.timeseries import user_week_shape_dtw
+    rng = np.random.default_rng(23)
+    rows, eid = [], 1
+    profiles = {}
+    for u in range(1, 13):
+        a = rng.integers(0, 500, 7)
+        b = rng.integers(0, 500, 7) * (0 if u == 5 else 1)  # u5: no wk2
+        profiles[u] = (a, b)
+        for d in range(7):
+            if a[d]:
+                rows.append((eid, D0 + d * DAY_US, u, "view",
+                             float(a[d]) / 100)); eid += 1
+            if b[d]:
+                rows.append((eid, D0 + (7 + d) * DAY_US, u, "view",
+                             float(b[d]) / 100)); eid += 1
+    sf = _write_events(tmp_path, rows)
+    df = _df(user_week_shape_dtw(sf))
+    got = {int(r.user_id): int(r.dtw_cents) for r in df.itertuples()}
+
+    def dtw(a, b):
+        INF = float("inf")
+        dp = [[INF] * 7 for _ in range(7)]
+        for i in range(7):
+            for j in range(7):
+                c = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                elif i == 0:
+                    dp[i][j] = c + dp[0][j - 1]
+                elif j == 0:
+                    dp[i][j] = c + dp[i - 1][0]
+                else:
+                    dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1],
+                                       dp[i - 1][j - 1])
+        return dp[6][6]
+
+    for u, (a, b) in profiles.items():
+        if not a.any() and not b.any():
+            continue
+        # week0 anchors at the user's first ACTIVE week: if week0 is
+        # empty the first active week becomes "a"
+        if not a.any():
+            continue
+        assert got[u] == dtw(a, b), u
