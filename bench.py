@@ -108,12 +108,23 @@ def headline(num_cpus: int) -> dict:
         resume=False,
         reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
     dt = time.perf_counter() - t0
+    # retier maintenance cost: add a 4w tier composed from the persisted
+    # 1w tier — O(source buckets), no raw re-scan (measured separately,
+    # not part of the headline wall)
+    from nrt_ray.pipelines.retier import run_retier
+    from nrt_ray.stages.rollup import TierSpec
+    t1 = time.perf_counter()
+    rt = run_retier(out_dir, TierSpec("4w", width_us=4 * 7 * 86400
+                                      * 1_000_000), source="1w")
+    retier_dt = time.perf_counter() - t1
     shutil.rmtree(out_dir, ignore_errors=True)
     return {"seconds": dt, "rollup_points": summary["rollup_points"],
             "input_rows": summary["input_rows"],
             "series": summary["series"],
             "pp_task_seconds": summary["pp_task_seconds"],
-            "pp_max_seconds": summary["pp_max_seconds"]}
+            "pp_max_seconds": summary["pp_max_seconds"],
+            "retier_seconds": retier_dt,
+            "retier_points": rt["rollup_points"]}
 
 
 BENCH_QUERIES = (
@@ -151,6 +162,9 @@ BENCH_QUERIES = (
     "stl_trend_events",
     "token_bucket_drops_events",
     "source_js_divergence_docs",
+    "user_leadlag_events",
+    "events_cube",
+    "user_week_shape_dtw",
     "image_jpeg_decode_stats",
     "video_avi_frame_stats",
 )
@@ -324,6 +338,8 @@ def main() -> None:
         "rows_per_sec": round(head["input_rows"] / head["seconds"]),
         "pp_task_seconds": head["pp_task_seconds"],
         "pp_max_seconds": head["pp_max_seconds"],
+        "retier_seconds": round(head["retier_seconds"], 3),
+        "retier_points": head["retier_points"],
         # fraction of the ideal wall the wide stage achieved
         "parallel_utilization": round(
             head["pp_task_seconds"] / (head["seconds"] * NUM_CPUS), 3),

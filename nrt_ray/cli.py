@@ -152,6 +152,9 @@ def main(argv=None) -> int:
                                      "records: state checksums, per-table "
                                      "row counts, segment metadata")
     fs.add_argument("--out", required=True)
+    fs.add_argument("--repair", action="store_true",
+                    help="uncommit damaged partitions so the next "
+                         "resumed run rebuilds exactly them")
     fs.add_argument("--num-cpus", type=int, default=None)
 
     dec = sub.add_parser("decode", help="decode compressed segments back "
@@ -318,7 +321,7 @@ def main(argv=None) -> int:
             print(json.dumps(run_retier(args.out, spec, args.source)))
         elif args.cmd == "fsck":
             from nrt_ray.pipelines.retier import verify_store
-            rep = verify_store(args.out)
+            rep = verify_store(args.out, repair=args.repair)
             print(json.dumps(rep))
             return 0 if not rep["issues"] else 1
         elif args.cmd == "backfill":

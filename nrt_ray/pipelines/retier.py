@@ -235,7 +235,7 @@ def run_retier(out_dir: str, new_tier, source: str,
             "rollup_points": points, "run_id": run_id}
 
 
-def verify_store(out_dir: str) -> dict:
+def verify_store(out_dir: str, repair: bool = False) -> dict:
     """Manifest fsck: re-derive every committed partition's invariants
     from its files and compare against the lineage records.
 
@@ -244,6 +244,12 @@ def verify_store(out_dir: str) -> dict:
     time matches the file on disk; segment payloads decode and their
     point counts match ``n_points``.  One Ray task per partition.
     Returns ``{"partitions": N, "ok": M, "issues": [...]}.``
+
+    ``repair=True`` additionally UNCOMMITS every partition with an
+    issue (removes its manifest record): the next resumed
+    ``run_pipeline`` over the original input rebuilds exactly those
+    partitions — corruption recovery reuses the engine's normal
+    resume path, no special rebuild code.
     """
     records = {r["partition_id"]: r for r in manifest.load_manifest(out_dir)
                if r.get("committed")}
@@ -294,6 +300,11 @@ def verify_store(out_dir: str) -> dict:
     refs = [check_remote.remote(pid, rec)
             for pid, rec in sorted(records.items())]
     issues = [i for chunk in ray.get(refs) for i in chunk]
-    return {"partitions": len(records),
-            "ok": len(records) - len({i.split(":")[0] for i in issues}),
-            "issues": issues}
+    bad_pids = sorted({int(i.split(":")[0].split()[1]) for i in issues})
+    out = {"partitions": len(records),
+           "ok": len(records) - len(bad_pids),
+           "issues": issues}
+    if repair and bad_pids:
+        out["uncommitted"] = manifest.uncommit_partitions(out_dir,
+                                                          bad_pids)
+    return out

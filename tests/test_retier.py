@@ -198,3 +198,13 @@ def test_verify_store(ray_session, tmp_path):
     assert rep["ok"] == P - 2
     assert any("state checksum mismatch" in i for i in rep["issues"])
     assert any("rollup_1d rows" in i for i in rep["issues"])
+
+    # repair: damaged partitions uncommit, a resumed run rebuilds
+    # exactly them, and the store verifies clean again
+    rep = retier.verify_store(out, repair=True)
+    assert sorted(rep["uncommitted"]) == [1, 2]
+    s = mp.run_pipeline(info["webtext"], out,
+                        tiers=(rollup.TierSpec("1d"),), **BASE)
+    assert s["partitions_processed"] == 2 and s["partitions_skipped"] == 3
+    rep = retier.verify_store(out)
+    assert rep["ok"] == P and not rep["issues"]
