@@ -171,6 +171,14 @@ def input_files(input_path) -> list[str]:
     return paths
 
 
+def is_warc_input(input_path) -> bool:
+    """True when the input is WARC file(s) (.warc / .warc.gz) — the raw
+    Common Crawl wire format (`sources/warc.py`) — rather than Parquet."""
+    paths = [input_path] if isinstance(input_path, str) else list(input_path)
+    return bool(paths) and all(
+        p.endswith((".warc", ".warc.gz")) for p in paths)
+
+
 def ingest_webtext(input_path, verify_extract: bool = False,
                    override_num_blocks: int | None = None,
                    aux: bool = False,
@@ -196,6 +204,13 @@ def ingest_webtext(input_path, verify_extract: bool = False,
     each partition's manifest commit can record exactly which input
     fragments fed it (north-rule lineage).
     """
+    if is_warc_input(input_path):
+        # raw crawl bytes: parse WARC records, run the byte-identity
+        # extractor on the html itself (it PRODUCES text here, so the
+        # verify flag is moot); scan pruning / fragment lineage are
+        # Parquet-layer features and don't apply
+        from nrt_ray.sources.warc import warc_to_flat
+        return warc_to_flat(input_path, aux=aux)
     columns = ["url", "warc_ts", "text"] + (
         ["html"] if verify_extract else [])
     kw = {}
@@ -387,7 +402,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
     run_id = run_id or uuid.uuid4().hex[:12]
 
     needs_hw = any(t.retention_us is not None for t in tiers)
-    if high_water_us is None and needs_hw and flat_dataset is None:
+    if high_water_us is None and needs_hw and flat_dataset is None \
+            and not is_warc_input(input_path):
         high_water_us = global_high_water_us(input_path)
 
     if screen_outliers == "default":
@@ -396,7 +412,8 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
     else:
         effective_screen = screen_outliers
     frag_paths = [] if (flat_dataset is not None
-                        or not fragment_lineage) else \
+                        or not fragment_lineage
+                        or is_warc_input(input_path)) else \
         input_files(input_path)
     frag_ids = {p: i for i, p in enumerate(frag_paths)}
     ds = flat_dataset if flat_dataset is not None else \
@@ -409,8 +426,12 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                             .cast(pa.int64()).as_py())
 
     if hot_urls is None and salt_threshold:
-        hot_urls = detect_hot_urls(input_path, salt_threshold,
-                                   flat_dataset=flat_dataset)
+        hot_urls = detect_hot_urls(
+            input_path, salt_threshold,
+            # warc inputs have no cheap url-column re-read: count from
+            # the extracted flat dataset instead
+            flat_dataset=(ds if flat_dataset is None
+                          and is_warc_input(input_path) else flat_dataset))
     hot_urls = set(hot_urls or ())
 
     ds = ds.map_batches(
