@@ -164,6 +164,8 @@ def queries() -> dict:
         "user_leadlag_events": tsq.user_leadlag_events,
         "events_cube": tsq.events_cube,
         "user_week_shape_dtw": tsq.user_week_shape_dtw,
+        "stale_users_events": tsq.stale_users_events,
+        "user_completeness_events": tsq.user_completeness_events,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -1665,6 +1667,10 @@ def oracle_sql() -> dict:
         "events_cube": tsq.EVENTS_CUBE_SQL,
         # 7×7 integer DTW, DP unrolled via chained lateral-alias CTEs
         "user_week_shape_dtw": tsq.user_week_shape_dtw_sql(),
+        # TSDB absent/staleness: series that stopped reporting
+        "stale_users_events": tsq.stale_users_sql(),
+        # gap-fill budgeting metric: active/span days per user
+        "user_completeness_events": tsq.USER_COMPLETENESS_SQL,
         # Croston intermittent demand: recursive-CTE float replay
         "croston_events": tsq.croston_sql(),
         # Markov entropy rate, lex-ordered terms under round-6

@@ -5762,3 +5762,168 @@ prof AS (
 {",".join(cols)}
 SELECT user_id, d7 AS dtw_cents FROM c7
 """
+
+
+# ------------------------------------------------------ data-quality ops
+def stale_users_events(sf_dir: str, hours: int = 16):
+    """TSDB `absent`/staleness analog: users whose LAST event is more
+    than ``hours`` hours before the global high-water timestamp — the
+    series that silently stopped reporting.
+
+    Scale shape: per-batch (user → max ts, n) partials → one user-keyed
+    max/count exchange; the global high-water is a scalar reduced from
+    the same partials (no second scan).  Exact integers."""
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+
+    nparts = max(2, pool_size())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(uid, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({"user_id": pa.array(uk),
+                         "max_ts": pa.array(mx),
+                         "n_events": pa.array(n)})
+
+    parts = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array((uid % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        mx = tbl["max_ts"].to_numpy(zero_copy_only=False)
+        n = tbl["n_events"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(uid, return_inverse=True)
+        umx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(umx, inv, mx)
+        un = np.zeros(len(uk), np.int64)
+        np.add.at(un, inv, n)
+        return pa.table({"user_id": pa.array(uk),
+                         "max_ts": pa.array(umx),
+                         "n_events": pa.array(un)})
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "max_ts": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+
+    per_user = exchange_dataset(parts.map_batches(tag,
+                                                  batch_format="pyarrow"),
+                                nparts, fold, empty)
+    hw = int(per_user.max("max_ts"))
+    cutoff = hw - hours * 3600 * US
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = t["max_ts"].to_numpy(zero_copy_only=False) < cutoff
+        t = t.filter(pa.array(keep, pa.bool_()))
+        mx = t["max_ts"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_ts": pa.array(mx, pa.int64()).cast(pa.timestamp("us")),
+            "silent_hours": pa.array((hw - mx) // (3600 * US), pa.int64()),
+            "n_events": t["n_events"]})
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+def stale_users_sql(hours: int = 16) -> str:
+    return f"""
+WITH per_user AS (
+    SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+    FROM events GROUP BY user_id
+),
+hw AS (SELECT max(last_ts) AS hw FROM per_user)
+SELECT user_id, last_ts,
+       CAST((epoch_us(hw.hw) - epoch_us(last_ts))
+            // {3600 * US} AS BIGINT) AS silent_hours,
+       n_events
+FROM per_user, hw
+WHERE epoch_us(last_ts) < epoch_us(hw.hw) - {hours * 3600 * US}
+"""
+
+
+def user_completeness_events(sf_dir: str):
+    """Series completeness score: active days / span days per user
+    (first→last event, inclusive) — the data-quality metric behind
+    gap-fill budgeting.  One (user, day) distinct exchange; ratio
+    emitted as exact integers (active, span) plus a round-6 score."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.hashagg import keyed_sum
+    from nrt_ray.stages.exchange import exchange_dataset
+
+    nparts = max(2, pool_size())
+    DAY = 86400 * US
+    BASE = np.int64(1) << np.int64(22)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // DAY)
+        uk = np.unique(uid * BASE + day)
+        return pa.table({"ck": pa.array(uk),
+                         "one": pa.array(np.ones(len(uk), np.int64))})
+
+    daily = keyed_sum(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts"])
+        .map_batches(combiner, batch_format="pyarrow"),
+        "ck", ["one"], nparts, key_dtype=pa.int64())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(((ck // BASE) % nparts).astype(np.int64)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        uid = ck // BASE
+        day = ck % BASE
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        active = (ends - starts).astype(np.int64)
+        span = day[ends - 1] - day[starts] + 1
+        score = round_away(active / span, 6)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "active_days": pa.array(active),
+            "span_days": pa.array(span),
+            "completeness": pa.array(score, pa.float64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "active_days": pa.array([], pa.int64()),
+                         "span_days": pa.array([], pa.int64()),
+                         "completeness": pa.array([], pa.float64())})
+
+    return exchange_dataset(daily.map_batches(tag,
+                                              batch_format="pyarrow"),
+                            nparts, fold, empty)
+
+
+USER_COMPLETENESS_SQL = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+    FROM events
+)
+SELECT user_id,
+       count(*) AS active_days,
+       max(day) - min(day) + 1 AS span_days,
+       round(CAST(count(*) AS DOUBLE)
+             / (max(day) - min(day) + 1), 6) AS completeness
+FROM d GROUP BY user_id
+"""

@@ -193,3 +193,33 @@ def test_dtw_property_random(ray_session, tmp_path):
         if not a.any():
             continue
         assert got[u] == dtw(a, b), u
+
+
+def test_stale_users(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import stale_users_events
+    H = 3600 * 1_000_000
+    rows = [
+        (1, D0 + 100 * H, 1, "view", 1.0),   # the high-water user
+        (2, D0 + 50 * H, 2, "view", 1.0),    # 50h silent -> stale
+        (3, D0 + 90 * H, 3, "view", 1.0),    # 10h silent -> fresh
+        (4, D0, 2, "view", 1.0),             # older event, same user
+    ]
+    df = _df(stale_users_events(_write_events(tmp_path, rows), hours=16))
+    assert df["user_id"].tolist() == [2]
+    assert df["silent_hours"].tolist() == [50]
+    assert df["n_events"].tolist() == [2]
+
+
+def test_completeness_closed_form(ray_session, tmp_path):
+    from nrt_ray.pipelines.timeseries import user_completeness_events
+    rows, eid = [], 1
+    # user 1: days 0,1,4 -> 3 active over span 5 = 0.6
+    for d in (0, 1, 4, 4):   # duplicate day must not double-count
+        rows.append((eid, D0 + d * DAY_US, 1, "view", 1.0)); eid += 1
+    # user 2: single day -> 1/1
+    rows.append((eid, D0, 2, "view", 1.0))
+    df = _df(user_completeness_events(_write_events(tmp_path, rows)))
+    got = {int(r.user_id): (int(r.active_days), int(r.span_days),
+                            float(r.completeness))
+           for r in df.itertuples()}
+    assert got == {1: (3, 5, 0.6), 2: (1, 1, 1.0)}
