@@ -52,3 +52,31 @@ def test_csv_float_bit_exact(ray_session, tmp_path):
     a = _norm(src.to_pandas())["value"].to_numpy()
     b = _norm(back.to_pandas())["value"].to_numpy()
     assert (a == b).all()
+
+
+def test_roundtrip_ipc(ray_session, tmp_path):
+    src = _events()
+    out = str(tmp_path / "ipc")
+    paths = formats.dataset_to_ipc(src, out)
+    assert paths and all(p.endswith(".arrow") for p in paths)
+    back = formats.ipc_to_dataset(out)
+    a = _norm(src.to_pandas())
+    b = _norm(back.to_pandas())
+    pd.testing.assert_frame_equal(a, b)      # type-exact, incl. ts dtype
+    assert back.schema().base_schema.field("ts").type == "timestamp[us]"
+
+
+def test_ipc_preserves_binary_and_lists(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+    t = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "blob": pa.array([b"\x00\xff", b"abc"], pa.binary()),
+        "vec": pa.array([[1.5, 2.5], [3.5]], pa.list_(pa.float64())),
+    })
+    out = str(tmp_path / "ipc2")
+    formats.dataset_to_ipc(ray.data.from_arrow(t), out)
+    got = formats.ipc_to_dataset(out).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["blob"].tolist() == [b"\x00\xff", b"abc"]
+    assert [list(v) for v in got["vec"]] == [[1.5, 2.5], [3.5]]
