@@ -208,12 +208,14 @@ def main(argv=None) -> int:
     qry.add_argument("--num-cpus", type=int, default=None)
 
     exp = sub.add_parser("export", help="convert a parquet table to "
-                                        "JSONL or CSV shards (timestamps "
-                                        "as epoch microseconds)")
+                                        "JSONL/CSV shards (timestamps as "
+                                        "epoch microseconds), type-exact "
+                                        "Arrow IPC shards, or a WARC "
+                                        "archive (webtext tables)")
     exp.add_argument("--input", required=True, help="parquet file/dir")
     exp.add_argument("--out", required=True)
     exp.add_argument("--format", default="jsonl",
-                     choices=["jsonl", "csv"])
+                     choices=["jsonl", "csv", "ipc", "warc"])
     exp.add_argument("--drop-binary", action="store_true",
                      help="drop binary columns (not representable)")
     exp.add_argument("--num-cpus", type=int, default=None)
@@ -430,11 +432,30 @@ def main(argv=None) -> int:
                         or pa.types.is_large_binary(f.type)]
                 if drop:
                     ds = ds.drop_columns(drop)
+            import os as _os
+            if args.format == "warc":
+                # webtext → WARC archive: one gzip member per record
+                # (url, warc_ts, html required)
+                from nrt_ray.sources.warc import write_warc
+                import pyarrow.parquet as _pq
+                t = _pq.read_table(args.input,
+                                   columns=["url", "warc_ts", "html"])
+                n = write_warc(args.out, zip(
+                    t.column("url").to_pylist(),
+                    t.column("warc_ts").cast(pa.int64()).to_pylist(),
+                    t.column("html").to_pylist()))
+                print(json.dumps({"out": args.out, "format": "warc",
+                                  "records": n}))
+                return 0
+            if args.format == "ipc":
+                paths = formats.dataset_to_ipc(ds, args.out)
+                print(json.dumps({"out": args.out, "format": "ipc",
+                                  "shards": len(paths)}))
+                return 0
             if args.format == "jsonl":
                 ts_cols = formats.dataset_to_jsonl(ds, args.out)
             else:
                 ts_cols = formats.dataset_to_csv(ds, args.out)
-            import os as _os
             print(json.dumps({"out": args.out, "format": args.format,
                               "ts_columns": ts_cols,
                               "shards": len(_os.listdir(args.out))}))
