@@ -166,6 +166,10 @@ def queries() -> dict:
         "user_week_shape_dtw": tsq.user_week_shape_dtw,
         "stale_users_events": tsq.stale_users_events,
         "user_completeness_events": tsq.user_completeness_events,
+        "funnel_conversion_events": tsq.funnel_conversion_events,
+        "state_durations_events": tsq.state_durations_events,
+        "attribution_events": tsq.attribution_events,
+        "rfm_segments_events": tsq.rfm_segments_events,
         "clicks_before_purchase_1h": tsq.clicks_before_purchase_1h,
         "props_json_stats": tsq.props_json_stats,
         "user_running_total_events": tsq.user_running_total_events,
@@ -1671,6 +1675,14 @@ def oracle_sql() -> dict:
         "stale_users_events": tsq.stale_users_sql(),
         # gap-fill budgeting metric: active/span days per user
         "user_completeness_events": tsq.USER_COMPLETENESS_SQL,
+        # 3-step ordered funnel, windowed from the first view
+        "funnel_conversion_events": tsq.funnel_conversion_sql(),
+        # time-in-state totals (state_agg), exact int64 µs
+        "state_durations_events": tsq.STATE_DURATIONS_SQL,
+        # last-touch purchase attribution within a click window
+        "attribution_events": tsq.attribution_sql(),
+        # RFM quartile segmentation over exact integer metrics
+        "rfm_segments_events": tsq.RFM_SEGMENTS_SQL,
         # Croston intermittent demand: recursive-CTE float replay
         "croston_events": tsq.croston_sql(),
         # Markov entropy rate, lex-ordered terms under round-6

@@ -5927,3 +5927,498 @@ SELECT user_id,
              / (max(day) - min(day) + 1), 6) AS completeness
 FROM d GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics bank: ordered funnel, state durations, last-touch
+# attribution, RFM segmentation
+# ---------------------------------------------------------------------------
+
+#: funnel window: every step must land within this many hours of the
+#: first step (ClickHouse windowFunnel-style strict-order semantics)
+_FUNNEL_WINDOW_H = 72
+
+
+def funnel_conversion_events(sf_dir: str, window_h: int = _FUNNEL_WINDOW_H):
+    """3-step ordered conversion funnel view → click → purchase per user.
+
+    Semantics (strict order, windowed from step 1):
+      t1 = first ``view``;
+      t2 = first ``click`` with  t1 < ts ≤ t1 + W;
+      t3 = first ``purchase`` with t2 < ts ≤ t1 + W.
+    One row per user with ≥ 1 view: completed step count plus the three
+    step timestamps (null where the funnel stalled).
+
+    Scale shape: the read is pruned to the three step types, then ONE
+    user-keyed exchange; inside a partition every step is a masked
+    ``np.minimum.at`` over the partition's rows — no per-user loop, no
+    sort.  All comparisons are exact int64 microseconds.
+    """
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    w_us = window_h * 3600 * US
+    SENT = np.iinfo(np.int64).max
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        uk, inv = np.unique(uid, return_inverse=True)
+        nu = len(uk)
+
+        def step_min(mask: np.ndarray) -> np.ndarray:
+            out = np.full(nu, SENT, np.int64)
+            if mask.any():
+                np.minimum.at(out, inv[mask], ts[mask])
+            return out
+
+        t1 = step_min(et == "view")
+        lim = np.zeros(nu, np.int64)     # no-view users match nothing
+        has_view = t1 != SENT
+        lim[has_view] = t1[has_view] + w_us
+        t2 = step_min((et == "click") & (ts > t1[inv]) & (ts <= lim[inv]))
+        t3 = step_min((et == "purchase") & (ts > t2[inv])
+                      & (ts <= lim[inv]))
+        has1 = t1 != SENT
+        t1, t2, t3 = t1[has1], t2[has1], t3[has1]
+
+        def ts_nullable(a: np.ndarray) -> pa.Array:
+            return pa.array(a, pa.int64(), mask=(a == SENT)) \
+                .cast(pa.timestamp("us"))
+
+        return pa.table({
+            "user_id": pa.array(uk[has1], pa.int64()),
+            "n_steps": pa.array(1 + (t2 != SENT).astype(np.int64)
+                                + (t3 != SENT).astype(np.int64)),
+            "view_ts": ts_nullable(t1),
+            "click_ts": ts_nullable(t2),
+            "purchase_ts": ts_nullable(t3),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_steps": pa.array([], pa.int64()),
+            "view_ts": pa.array([], pa.timestamp("us")),
+            "click_ts": pa.array([], pa.timestamp("us")),
+            "purchase_ts": pa.array([], pa.timestamp("us")),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def funnel_conversion_sql(window_h: int = _FUNNEL_WINDOW_H) -> str:
+    w = window_h * 3600 * US
+    return f"""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + {w}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+    FROM events e
+    JOIN c ON e.user_id = c.user_id
+    JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= v.t1 + {w}
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS n_steps,
+       make_timestamp(v.t1) AS view_ts,
+       make_timestamp(c.t2) AS click_ts,
+       make_timestamp(p.t3) AS purchase_ts
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def state_durations_events(sf_dir: str):
+    """Time-in-state durations (TimescaleDB ``state_agg`` analog): treat
+    each event's type as the state the user occupies until their NEXT
+    event; report per (user, state) the interval count and the exact
+    total microseconds spent (the last event of a user opens no
+    interval).  Ordering is (ts, event_id) on both engines.
+
+    Scale shape: one user-keyed exchange; inside a partition one lexsort
+    + composite ``np.unique`` — no per-user loop.  Durations are exact
+    int64 µs.
+    """
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        types, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        same = uid[1:] == uid[:-1]
+        dur = (ts[1:] - ts[:-1])[same]
+        su, sc = uid[:-1][same], code[:-1][same]
+        ntyp = len(types)
+        ck = su * ntyp + sc
+        uk, inv = np.unique(ck, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, dur)
+        return pa.table({
+            "user_id": pa.array(uk // ntyp, pa.int64()),
+            "event_type": pa.array(types[uk % ntyp], pa.string()),
+            "n_intervals": pa.array(n),
+            "total_us": pa.array(tot),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "n_intervals": pa.array([], pa.int64()),
+                         "total_us": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+STATE_DURATIONS_SQL = """
+WITH o AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+    FROM events
+)
+SELECT user_id, event_type,
+       count(*) AS n_intervals,
+       CAST(sum(nxt - t) AS BIGINT) AS total_us
+FROM o WHERE nxt IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
+#: last-touch attribution window: a purchase is credited to the most
+#: recent click no older than this many hours
+_ATTRIB_WINDOW_H = 168
+
+
+def attribution_events(sf_dir: str, window_h: int = _ATTRIB_WINDOW_H):
+    """Last-touch marketing attribution: each ``purchase`` is attributed
+    to the user's most recent ``click`` strictly before it and within
+    ``window_h`` hours.  One row per purchasing user: purchase count,
+    attributed count and the exact attributed / total cent sums.
+
+    Scale shape: the read keeps only click/purchase rows, ONE user-keyed
+    exchange, then inside a partition a merged (uid, ts, kind) sort with
+    a running last-click index (``np.maximum.accumulate``) — fully
+    vectorized, no per-user loop, no pair join.  At equal timestamps the
+    purchase sorts FIRST, so a same-µs click never attributes (strict
+    ``<`` on both engines).
+    """
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+    w_us = window_h * 3600 * US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        kind = pc.equal(batch["event_type"], "click")
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "is_click": kind,
+            "cents": pa.array(round_away(val * 100.0, 0)
+                              .astype(np.int64)),
+            "pid": pa.array((uid % nparts).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        kind = tbl["is_click"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)          # purchase=0 sorts before click=1
+        cents = tbl["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, ts, uid))
+        uid, ts, kind, cents = (uid[order], ts[order], kind[order],
+                                cents[order])
+        m = len(uid)
+        rows = np.arange(m, dtype=np.int64)
+        gstart = np.maximum.accumulate(
+            np.where(np.r_[True, uid[1:] != uid[:-1]], rows, -1))
+        last_click = np.maximum.accumulate(
+            np.where(kind == 1, rows, -1))
+        isp = kind == 0
+        lc = last_click[isp]
+        ok = (lc >= gstart[isp])
+        # a click from an earlier user can leak through maximum.accumulate
+        # only when lc < gstart, which `ok` excludes
+        ct = np.where(ok, ts[np.maximum(lc, 0)], np.int64(0))
+        attributed = ok & (ct >= ts[isp] - w_us)
+        pu = uid[isp]
+        uk, inv = np.unique(pu, return_inverse=True)
+        n_p = np.zeros(len(uk), np.int64)
+        np.add.at(n_p, inv, 1)
+        n_a = np.zeros(len(uk), np.int64)
+        np.add.at(n_a, inv, attributed.astype(np.int64))
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, cents[isp])
+        att = np.zeros(len(uk), np.int64)
+        np.add.at(att, inv, np.where(attributed, cents[isp], 0))
+        return pa.table({
+            "user_id": pa.array(uk, pa.int64()),
+            "n_purchases": pa.array(n_p),
+            "n_attributed": pa.array(n_a),
+            "attributed_cents": pa.array(att),
+            "total_cents": pa.array(tot),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_purchases": pa.array([], pa.int64()),
+                         "n_attributed": pa.array([], pa.int64()),
+                         "attributed_cents": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return exchange_dataset(ds, nparts, fold, empty)
+
+
+def attribution_sql(window_h: int = _ATTRIB_WINDOW_H) -> str:
+    w = window_h * 3600 * US
+    return f"""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+a AS (
+    SELECT p.user_id, p.cents,
+           (SELECT max(epoch_us(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND epoch_us(c.ts) < p.t
+              AND epoch_us(c.ts) >= p.t - {w}) AS click_t
+    FROM p
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN click_t IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_attributed,
+       CAST(sum(CASE WHEN click_t IS NULL THEN 0 ELSE cents END)
+            AS BIGINT) AS attributed_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM a GROUP BY user_id
+"""
+
+
+def rfm_segments_events(sf_dir: str):
+    """RFM customer segmentation: per user recency (µs since their last
+    event, vs the corpus high-water), frequency (event count) and
+    monetary (exact purchase cents), each scored 1–4 by the corpus
+    quartiles (``quantile_disc`` semantics), best = 4.
+
+    Scale shape: one user-keyed exchange builds the per-user metric
+    table; the three quartile triples come from the exact distributed
+    quickselect (:mod:`nrt_ray.stages.percentile` — streaming histogram
+    refinement, no sort); scoring is one broadcast-threshold batch pass.
+    All metrics are exact integers, so the threshold comparisons cannot
+    be perturbed by float rounding.
+    """
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.percentile import exact_percentiles
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        isp = np.asarray(pc.equal(batch["event_type"], "purchase")
+                         .to_numpy(zero_copy_only=False))
+        cents = np.where(isp, round_away(val * 100.0, 0), 0.0) \
+            .astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        m = np.zeros(len(uk), np.int64)
+        np.add.at(m, inv, cents)
+        return pa.table({"user_id": pa.array(uk),
+                         "last_ts": pa.array(mx),
+                         "frequency": pa.array(n),
+                         "monetary_cents": pa.array(m),
+                         "pid": pa.array((uk % nparts)
+                                         .astype(np.int64))})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        mx = tbl["last_ts"].to_numpy(zero_copy_only=False)
+        n = tbl["frequency"].to_numpy(zero_copy_only=False)
+        m = tbl["monetary_cents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(uid, return_inverse=True)
+        umx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(umx, inv, mx)
+        un = np.zeros(len(uk), np.int64)
+        np.add.at(un, inv, n)
+        um = np.zeros(len(uk), np.int64)
+        np.add.at(um, inv, m)
+        return pa.table({"user_id": pa.array(uk),
+                         "last_ts": pa.array(umx),
+                         "frequency": pa.array(un),
+                         "monetary_cents": pa.array(um)})
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "last_ts": pa.array([], pa.int64()),
+                         "frequency": pa.array([], pa.int64()),
+                         "monetary_cents": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type",
+                                        "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    per_user = exchange_dataset(ds, nparts, fold, empty)
+    hw_raw = per_user.max("last_ts")
+    if hw_raw is None:                   # empty input: no users at all
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "recency_us": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary_cents": pa.array([], pa.int64()),
+            "r_score": pa.array([], pa.int64()),
+            "f_score": pa.array([], pa.int64()),
+            "m_score": pa.array([], pa.int64()),
+            "rfm_score": pa.array([], pa.int64())}))
+    hw = int(hw_raw)
+
+    def add_recency(t: pa.Table) -> pa.Table:
+        mx = t["last_ts"].to_numpy(zero_copy_only=False)
+        return t.append_column("recency_us", pa.array(hw - mx, pa.int64()))
+
+    with_r = per_user.map_batches(add_recency, batch_format="pyarrow") \
+        .materialize()
+    qs = (0.25, 0.5, 0.75)
+    thr = {c: exact_percentiles(with_r, c, qs)["value"].to_pylist()
+           for c in ("recency_us", "frequency", "monetary_cents")}
+
+    def score(t: pa.Table) -> pa.Table:
+        rec = t["recency_us"].to_numpy(zero_copy_only=False)
+        f = t["frequency"].to_numpy(zero_copy_only=False)
+        m = t["monetary_cents"].to_numpy(zero_copy_only=False)
+
+        def up(v, cuts):      # larger = better
+            return (1 + (v > cuts[0]).astype(np.int64)
+                    + (v > cuts[1]).astype(np.int64)
+                    + (v > cuts[2]).astype(np.int64))
+
+        r_s = 5 - up(rec, thr["recency_us"])     # smaller = better
+        f_s = up(f, thr["frequency"])
+        m_s = up(m, thr["monetary_cents"])
+        return pa.table({
+            "user_id": t["user_id"],
+            "recency_us": t["recency_us"],
+            "frequency": t["frequency"],
+            "monetary_cents": t["monetary_cents"],
+            "r_score": pa.array(r_s),
+            "f_score": pa.array(f_s),
+            "m_score": pa.array(m_s),
+            "rfm_score": pa.array(100 * r_s + 10 * f_s + m_s),
+        })
+
+    return with_r.map_batches(score, batch_format="pyarrow")
+
+
+RFM_SEGMENTS_SQL = """
+WITH pu AS (
+    SELECT user_id, max(epoch_us(ts)) AS last_t,
+           count(*) AS frequency,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                AS BIGINT) AS monetary_cents
+    FROM events GROUP BY user_id
+),
+hw AS (SELECT max(last_t) AS hw FROM pu),
+r AS (
+    SELECT pu.user_id, hw.hw - pu.last_t AS recency_us,
+           pu.frequency, pu.monetary_cents
+    FROM pu, hw
+),
+q AS (
+    SELECT quantile_disc(recency_us, 0.25) AS r1,
+           quantile_disc(recency_us, 0.5)  AS r2,
+           quantile_disc(recency_us, 0.75) AS r3,
+           quantile_disc(frequency, 0.25) AS f1,
+           quantile_disc(frequency, 0.5)  AS f2,
+           quantile_disc(frequency, 0.75) AS f3,
+           quantile_disc(monetary_cents, 0.25) AS m1,
+           quantile_disc(monetary_cents, 0.5)  AS m2,
+           quantile_disc(monetary_cents, 0.75) AS m3
+    FROM r
+)
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST(4 - (recency_us > q.r1)::INT - (recency_us > q.r2)::INT
+              - (recency_us > q.r3)::INT AS BIGINT) AS r_score,
+       CAST(1 + (frequency > q.f1)::INT + (frequency > q.f2)::INT
+              + (frequency > q.f3)::INT AS BIGINT) AS f_score,
+       CAST(1 + (monetary_cents > q.m1)::INT
+              + (monetary_cents > q.m2)::INT
+              + (monetary_cents > q.m3)::INT AS BIGINT) AS m_score,
+       CAST(100 * (4 - (recency_us > q.r1)::INT
+                     - (recency_us > q.r2)::INT
+                     - (recency_us > q.r3)::INT)
+            + 10 * (1 + (frequency > q.f1)::INT
+                      + (frequency > q.f2)::INT
+                      + (frequency > q.f3)::INT)
+            + (1 + (monetary_cents > q.m1)::INT
+                 + (monetary_cents > q.m2)::INT
+                 + (monetary_cents > q.m3)::INT) AS BIGINT) AS rfm_score
+FROM r, q
+"""
