@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from nrt_ray.pipelines import bpe as bp
 from nrt_ray.pipelines import curate as cu
 from nrt_ray.pipelines import features as ft
 from nrt_ray.pipelines import invindex as ivx
@@ -167,6 +168,8 @@ def queries() -> dict:
         "stale_users_events": tsq.stale_users_events,
         "user_completeness_events": tsq.user_completeness_events,
         "funnel_conversion_events": tsq.funnel_conversion_events,
+        "bpe_train_merges_docs": bp.bpe_train_merges_docs,
+        "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
         "rfm_segments_events": tsq.rfm_segments_events,
@@ -1675,6 +1678,11 @@ def oracle_sql() -> dict:
         "stale_users_events": tsq.stale_users_sql(),
         # gap-fill budgeting metric: active/span days per user
         "user_completeness_events": tsq.USER_COMPLETENESS_SQL,
+        # BPE tokenizer training: R merge rounds unrolled as CTEs
+        # over delimiter-wrapped symbol strings (replace == BPE rule)
+        "bpe_train_merges_docs": bp.bpe_train_sql(),
+        # encode with the trained merges; token counts after R rounds
+        "bpe_encode_stats_docs": bp.bpe_encode_sql(),
         # 3-step ordered funnel, windowed from the first view
         "funnel_conversion_events": tsq.funnel_conversion_sql(),
         # time-in-state totals (state_agg), exact int64 µs
