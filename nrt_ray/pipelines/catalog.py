@@ -169,6 +169,7 @@ def queries() -> dict:
         "user_completeness_events": tsq.user_completeness_events,
         "funnel_conversion_events": tsq.funnel_conversion_events,
         "bpe_train_merges_docs": bp.bpe_train_merges_docs,
+        "sq8_topk_dot": sim.sq8_topk_dot,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1678,6 +1679,8 @@ def oracle_sql() -> dict:
         "stale_users_events": tsq.stale_users_sql(),
         # gap-fill budgeting metric: active/span days per user
         "user_completeness_events": tsq.USER_COMPLETENESS_SQL,
+        # SQ8 scalar-quantized ANN: per-dim codebook + integer dots
+        "sq8_topk_dot": sim.sq8_topk_sql(),
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

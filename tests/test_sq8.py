@@ -1,0 +1,41 @@
+"""SQ8 scalar-quantized ANN: quantizer semantics + recall vs float dot."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantizer_edges():
+    from nrt_ray.pipelines.similarity import _sq8_quantize
+    lo = np.array([0.0, 2.0, 5.0])
+    hi = np.array([1.0, 2.0, 9.0])          # dim 1 is constant
+    M = np.array([[0.0, 2.0, 5.0],
+                  [1.0, 2.0, 9.0],          # v == hi -> code 255
+                  [0.5, 2.0, 7.0]])
+    q = _sq8_quantize(M, lo, hi)
+    assert q.dtype == np.int64
+    assert list(q[0]) == [0, 0, 0]
+    assert list(q[1]) == [255, 0, 255]
+    assert q[2][0] == 127 and q[2][2] == 127
+
+
+def test_recall_vs_float_dot(ray_session):
+    from nrt_ray.pipelines.similarity import sq8_topk_dot
+    got = sq8_topk_dot(SF, k=10).to_pandas()
+    assert len(got) == 10
+    # monotone non-increasing integer dots
+    d = got["qdot"].to_numpy()
+    assert (d[:-1] >= d[1:]).all()
+    # float-dot brute force on the same fixture
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    M = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in t["embedding"].to_pylist()])
+    q = M[np.argmin(ids)]
+    dots = M @ q
+    top = set(ids[np.argsort(-dots)[:10]].tolist())
+    overlap = len(top & set(got["vec_id"].tolist()))
+    assert overlap >= 7, f"SQ8 top-10 recall {overlap}/10 vs float dot"
