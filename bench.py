@@ -167,6 +167,10 @@ BENCH_QUERIES = (
     "user_week_shape_dtw",
     "image_jpeg_decode_stats",
     "video_avi_frame_stats",
+    "bpe_encode_stats_docs",
+    "sq8_topk_dot",
+    "funnel_conversion_events",
+    "attribution_events",
 )
 
 
