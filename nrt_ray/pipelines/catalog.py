@@ -170,6 +170,7 @@ def queries() -> dict:
         "funnel_conversion_events": tsq.funnel_conversion_events,
         "bpe_train_merges_docs": bp.bpe_train_merges_docs,
         "sq8_topk_dot": sim.sq8_topk_dot,
+        "multi_topk_cosine": sim.multi_topk_cosine,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1681,6 +1682,8 @@ def oracle_sql() -> dict:
         "user_completeness_events": tsq.USER_COMPLETENESS_SQL,
         # SQ8 scalar-quantized ANN: per-dim codebook + integer dots
         "sq8_topk_dot": sim.sq8_topk_sql(),
+        # batched multi-query ANN: one matmul per batch, Q queries
+        "multi_topk_cosine": sim.multi_topk_sql(),
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

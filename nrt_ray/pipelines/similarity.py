@@ -726,3 +726,118 @@ dots AS (
 SELECT vec_id, qdot FROM dots
 ORDER BY qdot DESC, vec_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query ANN — the batched-inference shape
+# ---------------------------------------------------------------------------
+
+def query_matrix(sf_dir: str, n_queries: int):
+    """The ``n_queries`` smallest vec_ids and their embeddings, found
+    with a vec_id-only scan per row group plus one embedding read per
+    row group that holds a winner (the :func:`query_vector` convention,
+    generalized)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    cand: list[tuple[int, int, int]] = []      # (vec_id, rg, row)
+    for rg in range(pf.metadata.num_row_groups):
+        ids = pf.read_row_group(rg, columns=["vec_id"])["vec_id"] \
+            .to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:n_queries]
+        cand.extend((int(ids[r]), rg, int(r)) for r in take)
+    cand.sort()
+    cand = cand[:n_queries]
+    by_rg: dict[int, list[tuple[int, int]]] = {}
+    for vid, rg, row in cand:
+        by_rg.setdefault(rg, []).append((row, vid))
+    out = {}
+    for rg, rows in by_rg.items():
+        t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+        for row, vid in rows:
+            out[vid] = np.asarray(t["embedding"][row].as_py(),
+                                  dtype=np.float64)
+    qids = sorted(out)
+    return (np.asarray(qids, dtype=np.int64),
+            np.stack([out[v] for v in qids]))
+
+
+class MultiCosineScorer:
+    """Batch transform: cosine of every row against a broadcast QUERY
+    MATRIX (one n×dim · dim×Q matmul per batch — the batched-inference
+    shape), emitting only per-query batch-local top-k partials.  The
+    per-query op sequence matches :class:`CosineScorer` exactly."""
+
+    def __init__(self, qids, qmat, k: int):
+        self.qids = np.asarray(qids, dtype=np.int64)
+        Q = np.asarray(qmat, dtype=np.float64)
+        self.Qt = (Q / np.linalg.norm(Q, axis=1)[:, None]).T
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        norms = np.linalg.norm(M, axis=1)
+        S = (M @ self.Qt) / np.where(norms == 0, 1.0, norms)[:, None]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        qcol, vcol, scol = [], [], []
+        for j in range(S.shape[1]):
+            s = S[:, j]
+            keep = (np.argpartition(-s, self.k)[:self.k]
+                    if len(s) > self.k else np.arange(len(s)))
+            qcol.append(np.full(len(keep), self.qids[j], np.int64))
+            vcol.append(ids[keep])
+            scol.append(s[keep])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qcol)),
+            "vec_id": pa.array(np.concatenate(vcol), pa.int64()),
+            "cosine_sim": pa.array(np.concatenate(scol), pa.float64())})
+
+
+def multi_topk_cosine(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """Per-query top-k for a batch of ``n_queries`` queries in ONE corpus
+    pass: the query matrix is broadcast, each batch does a single matmul
+    and emits k×Q partial rows, the final per-query top-k runs over the
+    ≤ k×Q×blocks survivors (never the corpus)."""
+    qids, qmat = query_matrix(sf_dir, n_queries)
+
+    def final(g: pa.Table) -> pa.Table:
+        s = g["cosine_sim"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, -s))[:k]
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cosine_sim": pa.array(round_away(s[order], 5))})
+
+    return _read_emb(sf_dir) \
+        .map_batches(MultiCosineScorer,
+                     fn_constructor_args=(qids.tolist(),
+                                          qmat.tolist(), k),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .groupby("query_id") \
+        .map_groups(final, batch_format="pyarrow")
+
+
+def multi_topk_sql(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+s AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE),
+               list_transform(q.qe, x -> x::DOUBLE)) AS sim
+    FROM embeddings e, q
+),
+r AS (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id DESC) AS rank
+    FROM s
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       round(sim, 5) AS cosine_sim
+FROM r WHERE rank <= {k}
+"""

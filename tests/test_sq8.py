@@ -39,3 +39,17 @@ def test_recall_vs_float_dot(ray_session):
     top = set(ids[np.argsort(-dots)[:10]].tolist())
     overlap = len(top & set(got["vec_id"].tolist()))
     assert overlap >= 7, f"SQ8 top-10 recall {overlap}/10 vs float dot"
+
+
+def test_multi_query_consistent_with_single(ray_session):
+    """The multi-query operator's result for the smallest vec_id must
+    equal the single-query brute-force top-k (same tie-break)."""
+    from nrt_ray.pipelines.similarity import multi_topk_cosine, topk_cosine
+    single = topk_cosine(SF, k=5).to_pandas()
+    multi = multi_topk_cosine(SF, n_queries=4, k=5).to_pandas()
+    qid = multi["query_id"].min()
+    mine = multi[multi["query_id"] == qid].sort_values("rank")
+    assert list(mine["vec_id"]) == list(single["vec_id"])
+    assert list(mine["cosine_sim"]) == list(single["cosine_sim"])
+    # every query returns exactly k ranked rows
+    assert (multi.groupby("query_id").size() == 5).all()
