@@ -171,6 +171,7 @@ def queries() -> dict:
         "bpe_train_merges_docs": bp.bpe_train_merges_docs,
         "sq8_topk_dot": sim.sq8_topk_dot,
         "multi_topk_cosine": sim.multi_topk_cosine,
+        "pq_topk_adc": sim.pq_topk_adc,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1684,6 +1685,8 @@ def oracle_sql() -> dict:
         "sq8_topk_dot": sim.sq8_topk_sql(),
         # batched multi-query ANN: one matmul per batch, Q queries
         "multi_topk_cosine": sim.multi_topk_sql(),
+        # PQ/ADC: per-subspace k-means unrolled, codes + distance table
+        "pq_topk_adc": sk.pq_topk_sql(),
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

@@ -841,3 +841,101 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
        round(sim, 5) AS cosine_sim
 FROM r WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(sf_dir: str, n_sub: int = 8, ksub: int = 16,
+                 sample_size: int = 256, iters: int = 2) -> np.ndarray:
+    """PQ codebooks (Jégou et al. 2011): the embedding space is split
+    into ``n_sub`` contiguous subspaces and an independent L2 k-means
+    codebook of ``ksub`` centroids is trained per subspace on the fixed
+    prefix sample (the :func:`ivf_centroids` recipe: pruned filtered
+    read, ``iters`` Lloyd rounds, init = the first ``ksub`` sample rows,
+    assignment ties to the lowest centroid index, empty clusters keep
+    their previous centroid).  Returns ``(n_sub, ksub, dsub)``."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", sample_size)])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    col = t["embedding"].combine_chunks()
+    X = col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(len(col), -1).astype(np.float64)[order]
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    C = np.empty((n_sub, ksub, dsub))
+    for s in range(n_sub):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        c = Xs[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)        # ties -> lowest index
+            for j in range(ksub):
+                m = a == j
+                if m.any():
+                    c[j] = Xs[m].mean(axis=0)
+        C[s] = c
+    return C
+
+
+class PqScorer:
+    """Fused PQ encode + ADC scoring: per batch, each vector's subspace
+    codes are the argmin-L2² centroids (one (n×1×dsub − ksub×dsub)²
+    reduction per subspace), the approximate distance is the sum of the
+    query's precomputed per-subspace distance-table entries, accumulated
+    in subspace order (deterministic float op sequence on both engines);
+    batch-local top-k partials only (smallest approx distance)."""
+
+    def __init__(self, codebooks, query, k: int):
+        self.C = np.asarray(codebooks, dtype=np.float64)
+        n_sub, ksub, dsub = self.C.shape
+        q = np.asarray(query, dtype=np.float64).reshape(n_sub, dsub)
+        # ADC table: dt[s, j] = ||q_s − c_sj||²
+        self.dt = ((q[:, None, :] - self.C) ** 2).sum(-1)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch)
+        n_sub, ksub, dsub = self.C.shape
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        approx = np.zeros(len(M))
+        for s in range(n_sub):
+            Ms = M[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Ms[:, None, :] - self.C[s][None, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=1)
+            approx = approx + self.dt[s][codes]
+        if len(approx) > self.k:
+            keep = np.argpartition(approx, self.k)[:self.k]
+            ids, approx = ids[keep], approx[keep]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "pq_dist": pa.array(approx, pa.float64())})
+
+
+def pq_topk_adc(sf_dir: str, k: int = 10, n_sub: int = 8,
+                ksub: int = 16, sample_size: int = 256, iters: int = 2):
+    """PQ/ADC approximate nearest neighbours: 4-bit-per-subspace codes
+    (64 float32 dims → 8 nibbles = 64× smaller) scored against the
+    query's distance table without reconstructing any vector — THE
+    classic memory-scale ANN compression.  Codebooks are trained once on
+    a prefix sample and broadcast; the corpus streams through one fused
+    encode+score stage.  Deterministic tie-break (pq_dist ASC, vec_id
+    ASC)."""
+    C = pq_codebooks(sf_dir, n_sub, ksub, sample_size, iters)
+    return _read_emb(sf_dir) \
+        .map_batches(PqScorer,
+                     fn_constructor_args=(C.tolist(),
+                                          query_vector(sf_dir).tolist(),
+                                          k),
+                     batch_format="pyarrow", concurrency=pool_size()) \
+        .sort(["pq_dist", "vec_id"], descending=[False, False]) \
+        .limit(k) \
+        .map_batches(lambda t: pa.table({
+            "vec_id": t["vec_id"],
+            "pq_dist": pa.array(round_away(t["pq_dist"], 5))}),
+            batch_format="pyarrow")

@@ -1059,3 +1059,99 @@ FROM pr{iters}
 ORDER BY s DESC, v
 LIMIT {top_k}
 """)
+
+
+def pq_topk_sql(k: int = 10, n_sub: int = 8, ksub: int = 16,
+                sample_size: int = 256, iters: int = 2) -> str:
+    """PQ/ADC top-k replayed relationally
+    (:func:`nrt_ray.pipelines.similarity.pq_topk_adc`): embeddings
+    exploded to (vec_id, sub, i, val) rows, one L2 k-means per subspace
+    unrolled as CTE stages (shared CTEs — the subspace id is part of the
+    cluster key), codes = argmin-L2² with ties to the lowest index, the
+    query's distance table joined through the codes, and the total
+    accumulated in explicit subspace order (left-associated ``+``, the
+    engine's op sequence)."""
+    dsub = EMB_DIM // n_sub
+    parts = [f"""
+WITH ev AS (
+    SELECT vec_id, unnest(generate_series(1, {EMB_DIM})) AS i,
+           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+    FROM embeddings
+),
+evs AS MATERIALIZED (
+    SELECT vec_id, CAST((i - 1) // {dsub} AS BIGINT) AS sub, i, val
+    FROM ev
+),
+smp AS MATERIALIZED (
+    SELECT vec_id, sub, i, val,
+           dense_rank() OVER (ORDER BY vec_id) - 1 AS r
+    FROM evs WHERE vec_id < {sample_size}
+),
+c0 AS MATERIALIZED (
+    SELECT sub, r AS j, i, val AS cv FROM smp WHERE r < {ksub}
+)"""]
+    for t in range(1, int(iters) + 1):
+        p = f"c{t - 1}"
+        parts.append(f""",
+d{t} AS (
+    SELECT s.r, s.sub, c.j,
+           sum((s.val - c.cv) * (s.val - c.cv)) AS d2
+    FROM smp s JOIN {p} c ON s.sub = c.sub AND s.i = c.i
+    GROUP BY s.r, s.sub, c.j
+),
+a{t} AS (
+    SELECT r, sub, j AS cl FROM d{t}
+    QUALIFY row_number() OVER (PARTITION BY r, sub
+                               ORDER BY d2 ASC, j ASC) = 1
+),
+m{t} AS (
+    SELECT a.sub, a.cl AS j, s.i, avg(s.val) AS mv
+    FROM smp s JOIN a{t} a ON s.r = a.r AND s.sub = a.sub
+    GROUP BY a.sub, a.cl, s.i
+),
+c{t} AS MATERIALIZED (
+    SELECT p.sub, p.j, p.i,
+           CASE WHEN m.mv IS NOT NULL THEN m.mv ELSE p.cv END AS cv
+    FROM {p} p
+    LEFT JOIN m{t} m ON m.sub = p.sub AND m.j = p.j AND m.i = p.i
+)""")
+    cf = f"c{int(iters)}"
+    pivots = ",\n           ".join(
+        f"max(CASE WHEN sub = {s} THEN d2 END) AS t{s}"
+        for s in range(n_sub))
+    chain = "t0"
+    for s in range(1, n_sub):
+        chain = f"({chain} + t{s})"
+    parts.append(f""",
+dv AS (
+    SELECT e.vec_id, e.sub, c.j,
+           sum((e.val - c.cv) * (e.val - c.cv)) AS d2
+    FROM evs e JOIN {cf} c ON e.sub = c.sub AND e.i = c.i
+    GROUP BY e.vec_id, e.sub, c.j
+),
+cod AS (
+    SELECT vec_id, sub, j FROM dv
+    QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                               ORDER BY d2 ASC, j ASC) = 1
+),
+q AS (SELECT min(vec_id) AS qid FROM embeddings),
+qd AS (
+    SELECT c.sub, c.j, sum((e.val - c.cv) * (e.val - c.cv)) AS d2
+    FROM evs e JOIN q ON e.vec_id = q.qid
+    JOIN {cf} c ON e.sub = c.sub AND e.i = c.i
+    GROUP BY c.sub, c.j
+),
+ad AS (
+    SELECT cod.vec_id, cod.sub, qd.d2
+    FROM cod JOIN qd ON cod.sub = qd.sub AND cod.j = qd.j
+),
+pv AS (
+    SELECT vec_id,
+           {pivots}
+    FROM ad GROUP BY vec_id
+),
+fin AS (SELECT vec_id, {chain} AS pd FROM pv)
+SELECT vec_id, round(pd, 5) AS pq_dist
+FROM fin ORDER BY pd ASC, vec_id ASC LIMIT {k}
+""")
+    return "".join(parts)
