@@ -169,6 +169,8 @@ BENCH_QUERIES = (
     "video_avi_frame_stats",
     "bpe_encode_stats_docs",
     "sq8_topk_dot",
+    "pq_topk_adc",
+    "multi_topk_cosine",
     "funnel_conversion_events",
     "attribution_events",
 )
