@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import partial
 
 from nrt_ray.pipelines import bpe as bp
+from nrt_ray.pipelines import classify as clf
 from nrt_ray.pipelines import curate as cu
 from nrt_ray.pipelines import features as ft
 from nrt_ray.pipelines import invindex as ivx
@@ -172,6 +173,7 @@ def queries() -> dict:
         "sq8_topk_dot": sim.sq8_topk_dot,
         "multi_topk_cosine": sim.multi_topk_cosine,
         "pq_topk_adc": sim.pq_topk_adc,
+        "nb_classify_docs": clf.nb_classify_docs,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1687,6 +1689,8 @@ def oracle_sql() -> dict:
         "multi_topk_cosine": sim.multi_topk_sql(),
         # PQ/ADC: per-subspace k-means unrolled, codes + distance table
         "pq_topk_adc": sk.pq_topk_sql(),
+        # Naive Bayes doc classifier: fixed-point integer scores
+        "nb_classify_docs": clf.NB_CLASSIFY_SQL,
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

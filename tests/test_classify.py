@@ -1,0 +1,46 @@
+"""Planted-fixture tests for the Naive Bayes document classifier."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_nb_separable_corpus(ray_session, tmp_path):
+    from nrt_ray.pipelines.classify import nb_classify_docs
+    rows = [
+        (1, "der hund lauft schnell der der", "de"),
+        (2, "der die das hund katze", "de"),
+        (3, "the dog runs fast the the", "en"),
+        (4, "the a of dog cat", "en"),
+        (5, "le chien court vite le le", "fr"),
+        (6, "le la de chien chat", "fr"),
+    ]
+    out = nb_classify_docs(_write_docs(tmp_path, rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["pred_lang"]) == ["de", "de", "en", "en", "fr", "fr"]
+    assert out["is_correct"].sum() == 6
+    assert (out["score"] < 0).all()          # log-probs are negative
+
+
+def test_nb_prior_tiebreak(ray_session, tmp_path):
+    from nrt_ray.pipelines.classify import nb_classify_docs
+    # two langs with IDENTICAL token stats -> scores tie exactly ->
+    # the lexicographically smallest lang wins on both engines
+    rows = [
+        (1, "x y z", "aa"),
+        (2, "x y z", "bb"),
+    ]
+    out = nb_classify_docs(_write_docs(tmp_path, rows)).to_pandas()
+    assert set(out["pred_lang"]) == {"aa"}
