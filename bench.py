@@ -171,6 +171,7 @@ BENCH_QUERIES = (
     "sq8_topk_dot",
     "pq_topk_adc",
     "multi_topk_cosine",
+    "nb_classify_docs",
     "funnel_conversion_events",
     "attribution_events",
 )
