@@ -174,6 +174,7 @@ def queries() -> dict:
         "multi_topk_cosine": sim.multi_topk_cosine,
         "pq_topk_adc": sim.pq_topk_adc,
         "nb_classify_docs": clf.nb_classify_docs,
+        "source_overlap_matrix": tx.source_overlap_matrix,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1691,6 +1692,8 @@ def oracle_sql() -> dict:
         "pq_topk_adc": sk.pq_topk_sql(),
         # Naive Bayes doc classifier: fixed-point integer scores
         "nb_classify_docs": clf.NB_CLASSIFY_SQL,
+        # source overlap matrix: shingle source-bitmask histogram
+        "source_overlap_matrix": sk.source_overlap_sql(),
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

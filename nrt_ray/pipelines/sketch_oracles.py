@@ -1155,3 +1155,47 @@ SELECT vec_id, round(pd, 5) AS pq_dist
 FROM fin ORDER BY pd ASC, vec_id ASC LIMIT {k}
 """)
     return "".join(parts)
+
+
+def source_overlap_sql() -> str:
+    """Pairwise source shingle-overlap matrix
+    (:func:`nrt_ray.pipelines.textops.source_overlap_matrix`): the same
+    distinct per-doc shingle sets, reduced to one source bitmask per
+    shingle (sources numbered in lexicographic order), the mask
+    histogram folded into per-pair intersection/union counts."""
+    return ("WITH " + _shingle_ctes() + """,
+srcs AS (
+    SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS si
+    FROM (SELECT DISTINCT source FROM documents)
+),
+sb AS (
+    SELECT DISTINCT sh.s, d.source
+    FROM shingles sh JOIN documents d USING (doc_id)
+),
+sm AS (
+    SELECT sb.s,
+           CAST(bit_or(1::BIGINT << srcs.si) AS BIGINT) AS mask
+    FROM sb JOIN srcs USING (source) GROUP BY sb.s
+),
+mh AS (SELECT mask, count(*) AS n FROM sm GROUP BY mask),
+pairs AS (
+    SELECT a.source AS src_a, a.si AS ia, b.source AS src_b, b.si AS ib
+    FROM srcs a JOIN srcs b ON a.si < b.si
+)
+SELECT p.src_a, p.src_b,
+       CAST(coalesce(sum(CASE WHEN ((mh.mask >> p.ia) & 1) = 1
+                               AND ((mh.mask >> p.ib) & 1) = 1
+                          THEN mh.n END), 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(sum(CASE WHEN ((mh.mask >> p.ia) & 1) = 1
+                                OR ((mh.mask >> p.ib) & 1) = 1
+                          THEN mh.n END), 0) AS BIGINT) AS n_union,
+       round(coalesce(sum(CASE WHEN ((mh.mask >> p.ia) & 1) = 1
+                               AND ((mh.mask >> p.ib) & 1) = 1
+                          THEN mh.n END), 0)
+             / CAST(greatest(coalesce(sum(CASE
+                    WHEN ((mh.mask >> p.ia) & 1) = 1
+                      OR ((mh.mask >> p.ib) & 1) = 1
+                    THEN mh.n END), 0), 1) AS DOUBLE), 6) AS jaccard
+FROM pairs p CROSS JOIN mh
+GROUP BY p.src_a, p.src_b, p.ia, p.ib
+""")

@@ -3627,3 +3627,100 @@ SELECT source, any_value(n_s) AS n_tokens,
        round(sum(v), 6) AS jsd
 FROM term GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (data-mix audit)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(sf_dir: str):
+    """Pairwise shingle-set overlap between SOURCES — the data-mix audit
+    that tells you which corpora in a blend duplicate each other (shared
+    boilerplate, mirrored sites, common crawls).
+
+    Per distinct shingle the engine keeps only a SOURCE BITMASK (one bit
+    per source, sources numbered in lexicographic order on both
+    engines), so the reduced state is a mask histogram bounded by
+    2^n_sources rows — independent of corpus size.  One shingle-keyed
+    exchange ORs the bits; every pair's |A∩B| / |A∪B| then reads off the
+    histogram on the driver (n_sources² work over ≤ 2^n_sources rows).
+    Exact integers; Jaccard emitted at round-6.
+    """
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    nparts = max(2, pool_size())
+
+    import pyarrow.parquet as _pq
+    srcs = sorted(set(_pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["source"])["source"].to_pylist()))
+    si = {s: i for i, s in enumerate(srcs)}
+    S = len(srcs)
+    if S > 62:
+        raise ValueError("source bitmask needs S <= 62 sources; shard "
+                         "the mask column for wider blends")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        flat, counts = _token_hash_segments(texts)
+        sets = _shingle_hashes(flat, counts)
+        bits = np.asarray([1 << si[s]
+                           for s in batch["source"].to_pylist()],
+                          dtype=np.int64)
+        sh = np.concatenate(sets) if sets else np.array([], np.uint64)
+        bb = np.repeat(bits, [len(x) for x in sets])
+        uk, inv = np.unique(sh, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.bitwise_or.at(acc, inv, bb)
+        return pa.table({
+            "shingle": pa.array(uk.astype(np.int64)),
+            "mask": pa.array(acc),
+            "pid": pa.array((uk % np.uint64(nparts)).astype(np.int64)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        sh = tbl["shingle"].to_numpy(zero_copy_only=False)
+        mk = tbl["mask"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sh, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.bitwise_or.at(acc, inv, mk)
+        um, cnt = np.unique(acc, return_counts=True)
+        return pa.table({"mask": pa.array(um),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def empty() -> pa.Table:
+        return pa.table({"mask": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    hist = exchange_dataset(ds, nparts, fold, empty).to_pandas()
+    # driver state: the mask histogram, ≤ 2^S rows by construction
+    agg: dict = {}
+    for m, n in zip(hist["mask"], hist["n"]):
+        agg[int(m)] = agg.get(int(m), 0) + int(n)
+    masks = np.asarray(list(agg.keys()), np.int64)
+    ns = np.asarray(list(agg.values()), np.int64)
+    src_a, src_b, inter, uni = [], [], [], []
+    for i in range(S):
+        for j in range(i + 1, S):
+            ai = (masks >> i) & 1
+            bj = (masks >> j) & 1
+            inter.append(int(ns[(ai & bj) == 1].sum()))
+            uni.append(int(ns[(ai | bj) == 1].sum()))
+            src_a.append(srcs[i])
+            src_b.append(srcs[j])
+    inter_a = np.asarray(inter, np.int64)
+    uni_a = np.asarray(uni, np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = np.where(uni_a > 0,
+                       round_away(inter_a / np.maximum(uni_a, 1), 6),
+                       0.0)
+    return pa.table({
+        "src_a": pa.array(src_a, pa.string()),
+        "src_b": pa.array(src_b, pa.string()),
+        "n_shared": pa.array(inter_a),
+        "n_union": pa.array(uni_a),
+        "jaccard": pa.array(jac, pa.float64()),
+    })

@@ -44,3 +44,36 @@ def test_nb_prior_tiebreak(ray_session, tmp_path):
     ]
     out = nb_classify_docs(_write_docs(tmp_path, rows)).to_pandas()
     assert set(out["pred_lang"]) == {"aa"}
+
+
+def _write_src_docs(tmp_path, rows):
+    """rows: (doc_id, text, source)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """Docs of ≥5 tokens so each k=5 shingle is one known window: A and
+    B share exactly one of their two shingles; C shares nothing."""
+    from nrt_ray.pipelines.textops import source_overlap_matrix
+    rows = [
+        (1, "a b c d e", "A"),          # shingle S1
+        (2, "v w x y z", "A"),          # shingle S2
+        (3, "a b c d e", "B"),          # S1 again
+        (4, "p q r s t", "B"),          # shingle S3
+        (5, "k l m n o", "C"),          # shingle S4
+    ]
+    out = source_overlap_matrix(_write_src_docs(tmp_path, rows)) \
+        .to_pandas().set_index(["src_a", "src_b"])
+    ab = out.loc[("A", "B")]
+    assert (ab["n_shared"], ab["n_union"]) == (1, 3)
+    assert abs(ab["jaccard"] - 0.333333) < 1e-9
+    ac = out.loc[("A", "C")]
+    assert (ac["n_shared"], ac["n_union"]) == (0, 3)
+    assert ac["jaccard"] == 0.0
