@@ -175,6 +175,7 @@ def queries() -> dict:
         "pq_topk_adc": sim.pq_topk_adc,
         "nb_classify_docs": clf.nb_classify_docs,
         "source_overlap_matrix": tx.source_overlap_matrix,
+        "mix_sources_docs": tx.mix_sources_docs,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
         "state_durations_events": tsq.state_durations_events,
         "attribution_events": tsq.attribution_events,
@@ -1694,6 +1695,8 @@ def oracle_sql() -> dict:
         "nb_classify_docs": clf.NB_CLASSIFY_SQL,
         # source overlap matrix: shingle source-bitmask histogram
         "source_overlap_matrix": sk.source_overlap_sql(),
+        # weighted corpus blending: largest-remainder quotas + md5 rank
+        "mix_sources_docs": tx.mix_sources_sql(),
         # BPE tokenizer training: R merge rounds unrolled as CTEs
         # over delimiter-wrapped symbol strings (replace == BPE rule)
         "bpe_train_merges_docs": bp.bpe_train_sql(),

@@ -3724,3 +3724,110 @@ def source_overlap_matrix(sf_dir: str):
         "n_union": pa.array(uni_a),
         "jaccard": pa.array(jac, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Weighted data-mix sampler (corpus blending)
+# ---------------------------------------------------------------------------
+
+def _mix_weight(source: str) -> int:
+    """Demo mix weight: 1 + (numeric source suffix mod 3) — any
+    SQL-expressible weighting works; real blends pass a weight table."""
+    return 1 + int(source[3:]) % 3
+
+
+def mix_sources_docs(sf_dir: str, n_out: int = 120):
+    """Deterministic weighted corpus blending: target per-source quotas
+    from integer largest-remainder apportionment of ``n_out`` over the
+    mix weights, then per source the quota docs with the smallest
+    (md5(doc_id), doc_id) keys — the :func:`sample_stratified` hash-rank
+    convention, so re-running always builds the same mix and no RNG
+    state ships anywhere.  Undersized sources keep what they have (no
+    redistribution, both engines).
+
+    Scale shape: per-batch partial top-quota per source (survivors ≤
+    Σ quotas per batch), one tiny final merge; quotas are integer-exact
+    ((n_out·w) // W and mod-W remainders, ties by source name), so both
+    engines apportion identically.
+    """
+    import pyarrow.parquet as _pq
+    srcs = sorted(set(_pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["source"])["source"].to_pylist()))
+    w = {s: _mix_weight(s) for s in srcs}
+    W = sum(w.values())
+    base = {s: (n_out * w[s]) // W for s in srcs}
+    rem = {s: (n_out * w[s]) % W for s in srcs}
+    leftover = n_out - sum(base.values())
+    for s in sorted(srcs, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    quota = base
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        keys = np.array([hashlib.md5(str(d).encode()).hexdigest()
+                         for d in ids], dtype=object)
+        keep = np.zeros(len(ids), dtype=bool)
+        for s in np.unique(src):
+            m = np.flatnonzero(src == s)
+            order = np.lexsort((ids[m], keys[m]))[:quota.get(s, 0)]
+            keep[m[order]] = True
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "source": pa.array(src[keep], pa.string()),
+            "sample_key": pa.array(keys[keep], pa.string())})
+
+    surv = _read_docs(sf_dir, columns=("doc_id", "source")) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    ids = surv["doc_id"].to_numpy()
+    src = surv["source"].to_numpy(dtype=object)
+    keys = surv["sample_key"].to_numpy(dtype=object)
+    keep = np.zeros(len(ids), dtype=bool)
+    rank = np.zeros(len(ids), dtype=np.int64)
+    for s in np.unique(src):
+        m = np.flatnonzero(src == s)
+        order = np.lexsort((ids[m], keys[m]))[:quota.get(s, 0)]
+        keep[m[order]] = True
+        rank[m[order]] = np.arange(1, len(order) + 1)
+    sel = np.flatnonzero(keep)
+    return pa.table({
+        "doc_id": pa.array(ids[sel], pa.int64()),
+        "source": pa.array(src[sel], pa.string()),
+        "mix_rank": pa.array(rank[sel]),
+    })
+
+
+def mix_sources_sql(n_out: int = 120) -> str:
+    return f"""
+WITH srcs AS (
+    SELECT source,
+           1 + CAST(substr(source, 4) AS BIGINT) % 3 AS w
+    FROM (SELECT DISTINCT source FROM documents)
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM srcs),
+ap AS (
+    SELECT source, ({n_out} * w) // tot.wt AS base,
+           ({n_out} * w) % tot.wt AS rem
+    FROM srcs, tot
+),
+lo AS (SELECT {n_out} - CAST(sum(base) AS BIGINT) AS l FROM ap),
+q AS (
+    SELECT source,
+           CAST(base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, source ASC) <= lo.l
+                THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ap, lo
+),
+r AS (
+    SELECT d.doc_id, d.source,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                       d.doc_id) AS rn
+    FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS mix_rank
+FROM r JOIN q ON q.source = r.source
+WHERE r.rn <= q.quota
+"""

@@ -77,3 +77,36 @@ def test_source_overlap_planted(ray_session, tmp_path):
     ac = out.loc[("A", "C")]
     assert (ac["n_shared"], ac["n_union"]) == (0, 3)
     assert ac["jaccard"] == 0.0
+
+
+def test_mix_sources_quotas(ray_session, tmp_path):
+    """Largest-remainder apportionment: weights w(srcN)=1+(N%3) →
+    src0:1, src1:2, src2:3 (W=6).  n_out=7 → exact bases 7/6, 14/6,
+    21/6 = 1,2,3 with remainders 1,2,3 → leftover 1 goes to src2."""
+    from nrt_ray.pipelines.textops import mix_sources_docs
+    rows = []
+    did = 0
+    for s, n in (("src0", 5), ("src1", 5), ("src2", 5)):
+        for _ in range(n):
+            rows.append((did, f"doc {did} text", s))
+            did += 1
+    out = mix_sources_docs(_write_src_docs(tmp_path, rows), n_out=7) \
+        .to_pandas()
+    per = out.groupby("source").size().to_dict()
+    assert per == {"src0": 1, "src1": 2, "src2": 4}
+    assert len(out) == 7
+    # determinism: re-running builds the identical mix
+    out2 = mix_sources_docs(_write_src_docs(tmp_path, rows), n_out=7) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_mix_sources_undersized_source(ray_session, tmp_path):
+    from nrt_ray.pipelines.textops import mix_sources_docs
+    # src2 (weight 3) has only 1 doc -> keeps 1, no redistribution
+    rows = [(1, "a", "src0"), (2, "b", "src0"), (3, "c", "src0"),
+            (4, "d", "src1"), (5, "e", "src1"), (6, "f", "src2")]
+    out = mix_sources_docs(_write_src_docs(tmp_path, rows), n_out=6) \
+        .to_pandas()
+    per = out.groupby("source").size().to_dict()
+    assert per["src2"] == 1
