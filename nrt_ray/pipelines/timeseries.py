@@ -2169,7 +2169,7 @@ def daily_active_users_hll(sf_dir: str):
         dends = np.r_[dstarts[1:], len(mday)]
         days_out, nz_out, est_out = [], [], []
         for a, b in zip(dstarts, dends):
-            n_zero = DHLL_M - (b - a)
+            n_zero = DHLL_M - int(b - a)
             # exact integer register sum (exceeds int64 — python ints,
             # O(registers of one day), same as the global sketch)
             s = sum(1 << int(DHLL_REM_BITS + 1 - r) for r in mrho[a:b]) \
