@@ -107,6 +107,15 @@ def train_bpe_merges(sf_dir: str, num_merges: int = DEFAULT_MERGES,
 
     def to_syms(batch: pa.Table) -> pa.Table:
         words = batch["word"].to_pylist()
+        # the delimiter trick (\x01/\x02 in oracle strings, \x1f in
+        # pair keys) requires token chars >= 0x20; whitespace
+        # tokenization removes \x09-\x0d and \x20 but not \x01-\x08 —
+        # fail loudly rather than corrupt keys (vocab-scale check)
+        for w in words:
+            if w and min(w) < " ":
+                raise ValueError(
+                    f"control character in token {w!r}: BPE delimiter "
+                    "encoding requires codepoints >= 0x20")
         return pa.table({
             "word": batch["word"], "n": batch["n"],
             "syms": pa.array([list(w) for w in words],
@@ -138,15 +147,22 @@ def train_bpe_merges(sf_dir: str, num_merges: int = DEFAULT_MERGES,
                 return batch
             pairs = np.asarray(batch["pair"].to_pylist(), dtype=object)
             n = batch["n"].to_numpy(zero_copy_only=False)
+            # tie-break on the (l, r) TUPLE (= oracle's lsym, rsym
+            # ASC), not the joined 'l\x1fr' string — they differ when
+            # a symbol contains a codepoint below 0x1f (guarded above,
+            # but the comparison should not depend on the delimiter)
             best = min(range(len(pairs)),
-                       key=lambda i: (-n[i], pairs[i]))
+                       key=lambda i: (-n[i],
+                                      tuple(pairs[i].split("\x1f", 1))))
             return batch.take(pa.array([best]))
 
         cands = summed.map_batches(block_top1,
                                    batch_format="pyarrow").to_pandas()
         if not len(cands):
             break
-        cands = cands.sort_values(["n", "pair"],
+        cands["_lr"] = cands["pair"].map(
+            lambda p: tuple(p.split("\x1f", 1)))
+        cands = cands.sort_values(["n", "_lr"],
                                   ascending=[False, True])
         pair, cnt = cands.iloc[0]["pair"], int(cands.iloc[0]["n"])
         if cnt < 2:
@@ -261,14 +277,16 @@ p{k} AS (
 ),
 m{k} AS (
     SELECT lsym, rsym, cnt FROM p{k}
+    WHERE cnt >= 2
     ORDER BY cnt DESC, lsym ASC, rsym ASC LIMIT 1
 ),
 w{k} AS (
     SELECT word, n,
-           replace(s, chr(1) || m.lsym || chr(2) || chr(1) || m.rsym
-                      || chr(2),
-                   chr(1) || m.lsym || m.rsym || chr(2)) AS s
-    FROM w{k - 1}, m{k} AS m
+           coalesce(replace(s, chr(1) || m.lsym || chr(2) || chr(1)
+                               || m.rsym || chr(2),
+                            chr(1) || m.lsym || m.rsym || chr(2)),
+                    s) AS s
+    FROM w{k - 1} LEFT JOIN m{k} AS m ON TRUE
 )"""
 
 
@@ -285,12 +303,18 @@ def bpe_train_sql(num_merges: int = DEFAULT_MERGES) -> str:
 def bpe_encode_sql(num_merges: int = DEFAULT_MERGES) -> str:
     rounds = "".join("," + _round_ctes(k)
                      for k in range(1, num_merges + 1))
-    reps = "s0"
-    for k in range(1, num_merges + 1):
-        reps = (f"replace({reps}, chr(1) || m{k}.lsym || chr(2) || chr(1)"
-                f" || m{k}.rsym || chr(2),"
-                f" chr(1) || m{k}.lsym || m{k}.rsym || chr(2))")
-    mjoin = "".join(f", m{k}" for k in range(1, num_merges + 1))
+    # one LEFT JOIN per round so an exhausted merge table (empty m{k}
+    # after the early-stop filter) passes documents through unchanged
+    # instead of cross-joining the corpus down to zero rows
+    enc_rounds = "".join(f""",
+e{k} AS (
+    SELECT doc_id, n_words, n_chars_ns,
+           coalesce(replace(e.s, chr(1) || m.lsym || chr(2) || chr(1)
+                               || m.rsym || chr(2),
+                            chr(1) || m.lsym || m.rsym || chr(2)),
+                    e.s) AS s
+    FROM e{k - 1} AS e LEFT JOIN m{k} AS m ON TRUE
+)""" for k in range(1, num_merges + 1))
     return f"""WITH {_WC_CTE}{rounds},
 e0 AS (
     SELECT doc_id,
@@ -298,15 +322,12 @@ e0 AS (
                 '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
            CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
            regexp_replace(text, '([^ ])',
-                          chr(1) || '\\1' || chr(2), 'g') AS s0
+                          chr(1) || '\\1' || chr(2), 'g') AS s
     FROM documents
-),
-enc AS (
-    SELECT doc_id, n_words, n_chars_ns, {reps} AS s FROM e0{mjoin}
-)
+){enc_rounds}
 SELECT doc_id, n_words,
        CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT)
            AS n_bpe_tokens,
        n_chars_ns
-FROM enc
+FROM e{num_merges}
 """

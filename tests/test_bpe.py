@@ -103,3 +103,51 @@ def test_min_count_stop(ray_session, tmp_path):
     sf = _write_docs(tmp_path, ["ab cd ef"])
     got = train_bpe_merges(sf, num_merges=4)
     assert got.num_rows == 0
+
+
+def _oracle(sf_dir, sql):
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    return con.sql(sql).df()
+
+
+def test_train_oracle_replays_early_stop(ray_session, tmp_path):
+    """Degenerate corpora where merges exhaust before num_merges: the
+    SQL oracle must emit exactly the engine's merge rows, not extra
+    count-1 merges (ADVICE r3: WHERE cnt >= 2 in m{k})."""
+    from nrt_ray.pipelines.bpe import bpe_train_sql, train_bpe_merges
+    for texts in (["ab cd ef"],                 # all pairs count 1
+                  ["a b c", "a b", "c"],        # no pairs at all
+                  ["aa aa", "bc"]):             # one merge then dry
+        sf = _write_docs(tmp_path, texts)
+        got = train_bpe_merges(sf, num_merges=4).to_pandas()
+        exp = _oracle(sf, bpe_train_sql(4))
+        assert got.values.tolist() == exp.values.tolist(), texts
+        assert list(got.columns) == list(exp.columns)
+
+
+def test_encode_oracle_survives_exhausted_merges(ray_session, tmp_path):
+    """When the merge table exhausts, the encode oracle must keep every
+    document (LEFT JOIN pass-through), matching the engine (ADVICE r3:
+    the old cross join collapsed enc to zero rows)."""
+    from nrt_ray.pipelines.bpe import bpe_encode_sql, bpe_encode_stats_docs
+    texts = ["aa aa", "bc", "a"]                # 1 real merge of 4 asked
+    sf = _write_docs(tmp_path, texts)
+    got = bpe_encode_stats_docs(sf, num_merges=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _oracle(sf, bpe_encode_sql(4)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(texts)
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_control_char_token_rejected(ray_session, tmp_path):
+    from nrt_ray.pipelines.bpe import train_bpe_merges
+    sf = _write_docs(tmp_path, ["ok ok", "bad\x01tok bad\x01tok"])
+    try:
+        train_bpe_merges(sf, num_merges=2)
+        raised = False
+    except Exception as e:
+        raised = "control character" in str(e)
+    assert raised
