@@ -35,9 +35,10 @@ def _read_docs(sf_dir: str):
 
 
 def train_nb(sf_dir: str, nparts: int | None = None):
-    """Train the NB model: returns (langs, vocab, K, priorK) where K is
-    a (V, L) int64 fixed-point log-likelihood matrix and priorK the
-    per-lang fixed-point log prior."""
+    """Train the NB model: returns (langs, vocab, K, priorK, unseenK)
+    where K is a (V, L) int64 fixed-point log-likelihood matrix,
+    priorK the per-lang fixed-point log prior, and unseenK the
+    per-lang smoothing mass for tokens outside the vocabulary."""
     from nrt_ray.pipelines.relational import pool_size
     from nrt_ray.stages.hashagg import keyed_sum
     if nparts is None:
@@ -87,7 +88,9 @@ def train_nb(sf_dir: str, nparts: int | None = None):
     dtot = int(dn.sum())
     priorK = np.floor(_SCALE * np.log(
         dn.loc[list(langs)].to_numpy() / dtot)).astype(np.int64)
-    return langs, vocab, K, priorK
+    unseenK = np.floor(_SCALE * np.log(1.0 / (tot + V))) \
+        .astype(np.int64)
+    return langs, vocab, K, priorK, unseenK
 
 
 class NbScorer:
@@ -95,11 +98,18 @@ class NbScorer:
     the broadcast fixed-point table, integer argmax with ties to the
     lexicographically smallest lang."""
 
-    def __init__(self, langs, vocab, K, priorK):
+    def __init__(self, langs, vocab, K, priorK, unseenK=None):
         self.langs = np.asarray(langs, dtype=object)
         self.vocab = np.asarray(vocab, dtype=object)
         self.K = np.asarray(K, dtype=np.int64)
         self.priorK = np.asarray(priorK, dtype=np.int64)
+        # smoothing row for tokens outside the training vocabulary
+        # (count 0): floor(1e6*ln(1/(tot_c+V))) per label — scoring a
+        # corpus other than the training one is then well-defined
+        # instead of a searchsorted mis-index
+        if unseenK is None:
+            unseenK = np.zeros(len(self.langs), np.int64)
+        self.unseenK = np.asarray(unseenK, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -113,8 +123,13 @@ class NbScorer:
         if flat:
             fa = np.asarray(flat, dtype=object)
             idx = np.searchsorted(self.vocab, fa)
+            idx_c = np.minimum(idx, len(self.vocab) - 1)
+            seen = (self.vocab[idx_c] == fa) if len(self.vocab) \
+                else np.zeros(len(fa), bool)
             doc_idx = np.repeat(np.arange(len(texts)), nper)
-            np.add.at(scores, doc_idx, self.K[idx])
+            rows = np.where(seen[:, None], self.K[idx_c],
+                            self.unseenK[None, :])
+            np.add.at(scores, doc_idx, rows)
         pred = np.argmax(scores, axis=1)     # first max = smallest lang
         plang = self.langs[pred]
         tlang = np.asarray(batch["lang"].to_pylist(), dtype=object)
@@ -136,11 +151,12 @@ def _pool() -> int:
 def nb_classify_docs(sf_dir: str):
     """Catalog entry: train on the corpus, classify every document,
     report the prediction, the exact integer score and correctness."""
-    langs, vocab, K, priorK = train_nb(sf_dir)
+    langs, vocab, K, priorK, unseenK = train_nb(sf_dir)
     return _read_docs(sf_dir).map_batches(
         NbScorer,
         fn_constructor_args=(langs.tolist(), vocab.tolist(),
-                             K.tolist(), priorK.tolist()),
+                             K.tolist(), priorK.tolist(),
+                             unseenK.tolist()),
         batch_format="pyarrow",
         concurrency=_pool())
 
@@ -155,9 +171,16 @@ tok2 AS (SELECT * FROM tok WHERE t <> ''),
 cnt AS (
     SELECT lang AS c, t, count(*) AS n FROM tok2 GROUP BY lang, t
 ),
-tot AS (SELECT c, CAST(sum(n) AS BIGINT) AS tc FROM cnt GROUP BY c),
-v AS (SELECT count(DISTINCT t) AS vsz FROM tok2),
 langs AS (SELECT DISTINCT lang AS c FROM documents),
+tot AS (
+    -- LEFT JOIN from langs so a label whose documents contain zero
+    -- tokens corpus-wide still gets tc = 0 (the engine computes a K
+    -- column floor(1e6*ln(1/V)) for it; an inner join would drop the
+    -- label from kt and score it prior-only)
+    SELECT l.c, CAST(coalesce(sum(cn.n), 0) AS BIGINT) AS tc
+    FROM langs l LEFT JOIN cnt cn ON cn.c = l.c GROUP BY l.c
+),
+v AS (SELECT count(DISTINCT t) AS vsz FROM tok2),
 vt AS (SELECT DISTINCT t FROM tok2),
 kt AS (
     SELECT l.c, vt.t,
