@@ -241,22 +241,54 @@ def ingest_webtext(input_path, verify_extract: bool = False,
                           batch_format="pyarrow")
 
 
-def detect_hot_urls(input_path, threshold: int,
-                    flat_dataset=None) -> set[str]:
+#: auto-salting heuristic knobs (``salt_threshold="auto"``): a url is
+#: hot when its row count reaches ALL of — ``AUTO_SALT_FACTOR`` × the
+#: mean rows/url (relative skew), ``AUTO_SALT_PART_FRAC`` × the mean
+#: partition share (the actual blow-a-partition failure mode), and the
+#: absolute floor ``AUTO_SALT_MIN_ROWS`` (small datasets never pay the
+#: merge phase).  Effective threshold = max of the three.
+AUTO_SALT_FACTOR = 8.0
+AUTO_SALT_PART_FRAC = 0.5
+AUTO_SALT_MIN_ROWS = 10_000
+
+
+def detect_hot_urls(input_path, threshold: int | None,
+                    flat_dataset=None,
+                    num_partitions: int | None = None) -> set[str]:
     """Cheap hot-key detection: per-url row counts from a url-column-only
     pruned read (no html/text leaves storage), partial per-batch counts →
-    one tiny groupby.  Returns urls with ≥ ``threshold`` rows.  At real
-    scale the hot set can also come from a prior run's lineage instead —
-    pass it straight to ``run_pipeline(hot_urls=...)``."""
+    one tiny groupby.  Returns urls with ≥ ``threshold`` rows; with
+    ``threshold=None`` the threshold is derived from the count
+    distribution itself (see the AUTO_SALT_* knobs).  At real scale the
+    hot set can also come from a prior run's lineage instead — pass it
+    straight to ``run_pipeline(hot_urls=...)``."""
+    from nrt_ray.stages.hashagg import keyed_sum
     ds = flat_dataset.select_columns(["url"]) if flat_dataset is not None \
         else ray.data.read_parquet(input_path, columns=["url"])
 
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by("url").aggregate([("url", "count")])
+        g = t.group_by("url").aggregate([("url", "count")])
+        return pa.table({"url": g.column("url"),
+                         "n": g.column("url_count").cast(pa.int64())})
 
-    from ray.data.aggregate import Sum
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("url").aggregate(Sum("url_count", alias_name="n"))
+    # large combine batches shrink the partial stream (distinct urls per
+    # BATCH, so bigger batches dedup more before the exchange); the
+    # counts table is url-cardinality sized, so a few exchange
+    # partitions suffice regardless of the main pipeline's P
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=262_144)
+    counts = keyed_sum(parts, "url", ["n"],
+                       max(2, min(64, num_partitions or 16))).materialize()
+
+    if threshold is None:
+        import math
+        total = int(counts.sum("n") or 0)
+        n_urls = max(counts.count(), 1)
+        threshold = max(
+            AUTO_SALT_MIN_ROWS,
+            math.ceil(AUTO_SALT_FACTOR * total / n_urls),
+            math.ceil(AUTO_SALT_PART_FRAC * total
+                      / max(num_partitions or 1, 1)))
 
     def over(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("n"),
@@ -360,7 +392,7 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                  run_id: str | None = None,
                  flat_dataset=None,
                  shuffle: str = "exchange",
-                 salt_threshold: int | None = None,
+                 salt_threshold: int | str | None = "auto",
                  hot_urls=None,
                  salt_slice_us: int = DEFAULT_SALT_SLICE_US,
                  reduce_num_cpus: float = 1.0,
@@ -376,7 +408,7 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         shuffle: 'exchange' (default — explicit two-phase hash exchange,
             see ``stages/exchange.py``) or 'sort' (Dataset-native
             ``groupby(pid).map_groups``; same results, slower shuffle).
-        salt_threshold: when set, urls with at least this many rows are
+        salt_threshold: urls with at least this many rows are
             salted by time slice (SURVEY §4): their rows spread over many
             partitions (no single melted reduce task), each partition
             assembles its slice, and a tiny merge phase concatenates the
@@ -384,7 +416,15 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
             results identical to the unsalted plan (bitwise for rollups /
             segments / codes; last-ulp float tolerance for fitted state,
             whose reductions run over differently-shaped padded batches).
-            Off by default (the detection pass costs one url-column scan).
+            Default ``"auto"``: the threshold is derived from the url
+            row-count distribution (AUTO_SALT_* knobs — skew factor,
+            partition-share fraction, absolute floor) so a skewed run
+            can't blow a partition because the operator forgot the flag.
+            Auto detection engages only for Parquet inputs, where the
+            url-column count pass is a cheap pruned read; WARC and
+            ``flat_dataset`` inputs would re-run extraction to count, so
+            they stay unsalted unless an integer threshold is passed.
+            ``None``/``0`` is the kill switch (no detection pass at all).
         hot_urls: explicit hot-url set (skips detection) — e.g. from a
             previous run's lineage.
         reduce_num_cpus: logical CPUs each fused fit/monitor/rollup
@@ -426,12 +466,21 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
                             .cast(pa.int64()).as_py())
 
     if hot_urls is None and salt_threshold:
-        hot_urls = detect_hot_urls(
-            input_path, salt_threshold,
-            # warc inputs have no cheap url-column re-read: count from
-            # the extracted flat dataset instead
-            flat_dataset=(ds if flat_dataset is None
-                          and is_warc_input(input_path) else flat_dataset))
+        if salt_threshold == "auto":
+            # default-on heuristic — only where counting is a cheap
+            # pruned parquet read (warc/flat inputs would pay a full
+            # extraction pass just to count; opt in explicitly there)
+            if flat_dataset is None and not is_warc_input(input_path):
+                hot_urls = detect_hot_urls(input_path, None,
+                                           num_partitions=num_partitions)
+        else:
+            hot_urls = detect_hot_urls(
+                input_path, salt_threshold,
+                # warc inputs have no cheap url-column re-read: count
+                # from the extracted flat dataset instead
+                flat_dataset=(ds if flat_dataset is None
+                              and is_warc_input(input_path)
+                              else flat_dataset))
     hot_urls = set(hot_urls or ())
 
     ds = ds.map_batches(

@@ -101,14 +101,15 @@ def test_salted_equals_unsalted(ray_session, skewed_webtext, tmp_path):
                 assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
 
 
-def test_salting_disabled_by_default_identical(ray_session, skewed_webtext,
-                                               tmp_path):
-    """threshold=None (default): no detection pass, no hot partitions."""
+def test_salting_kill_switch(ray_session, skewed_webtext, tmp_path):
+    """salt_threshold=None: no detection pass, no hot partitions —
+    even though the default 'auto' would salt this 39k-row url."""
     path, _ = skewed_webtext
     summary = mp.run_pipeline(path, str(tmp_path / "o"), strategy="EWMA",
                               monitor_params={"trend": False},
                               monitor_start="2021-01-01",
-                              num_partitions=4, tiers=TIERS)
+                              num_partitions=4, tiers=TIERS,
+                              salt_threshold=None)
     assert summary["partitions_processed"] <= 4
 
 
@@ -136,3 +137,57 @@ def test_increment_on_salted_run_raises(ray_session, skewed_webtext,
         inc.run_increment(out, mp.ingest_webtext(path))
     with pytest.raises(RuntimeError, match="salted"):
         ContinuousMonitor(out)
+
+
+def test_auto_salting_default_path(ray_session, skewed_webtext, tmp_path):
+    """salt_threshold='auto' (the default): the 39k-row hot url clears
+    every auto term (8x mean, half a partition share, the 10k floor)
+    and is detected with no explicit threshold; outputs equal the
+    unsalted plan (VERDICT r3 #4)."""
+    path, hot_rows = skewed_webtext
+    assert hot_rows > mp.AUTO_SALT_MIN_ROWS
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=6,
+                  tiers=TIERS)
+    mp.run_pipeline(path, str(tmp_path / "plain"), salt_threshold=None,
+                    **common)
+    summary = mp.run_pipeline(path, str(tmp_path / "auto"), **common)
+    assert summary["partitions_processed"] > common["num_partitions"] - 1
+    for name in ("state", "alerts", "rollup_1d", "rollup_1w", "segments"):
+        a = _read_all(str(tmp_path / "plain"), name)
+        b = _read_all(str(tmp_path / "auto"), name)
+        assert a.num_rows == b.num_rows, name
+        state_like = name in ("state", "alerts")
+        for col in a.column_names:
+            ca, cb = a.column(col), b.column(col)
+            if pa.types.is_floating(ca.type):
+                va = ca.to_numpy(zero_copy_only=False)
+                vb = cb.to_numpy(zero_copy_only=False)
+                if state_like:
+                    np.testing.assert_allclose(va, vb, rtol=1e-9,
+                                               atol=1e-12, equal_nan=True,
+                                               err_msg=f"{name}.{col}")
+                else:
+                    np.testing.assert_array_equal(
+                        va.view(np.uint64), vb.view(np.uint64),
+                        err_msg=f"{name}.{col}")
+            elif pa.types.is_list(ca.type) and state_like:
+                for x, y in zip(ca.to_pylist(), cb.to_pylist()):
+                    np.testing.assert_allclose(
+                        np.asarray(x, np.float64),
+                        np.asarray(y, np.float64), rtol=1e-9,
+                        atol=1e-12, equal_nan=True,
+                        err_msg=f"{name}.{col}")
+            else:
+                assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
+
+
+def test_auto_threshold_detection(ray_session, skewed_webtext):
+    """Auto threshold finds the skewed url; an unskewed input (the base
+    crawl, ~200 rows/url, under the 10k floor) yields an empty set."""
+    import os
+    path, hot_rows = skewed_webtext
+    assert mp.detect_hot_urls(path, None, num_partitions=6) \
+        == {"https://hot.example.com/live"}
+    base = os.path.join(os.path.dirname(path), "webtext.parquet")
+    assert mp.detect_hot_urls(base, None, num_partitions=6) == set()
