@@ -1859,12 +1859,14 @@ def segment_range_scan_events(sf_dir: str, t0_iso: str = "2024-01-10",
                                                batch_format="pyarrow")
 
 
-def weekly_from_daily_events(sf_dir: str):
-    """Continuous-aggregate COMPOSITION: the weekly rollup is composed
-    from daily-tier rows (recomputed in-batch here from the assembled
-    series — this query demonstrates the value-level tier algebra, not
-    an I/O rewrite against a persisted tier; the flagship pipeline's
-    stored 1d→1w tiers are where the O(daily buckets) read happens).
+def weekly_from_daily_events(sf_dir: str, tier_dir: str | None = None):
+    """Continuous-aggregate REWRITE, end to end: phase 1 rolls the
+    assembled series into a PERSISTED daily tier (partitioned Parquet of
+    integer-cent buckets, written distributed); phase 2 reads that tier
+    back from storage — never touching raw events again — and composes
+    the weekly rollup through one user-keyed hash exchange.  This is
+    the same tier algebra `retier` runs over the flagship pipeline's
+    stored tiers, exercised here against the correctness gate.
 
     Sum/count/min/max compose exactly across tiers when the summed
     quantity is an integer (cents), so the composition is provably
@@ -1874,10 +1876,20 @@ def weekly_from_daily_events(sf_dir: str):
     composed columns are integer cents + exact counts; the weekly mean
     is derivable as value_cents / n_obs / 100 by any consumer.
     """
+    import shutil
+    import tempfile
+
+    from nrt_ray.pipelines.relational import pool_size
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import _pid_for_keys
+
     day_us = rollup.TIER_WIDTH_US["1d"]
     wk_us = rollup.TIER_WIDTH_US["1w"]
+    owns_tier = tier_dir is None
+    if owns_tier:
+        tier_dir = tempfile.mkdtemp(prefix="nrt_daily_tier_")
 
-    def per_batch(series: pa.Table) -> pa.Table:
+    def daily_tier_batch(series: pa.Table) -> pa.Table:
         n = series.column("n").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         urls = series.column("url")
@@ -1886,47 +1898,78 @@ def weekly_from_daily_events(sf_dir: str):
                            .cast(pa.int64()).to_numpy(zero_copy_only=False))
         value = np.asarray(series.column("value").combine_chunks().flatten()
                            .to_numpy(zero_copy_only=False), dtype=np.float64)
-        # the "stored tier": daily buckets of integer cents (exact in f64
-        # far below 2^53, so np.add.reduceat sums are exact and
-        # order-independent); round_away matches the oracle's round()
-        # (half away from zero) for any not-exactly-2-decimal value
+        # daily buckets of integer cents (exact in f64 far below 2^53,
+        # so reduceat sums are exact and order-independent); round_away
+        # matches the oracle's round() (half away from zero)
         cents = round_away(value * 100.0, 0)
         rolled = rollup.rollup_flat(sidx, ts_us, cents, day_us)
-        dsi, dts = rolled["series_idx"], rolled["bucket_ts"]
-        if len(dsi) == 0:
-            return pa.table({
-                "user_id": pa.array([], pa.int64()),
-                "week_ts": pa.array([], pa.timestamp("us")),
-                "n_days": pa.array([], pa.int64()),
-                "n_obs": pa.array([], pa.int64()),
-                "value_cents": pa.array([], pa.int64()),
-                "vmin_cents": pa.array([], pa.int64()),
-                "vmax_cents": pa.array([], pa.int64()),
-            })
-        # compose the coarse tier FROM the fine-tier rows just built
-        # above (value-level tier algebra; see the docstring)
-        wts = (dts // wk_us) * wk_us
-        starts = np.flatnonzero(np.r_[True, (dsi[1:] != dsi[:-1])
-                                      | (wts[1:] != wts[:-1])])
-        ends = np.r_[starts[1:], len(dsi)]
+        dsi = rolled["series_idx"]
         return pa.table({
-            "user_id": pc.cast(urls.take(pa.array(dsi[starts])),
-                               pa.int64()),
-            "week_ts": pa.array(wts[starts], pa.int64()).cast(
-                pa.timestamp("us")),
-            "n_days": pa.array((ends - starts).astype(np.int64)),
-            "n_obs": pa.array(np.add.reduceat(
-                rolled["count"].astype(np.int64), starts)),
-            "value_cents": pa.array(np.add.reduceat(
-                rolled["sum"], starts).astype(np.int64)),
-            "vmin_cents": pa.array(np.minimum.reduceat(
-                rolled["min"], starts).astype(np.int64)),
-            "vmax_cents": pa.array(np.maximum.reduceat(
-                rolled["max"], starts).astype(np.int64)),
+            "user_id": pc.cast(urls.take(pa.array(dsi)), pa.int64()),
+            "day_ts": pa.array(rolled["bucket_ts"], pa.int64()),
+            "n_obs": pa.array(rolled["count"].astype(np.int64)),
+            "sum_cents": pa.array(rolled["sum"].astype(np.int64)),
+            "min_cents": pa.array(rolled["min"].astype(np.int64)),
+            "max_cents": pa.array(rolled["max"].astype(np.int64)),
         })
 
-    return _series_dataset(sf_dir).map_batches(per_batch,
-                                               batch_format="pyarrow")
+    # phase 1: persist the daily tier (distributed write, one file per
+    # output block — the resumable-partition layout)
+    _series_dataset(sf_dir).map_batches(
+        daily_tier_batch, batch_format="pyarrow").write_parquet(tier_dir)
+
+    nparts = max(2, pool_size())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array(_pid_for_keys(uid, nparts)))
+
+    def weekly_fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        day = tbl["day_ts"].to_numpy(zero_copy_only=False)
+        wts = (day // wk_us) * wk_us
+        order = np.lexsort((wts, uid))
+        uid, wts = uid[order], wts[order]
+        starts = np.flatnonzero(np.r_[True, (uid[1:] != uid[:-1])
+                                      | (wts[1:] != wts[:-1])])
+
+        def col(name):
+            return tbl[name].to_numpy(zero_copy_only=False)[order]
+
+        ends = np.r_[starts[1:], len(uid)]
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "week_ts": pa.array(wts[starts]).cast(pa.timestamp("us")),
+            "n_days": pa.array((ends - starts).astype(np.int64)),
+            "n_obs": pa.array(np.add.reduceat(col("n_obs"), starts)),
+            "value_cents": pa.array(np.add.reduceat(col("sum_cents"),
+                                                    starts)),
+            "vmin_cents": pa.array(np.minimum.reduceat(col("min_cents"),
+                                                       starts)),
+            "vmax_cents": pa.array(np.maximum.reduceat(col("max_cents"),
+                                                       starts)),
+        })
+
+    def weekly_empty() -> pa.Table:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "week_ts": pa.array([], pa.timestamp("us")),
+            "n_days": pa.array([], pa.int64()),
+            "n_obs": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64()),
+            "vmin_cents": pa.array([], pa.int64()),
+            "vmax_cents": pa.array([], pa.int64()),
+        })
+
+    # phase 2: the rewrite — read the persisted tier, not raw events
+    tier = ray.data.read_parquet(tier_dir).map_batches(
+        prep, batch_format="pyarrow")
+    out = exchange_dataset(tier, nparts, weekly_fold,
+                           weekly_empty).materialize()
+    if owns_tier:
+        shutil.rmtree(tier_dir, ignore_errors=True)
+    return out
 
 
 def daily_value_percentiles(sf_dir: str,
