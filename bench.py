@@ -89,6 +89,20 @@ def ensure_webtext() -> str:
         return json.load(f)["webtext"]
 
 
+def _cpu_busy_seconds() -> float:
+    """Whole-machine busy core-seconds from /proc/stat (all fields
+    except idle+iowait).  Sampled around the headline run to report
+    TRUE utilization across every stage — extract, split, reduce,
+    salting detection — where ``parallel_utilization`` counts only the
+    reduce tasks' self-reported seconds and so undercounts."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return float("nan")
+
+
 def headline(num_cpus: int) -> dict:
     from nrt_ray.pipelines import monitor_pipeline as mp
 
@@ -101,6 +115,7 @@ def headline(num_cpus: int) -> dict:
             while f.read(1 << 24):
                 pass
     out_dir = tempfile.mkdtemp(prefix="nrt_bench_")
+    busy0 = _cpu_busy_seconds()
     t0 = time.perf_counter()
     summary = mp.run_pipeline(
         path, out_dir, strategy="EWMA", monitor_start="2021-01-01",
@@ -108,6 +123,7 @@ def headline(num_cpus: int) -> dict:
         resume=False,
         reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
     dt = time.perf_counter() - t0
+    busy_cores = _cpu_busy_seconds() - busy0
     # retier maintenance cost: add a 4w tier composed from the persisted
     # 1w tier — O(source buckets), no raw re-scan (measured separately,
     # not part of the headline wall)
@@ -123,6 +139,7 @@ def headline(num_cpus: int) -> dict:
             "series": summary["series"],
             "pp_task_seconds": summary["pp_task_seconds"],
             "pp_max_seconds": summary["pp_max_seconds"],
+            "busy_core_seconds": busy_cores,
             "retier_seconds": retier_dt,
             "retier_points": rt["rollup_points"]}
 
@@ -347,9 +364,15 @@ def main() -> None:
         "pp_max_seconds": head["pp_max_seconds"],
         "retier_seconds": round(head["retier_seconds"], 3),
         "retier_points": head["retier_points"],
-        # fraction of the ideal wall the wide stage achieved
+        # fraction of the ideal wall the wide stage achieved (reduce
+        # tasks' self-reported seconds only — undercounts, kept for
+        # round-over-round comparability)
         "parallel_utilization": round(
             head["pp_task_seconds"] / (head["seconds"] * NUM_CPUS), 3),
+        # whole-machine busy cores / wall over ALL stages (extract,
+        # split, reduce, salting detection) via /proc/stat sampling
+        "machine_utilization": round(
+            head["busy_core_seconds"] / (head["seconds"] * NUM_CPUS), 3),
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -252,50 +252,97 @@ AUTO_SALT_PART_FRAC = 0.5
 AUTO_SALT_MIN_ROWS = 10_000
 
 
+def _input_total_rows(input_path) -> int | None:
+    """Exact row count from Parquet footers — no data scan."""
+    import pyarrow.parquet as pq
+    try:
+        return sum(pq.read_metadata(f).num_rows
+                   for f in input_files(input_path))
+    except Exception:
+        return None
+
+
 def detect_hot_urls(input_path, threshold: int | None,
                     flat_dataset=None,
                     num_partitions: int | None = None) -> set[str]:
     """Cheap hot-key detection: per-url row counts from a url-column-only
-    pruned read (no html/text leaves storage), partial per-batch counts →
-    one tiny groupby.  Returns urls with ≥ ``threshold`` rows; with
+    pruned read (no html/text leaves storage), per-batch combiner → ONE
+    url-keyed hash exchange whose fold filters IN the reduce (the
+    exchange co-locates every row of a url, so per-partition counts are
+    exact global counts).  Returns urls with ≥ ``threshold`` rows; with
     ``threshold=None`` the threshold is derived from the count
-    distribution itself (see the AUTO_SALT_* knobs).  At real scale the
-    hot set can also come from a prior run's lineage instead — pass it
-    straight to ``run_pipeline(hot_urls=...)``."""
-    from nrt_ray.stages.hashagg import keyed_sum
+    distribution (AUTO_SALT_* knobs): the floor terms (absolute +
+    partition share, from Parquet-footer row totals) filter inside the
+    fold, and each partition also emits its exact distinct-url count
+    (partitions are key-disjoint, so they sum), letting the driver apply
+    the mean-skew term to the already-tiny candidate set.  At real scale
+    the hot set can also come from a prior run's lineage instead — pass
+    it straight to ``run_pipeline(hot_urls=...)``."""
+    import math
+
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import _pid_for_keys
+
+    auto = threshold is None
     ds = flat_dataset.select_columns(["url"]) if flat_dataset is not None \
         else ray.data.read_parquet(input_path, columns=["url"])
+    total = _input_total_rows(input_path) if flat_dataset is None else None
+
+    if auto:
+        floor = AUTO_SALT_MIN_ROWS if total is None else max(
+            AUTO_SALT_MIN_ROWS,
+            math.ceil(AUTO_SALT_PART_FRAC * total
+                      / max(num_partitions or 1, 1)))
+    else:
+        floor = threshold
+
+    nparts = max(2, min(64, num_partitions or 16))
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("url").aggregate([("url", "count")])
-        return pa.table({"url": g.column("url"),
-                         "n": g.column("url_count").cast(pa.int64())})
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        return pa.table({
+            "url": g.column("url"),
+            "n": g.column("url_count").cast(pa.int64()),
+            "pid": pa.array(_pid_for_keys(urls, nparts)),
+        })
 
-    # large combine batches shrink the partial stream (distinct urls per
-    # BATCH, so bigger batches dedup more before the exchange); the
-    # counts table is url-cardinality sized, so a few exchange
-    # partitions suffice regardless of the main pipeline's P
+    def fold(tbl: pa.Table) -> pa.Table:
+        urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(urls, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, n)
+        keep = acc >= floor
+        out_urls = list(uk[keep])
+        out_n = acc[keep]
+        if auto:                     # summary row: this partition's
+            out_urls.append(None)    # distinct-url count + row total
+            out_n = np.r_[out_n, len(uk)]
+        return pa.table({"url": pa.array(out_urls, pa.string()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "rows": pa.array(
+                             np.r_[acc[keep],
+                                   int(acc.sum())] if auto
+                             else acc[keep], pa.int64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64())})
+
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=262_144)
-    counts = keyed_sum(parts, "url", ["n"],
-                       max(2, min(64, num_partitions or 16))).materialize()
+    rows = exchange_dataset(parts, nparts, fold, empty).take_all()
+    if not auto:
+        return {r["url"] for r in rows}
 
-    if threshold is None:
-        import math
-        total = int(counts.sum("n") or 0)
-        n_urls = max(counts.count(), 1)
-        threshold = max(
-            AUTO_SALT_MIN_ROWS,
-            math.ceil(AUTO_SALT_FACTOR * total / n_urls),
-            math.ceil(AUTO_SALT_PART_FRAC * total
-                      / max(num_partitions or 1, 1)))
-
-    def over(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n"),
-                                         pa.scalar(threshold)))
-
-    hot = counts.map_batches(over, batch_format="pyarrow").take_all()
-    return {r["url"] for r in hot}
+    n_urls = sum(r["n"] for r in rows if r["url"] is None) or 1
+    if total is None:                # no parquet footers (flat input)
+        total = sum(r["rows"] for r in rows if r["url"] is None)
+    eff = max(floor, math.ceil(AUTO_SALT_FACTOR * total / n_urls))
+    return {r["url"] for r in rows
+            if r["url"] is not None and r["rows"] >= eff}
 
 
 #: default salt slice: 8 epoch-aligned weeks — a multiple of every default
