@@ -62,13 +62,31 @@ class PartitionMonitorActor:
                                            new_high_water_us=0)
         self.cache: dict[int, dict] = {}   # pid -> artifacts
         self.dirty: set[int] = set()
+        self._warm: dict = {}              # pid -> Future (prefetch)
 
     def _artifacts(self, pid: int) -> dict:
         if pid not in self.cache:
-            loaded = self.proc.load_partition(pid)
+            fut = self._warm.pop(pid, None)
             # first contact with an uncheckpointed pid: empty artifacts
-            self.cache[pid] = loaded
+            self.cache[pid] = fut.result() if fut is not None \
+                else self.proc.load_partition(pid)
         return self.cache[pid]
+
+    def prefetch(self, pids: list[int]) -> int:
+        """Warm the checkpoint cache for this actor's partitions.
+
+        Called fire-and-forget at pool construction: loads run on a
+        small thread pool (parquet decode releases the GIL) so batch-0
+        ``apply`` calls — which execute after this task returns —
+        overlap with the remaining loads instead of paying each
+        checkpoint read + allocator first-touch inline."""
+        import concurrent.futures as cf
+        ex = cf.ThreadPoolExecutor(max_workers=4)
+        for pid in pids:
+            if pid not in self.cache and pid not in self._warm:
+                self._warm[pid] = ex.submit(self.proc.load_partition, pid)
+        ex.shutdown(wait=False)
+        return len(pids)
 
     def apply(self, pid: int, new_hw_us: int, *tables) -> dict:
         """Apply one micro-batch's slice for ``pid``; returns summary."""
@@ -152,6 +170,12 @@ class ContinuousMonitor:
         self.pool = max(1, min(pool, self.P))
         self.actors = [PartitionMonitorActor.remote(out_dir, self.config)
                        for _ in range(self.pool)]
+        # fire-and-forget checkpoint warm-up: each actor loads its own
+        # partitions' state in parallel with whatever the caller does
+        # before the first ingest (batch-0 applies queue behind it)
+        for i, a in enumerate(self.actors):
+            a.prefetch.remote([p for p in range(self.P)
+                               if p % self.pool == i])
         self._split = ray.remote(num_returns=self.P)(_split_block) \
             if self.P > 1 else None
         self.batches_applied = 0
