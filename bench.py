@@ -290,11 +290,13 @@ def increment_bench(num_cpus: int) -> dict:
                 points = s["rollup_points"]
         else:
             cm = ContinuousMonitor(base_out)
+            task_secs = []
             try:
                 for p in batch_paths:
                     tb = time.perf_counter()
                     s = cm.ingest(mp.ingest_webtext(p))
                     batch_secs.append(round(time.perf_counter() - tb, 3))
+                    task_secs.append(s.get("apply_task_seconds", 0.0))
                     rows += s["input_rows"]
                     points = s["rollup_points"]
                 cm.checkpoint()
@@ -315,7 +317,62 @@ def increment_bench(num_cpus: int) -> dict:
             "rows_per_sec": round(rows / dt),
             "merged_rollup_points": points,
         }
+        if mode == "continuous":
+            st = task_secs[1:] or task_secs
+            out[mode]["steady_apply_task_seconds"] = round(
+                sum(st) / max(len(st), 1), 3)
     return out
+
+
+def scaling_increment() -> None:
+    """Pinned N-vs-4N scaling evidence for CONTINUOUS (actor-pool) mode:
+    same protocol as --scaling (taskset the whole process tree, adjacent
+    pairs, select the pair with least cross-leg task-second inflation),
+    but the measured quantity is the steady-state per-micro-batch wall
+    of the actor-pool ingest path."""
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   NRT_BENCH_REDUCE_CPUS="1")
+        cmd = [sys.executable, os.path.abspath(__file__), "--increment"]
+        if os.environ.get("NRT_BENCH_TASKSET", "1") != "0":
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["continuous"]
+
+    pairs = []
+    for _ in range(SCALING_REPEAT):
+        lo = run_once(SCALING_LOW)
+        hi = run_once(SCALING_HIGH)
+        pairs.append((lo, hi))
+
+    def inflation(p) -> float:
+        a = p[0].get("steady_apply_task_seconds", 0.0)
+        b = p[1].get("steady_apply_task_seconds", 0.0)
+        return abs(b / a - 1.0) if a else float("inf")
+
+    lo, hi = min(pairs, key=inflation)
+    eff = (lo["steady_sec_per_batch"] / hi["steady_sec_per_batch"]) \
+        / (SCALING_HIGH / SCALING_LOW)
+    print(json.dumps({
+        "metric": "continuous-mode steady-state micro-batch scaling",
+        "num_cpus_low": SCALING_LOW, "num_cpus_high": SCALING_HIGH,
+        "steady_sec_low": lo["steady_sec_per_batch"],
+        "steady_sec_high": hi["steady_sec_per_batch"],
+        "scaling_efficiency": round(eff, 3),
+        "all_pairs_steady_sec": [
+            [p[0]["steady_sec_per_batch"], p[1]["steady_sec_per_batch"]]
+            for p in pairs],
+        "all_pairs_task_sec": [
+            [p[0].get("steady_apply_task_seconds"),
+             p[1].get("steady_apply_task_seconds")] for p in pairs],
+        "all_pairs_efficiency": [
+            round((p[0]["steady_sec_per_batch"]
+                   / p[1]["steady_sec_per_batch"])
+                  / (SCALING_HIGH / SCALING_LOW), 3) for p in pairs],
+        "batch0_sec_low": lo["batch_seconds"][0],
+        "batch0_sec_high": hi["batch_seconds"][0],
+    }))
 
 
 def main() -> None:
@@ -469,7 +526,9 @@ def increment_main() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-increment" in sys.argv:
+        scaling_increment()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--increment" in sys.argv:
         increment_main()

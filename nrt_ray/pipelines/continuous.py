@@ -228,6 +228,10 @@ class ContinuousMonitor:
                                      for s in summaries)),
             "late_rows": int(late_rows),
             "high_water_us": new_hw,
+            # machine-speed-independent work measure (pair-validity
+            # signal for the pinned scaling protocol)
+            "apply_task_seconds": round(
+                float(sum(s["elapsed_s"] for s in summaries)), 3),
         }
 
     # -- durability -----------------------------------------------------
