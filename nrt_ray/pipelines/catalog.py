@@ -17,6 +17,7 @@ from functools import partial
 
 from nrt_ray.pipelines import bpe as bp
 from nrt_ray.pipelines import classify as clf
+from nrt_ray.pipelines import dsir as dsr
 from nrt_ray.pipelines import curate as cu
 from nrt_ray.pipelines import features as ft
 from nrt_ray.pipelines import invindex as ivx
@@ -174,6 +175,8 @@ def queries() -> dict:
         "multi_topk_cosine": sim.multi_topk_cosine,
         "pq_topk_adc": sim.pq_topk_adc,
         "nb_classify_docs": clf.nb_classify_docs,
+        "dsir_importance_docs": dsr.dsir_importance_docs,
+        "dsir_select_docs": dsr.dsir_select_docs,
         "source_overlap_matrix": tx.source_overlap_matrix,
         "mix_sources_docs": tx.mix_sources_docs,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
@@ -1693,6 +1696,12 @@ def oracle_sql() -> dict:
         "pq_topk_adc": sk.pq_topk_sql(),
         # Naive Bayes doc classifier: fixed-point integer scores
         "nb_classify_docs": clf.NB_CLASSIFY_SQL,
+        # DSIR hashed-ngram importance: md5-low-64 unigrams + one
+        # rolling-polynomial bigram fold, fixed-point bucket weights
+        "dsir_importance_docs": dsr.dsir_importance_sql(),
+        # deterministic DSIR selection: exact top-quarter by
+        # (logratio DESC, doc_id) via QUALIFY row_number
+        "dsir_select_docs": dsr.dsir_select_sql(),
         # source overlap matrix: shingle source-bitmask histogram
         "source_overlap_matrix": sk.source_overlap_sql(),
         # weighted corpus blending: largest-remainder quotas + md5 rank
