@@ -189,6 +189,7 @@ BENCH_QUERIES = (
     "pq_topk_adc",
     "multi_topk_cosine",
     "nb_classify_docs",
+    "dsir_importance_docs",
     "funnel_conversion_events",
     "attribution_events",
 )
