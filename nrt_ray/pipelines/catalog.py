@@ -177,6 +177,7 @@ def queries() -> dict:
         "nb_classify_docs": clf.nb_classify_docs,
         "dsir_importance_docs": dsr.dsir_importance_docs,
         "dsir_select_docs": dsr.dsir_select_docs,
+        "dup_span_stats_docs": tx.dup_span_stats_docs,
         "source_overlap_matrix": tx.source_overlap_matrix,
         "mix_sources_docs": tx.mix_sources_docs,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
@@ -1702,6 +1703,8 @@ def oracle_sql() -> dict:
         # deterministic DSIR selection: exact top-quarter by
         # (logratio DESC, doc_id) via QUALIFY row_number
         "dsir_select_docs": dsr.dsir_select_sql(),
+        # ExactSubstr-style per-doc duplicated-window fraction
+        "dup_span_stats_docs": tx.dup_span_stats_sql(),
         # source overlap matrix: shingle source-bitmask histogram
         "source_overlap_matrix": sk.source_overlap_sql(),
         # weighted corpus blending: largest-remainder quotas + md5 rank

@@ -1344,6 +1344,125 @@ def shingle_dup_stats(sf_dir: str):
     })
 
 
+def dup_span_stats_docs(sf_dir: str, k: int = _SHINGLE_K):
+    """Per-document duplicated-substring fraction at k-token window
+    granularity (the ExactSubstr filter signal of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    window is DUPLICATED when its positional k-shingle hash occurs at
+    least twice in the whole corpus — another document OR another
+    position of the same document.
+
+    Scale shape: the positional shingle stream is combined per batch to
+    (shingle, doc_id, n) rows, ONE shingle-keyed hash exchange
+    co-locates every occurrence of a shingle (per-partition totals are
+    exact global totals), the fold emits per-doc partial
+    (dup, total) window counts — bounded by the docs present in the
+    partition — and one integer ``keyed_sum`` by doc_id finishes.  No
+    suffix array, no driver-side shingle state.
+
+    Empty docs hash as one md5('')-window and short docs as one folded
+    window (the positional-shingle convention shared with winnowing and
+    the repetition stats), so two empty docs legitimately count as
+    duplicates of each other — the SQL oracle replays the identical
+    convention via ``_shingle_ctes(distinct=False)``."""
+    from nrt_ray.pipelines.relational import pool_size, round_away
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import keyed_sum
+
+    nparts = max(2, pool_size())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat, counts = _token_hash_segments(batch["text"].to_pylist())
+        grams = _ordered_shingles(flat, counts, k)
+        sh_out, id_out, n_out = [], [], []
+        for d, g in zip(ids, grams):
+            u, c = np.unique(g, return_counts=True)
+            sh_out.append(u.view(np.int64))
+            id_out.append(np.full(len(u), d, np.int64))
+            n_out.append(c.astype(np.int64))
+        sh = np.concatenate(sh_out) if sh_out else \
+            np.array([], np.int64)
+        with np.errstate(over="ignore"):
+            pid = (sh.view(np.uint64) * _MIX_MULT
+                   % np.uint64(nparts)).astype(np.int64)
+        return pa.table({
+            "shingle": pa.array(sh, pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_out) if id_out
+                               else np.array([], np.int64)),
+            "n": pa.array(np.concatenate(n_out) if n_out
+                          else np.array([], np.int64)),
+            "pid": pa.array(pid),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        sh = tbl["shingle"].to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, did, n = sh[order], did[order], n[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        totals = np.add.reduceat(n, starts)
+        # per-row global total of its shingle
+        seg = np.zeros(len(sh), np.int64)
+        seg[starts] = 1
+        row_tot = totals[np.cumsum(seg) - 1]
+        dup = np.where(row_tot >= 2, n, 0)
+        ud, inv = np.unique(did, return_inverse=True)
+        nd = np.zeros(len(ud), np.int64)
+        nt = np.zeros(len(ud), np.int64)
+        np.add.at(nd, inv, dup)
+        np.add.at(nt, inv, n)
+        return pa.table({"doc_id": pa.array(ud),
+                         "nd": pa.array(nd), "nt": pa.array(nt)})
+
+    def empty() -> pa.Table:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "nd": pa.array([], pa.int64()),
+                         "nt": pa.array([], pa.int64())})
+
+    parts = _read_docs(sf_dir).map_batches(partial,
+                                           batch_format="pyarrow")
+    per_doc = keyed_sum(exchange_dataset(parts, nparts, fold, empty),
+                        "doc_id", ["nd", "nt"], nparts,
+                        key_dtype=pa.int64())
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        nt = t["nt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_windows": pa.array(nt),
+            "n_dup_windows": pa.array(nd),
+            "dup_frac": pa.array(round_away(
+                nd / np.maximum(nt, 1), 6)),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_stats_sql(k: int = _SHINGLE_K) -> str:
+    """Exact replay: positional shingle CTE (duplicates kept) → global
+    count per shingle → per-doc duplicated-window fraction."""
+    from nrt_ray.pipelines.sketch_oracles import _shingle_ctes
+    return f"""WITH {_shingle_ctes(k, distinct=False)},
+cnt AS (SELECT s, count(*) AS c FROM shingles GROUP BY s),
+per AS (
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE cnt.c >= 2) AS BIGINT)
+               AS n_dup_windows
+    FROM shingles sh JOIN cnt ON cnt.s = sh.s
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows * 1.0 / greatest(n_windows, 1), 6)
+           AS dup_frac
+FROM per
+"""
+
+
 def repetition_batch(batch: pa.Table) -> pa.Table:
     """Within-document repetition profile (Gopher-style duplicate-n-gram
     signals) over the POSITIONAL k-token shingle stream: total windows,

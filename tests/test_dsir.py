@@ -90,3 +90,43 @@ def test_select_exact_top_quarter(ray_session, tmp_path):
     want = allsc.sort_values(["logratio", "doc_id"],
                              ascending=[False, True]).head(k)
     assert sorted(sel["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_dup_span_planted(ray_session, tmp_path):
+    """Hand-computed duplicated-window fractions: a 5-token phrase
+    shared by two docs marks exactly one window in each; within-doc
+    repetition duplicates too; unique docs score 0; two empty docs
+    duplicate each other's empty-hash window."""
+    from nrt_ray.pipelines.textops import dup_span_stats_docs
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two three four five", "en"),
+        (2, "zero " + shared, "en"),
+        (3, "u1 u2 u3 u4 u5 u6", "en"),          # all unique
+        (4, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5", "en"),  # self-repeat
+        (5, "", "en"),
+        (6, "", "en"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = dup_span_stats_docs(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    # doc1: 10 tokens -> 6 windows, only the leading shared window dup
+    assert out.loc[1, "n_windows"] == 6
+    assert out.loc[1, "n_dup_windows"] == 1
+    # doc2: 6 tokens -> 2 windows, the trailing shared window dup
+    assert out.loc[2, "n_windows"] == 2
+    assert out.loc[2, "n_dup_windows"] == 1
+    # doc3: 2 windows, nothing duplicated
+    assert out.loc[3, "n_dup_windows"] == 0
+    # doc4: 10 tokens -> 6 windows; window[0] (r1..r5) recurs at
+    # position 5 -> exactly those two windows are duplicated
+    assert out.loc[4, "n_windows"] == 6
+    assert out.loc[4, "n_dup_windows"] == 2
+    # empty docs duplicate each other
+    assert out.loc[5, "n_dup_windows"] == 1
+    assert out.loc[6, "dup_frac"] == 1.0
