@@ -153,12 +153,13 @@ class ContinuousMonitor:
         self.out_dir = out_dir
         self.config = inc.read_run_config(out_dir)
         self.P = int(self.config["num_partitions"])
-        from nrt_ray.state import manifest as _mf
-        if any(pid >= self.P
-               for pid in _mf.committed_partitions(out_dir)):
-            raise RuntimeError(
-                "continuous mode does not support salted runs yet "
-                "(merged hot partitions present) — see run_increment")
+        # salted runs: hot urls' state lives in merge pids P..P+M-1;
+        # route their new rows there (raises for legacy salted runs
+        # whose config predates hot-url persistence)
+        hot_sorted, m_tasks, P_total = inc.salted_layout(out_dir,
+                                                         self.config)
+        self._merge_route = (hot_sorted, m_tasks) if m_tasks else None
+        self.P_total = P_total
         self.high_water_us = int(self.config["high_water_us"])
         if pool is None:
             # one actor per core by default: actors are the unit of both
@@ -167,17 +168,18 @@ class ContinuousMonitor:
             cpus = int(ray.cluster_resources().get("CPU", 0)) \
                 if ray.is_initialized() else 0
             pool = max(pool_size(), cpus)
-        self.pool = max(1, min(pool, self.P))
+        self.pool = max(1, min(pool, self.P_total))
         self.actors = [PartitionMonitorActor.remote(out_dir, self.config)
                        for _ in range(self.pool)]
         # fire-and-forget checkpoint warm-up: each actor loads its own
         # partitions' state in parallel with whatever the caller does
         # before the first ingest (batch-0 applies queue behind it)
         for i, a in enumerate(self.actors):
-            a.prefetch.remote([p for p in range(self.P)
+            a.prefetch.remote([p for p in range(self.P_total)
                                if p % self.pool == i])
-        self._split = ray.remote(num_returns=self.P)(_split_block) \
-            if self.P > 1 else None
+        self._split = ray.remote(
+            num_returns=self.P_total)(_split_block) \
+            if self.P_total > 1 else None
         self.batches_applied = 0
 
     # -- ingestion ------------------------------------------------------
@@ -201,24 +203,25 @@ class ContinuousMonitor:
             late.write_parquet(os.path.join(self.out_dir, "dead_letter"))
 
         ds = flat_dataset.map_batches(is_new, batch_format="pyarrow") \
-            .map_batches(lambda t: add_bucket_column(t, self.P),
+            .map_batches(lambda t: add_bucket_column(
+                             t, self.P, merge_route=self._merge_route),
                          batch_format="pyarrow")
         new_hw_t = ds.max("warc_ts")
         new_hw = int(pa.scalar(new_hw_t, pa.timestamp("us"))
                      .cast(pa.int64()).as_py()) \
             if new_hw_t is not None else self.high_water_us
 
-        if self.P == 1:
+        if self.P_total == 1:
             block_refs = list(_iter_block_refs(ds))
             refs = [self.actors[0].apply.remote(0, new_hw, *block_refs)]
         else:
-            split_refs = [self._split.remote(ref, self.P)
+            split_refs = [self._split.remote(ref, self.P_total)
                           for ref in _iter_block_refs(ds)]
             refs = [self.actors[pid % self.pool].apply.remote(
                         pid, new_hw,
                         *[split_refs[b][pid]
                           for b in range(len(split_refs))])
-                    for pid in range(self.P)]
+                    for pid in range(self.P_total)]
         summaries = ray.get(refs)
         self.high_water_us = new_hw
         self.batches_applied += 1

@@ -406,6 +406,30 @@ class IncrementProcessor:
         })
 
 
+def salted_layout(out_dir: str, config: dict):
+    """Partition layout of a (possibly) salted run: returns
+    ``(hot_sorted, m_tasks, P_total)`` where ``P_total`` includes the
+    merge partitions.  Hot urls' checkpointed state lives in merge pid
+    ``P + sorted_rank % M`` (the persisted one-shot assignment), so
+    increments route their new rows there.  Raises for legacy salted
+    runs whose config predates hot-url persistence."""
+    P = int(config["num_partitions"])
+    merged = any(pid >= P
+                 for pid in manifest.committed_partitions(out_dir))
+    if not merged:
+        return [], 0, P
+    hot = config.get("hot_urls") or []
+    m_tasks = int(config.get("num_merge_tasks") or 0)
+    if not (hot and m_tasks):
+        raise RuntimeError(
+            "salted run predates hot-url persistence: merged partitions "
+            "(pid >= P) exist but the run config records no hot_urls — "
+            "re-run the full pipeline once to write the salting "
+            "metadata, then increments can route hot urls to their "
+            "merge partitions.")
+    return list(hot), m_tasks, P + m_tasks
+
+
 def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     """Apply a new batch of observations to an existing pipeline output.
 
@@ -421,12 +445,7 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     config = read_run_config(out_dir)
     P = config["num_partitions"]
     old_hw = config["high_water_us"]
-    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
-        raise RuntimeError(
-            "run_increment does not support salted runs yet: hot urls' "
-            "state lives in merged partitions (pid >= P), so plain "
-            "hash bucketing would silently re-fit them as unknown urls. "
-            "Re-run the full pipeline over the combined input instead.")
+    hot_sorted, m_tasks, P_total = salted_layout(out_dir, config)
 
     # split late vs new (strictly-forward contract)
     hw_scalar = pa.scalar(old_hw, pa.int64()).cast(pa.timestamp("us"))
@@ -445,8 +464,9 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     if late_rows:
         late.write_parquet(os.path.join(out_dir, "dead_letter"))
 
+    mr = (hot_sorted, m_tasks) if m_tasks else None
     ds = flat_dataset.map_batches(is_new, batch_format="pyarrow") \
-        .map_batches(lambda t: add_bucket_column(t, P),
+        .map_batches(lambda t: add_bucket_column(t, P, merge_route=mr),
                      batch_format="pyarrow")
     new_hw_t = ds.max("warc_ts")
     new_hw = int(pa.scalar(new_hw_t, pa.timestamp("us"))
@@ -459,13 +479,13 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
         return proc(group)
 
     from nrt_ray.stages.exchange import exchange_map_groups
-    tables = exchange_map_groups(ds, P, process)
+    tables = exchange_map_groups(ds, P_total, process)
     rows = [row for t in tables for row in t.to_pylist()]
     # partitions that received no rows still need the new high-water
     # mark applied to their retention tiers (one-shot equivalence);
     # the sweep is a cheap cutoff filter and rewrites only on change
     swept = 0
-    empty_pids = sorted(set(range(P)) - {r["pid"] for r in rows})
+    empty_pids = sorted(set(range(P_total)) - {r["pid"] for r in rows})
     if empty_pids and new_hw > old_hw:
         import ray as _ray
         sweep_remote = _ray.remote(

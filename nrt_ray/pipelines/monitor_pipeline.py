@@ -349,10 +349,16 @@ def detect_hot_urls(input_path, threshold: int | None,
 #: tier width, so each slice holds whole rollup buckets
 DEFAULT_SALT_SLICE_US = 8 * 7 * 86400 * 1_000_000
 
+#: merge tasks for the hot-url second phase; effective count is
+#: ``min(DEFAULT_MERGE_TASKS, len(hot_urls))`` and the sorted-rank → task
+#: assignment (``rank % M``) is PERSISTED semantics: increments route a
+#: hot url's new rows to merge pid ``P + rank % M`` from the run config
+DEFAULT_MERGE_TASKS = 8
+
 
 def merge_hot_partitions(out_dir: str, hot_urls, processor_kwargs: dict,
                          num_partitions: int,
-                         num_merge_tasks: int = 8) -> list:
+                         num_merge_tasks: int = DEFAULT_MERGE_TASKS) -> list:
     """Second (tiny) phase for salted hot urls: each merge task reads the
     hot sub-series its urls left behind in every partition, concatenates
     them by time (flatten → re-assemble), and runs the SAME fused
@@ -595,6 +601,13 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         # fragment-id → file map for the per-partition input_fragments
         # lineage recorded in each manifest commit
         "fragments": {str(i): p for p, i in frag_ids.items()},
+        # salting metadata: increments route a hot url's new rows to
+        # merge pid P + sorted_rank % M (must match merge_hot_partitions'
+        # by_task assignment above)
+        "hot_urls": sorted(hot_urls),
+        "num_merge_tasks": (max(1, min(DEFAULT_MERGE_TASKS,
+                                       len(hot_urls)))
+                            if hot_urls else 0),
     })
     summary = {
         "run_id": run_id,

@@ -38,7 +38,8 @@ _SALT_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
 def add_bucket_column(batch: pa.Table, num_buckets: int,
-                      hot_urls=None, slice_us: int | None = None) -> pa.Table:
+                      hot_urls=None, slice_us: int | None = None,
+                      merge_route=None) -> pa.Table:
     """Append the partition id column ``pid = hash(url) % P``.
 
     Hot-url salting (SURVEY §4): rows of urls in ``hot_urls`` are salted by
@@ -46,9 +47,24 @@ def add_bucket_column(batch: pa.Table, num_buckets: int,
     mega-url's rows spread over many partitions instead of melting a single
     reduce task.  Each salt slice holds a contiguous time range; the merge
     phase re-concatenates them (see monitor_pipeline.merge_hot_partitions).
+
+    ``merge_route=(hot_sorted, M)``: the INCREMENT routing for a salted
+    run — rows of a hot url go straight to its committed merge partition
+    ``num_buckets + sorted_rank % M`` (where its checkpointed state
+    lives), everything else hashes as usual.  Mutually exclusive with
+    ``hot_urls`` salting (one-shot spreads + merges; increments append).
     """
     urls = batch.column("url").to_pandas().to_numpy(dtype=object)
     pid = bucket_of(urls, num_buckets)
+    if merge_route is not None:
+        hot_sorted, m_tasks = merge_route
+        hot_arr = np.asarray(hot_sorted, dtype=object)
+        if len(hot_arr):
+            idx = np.searchsorted(hot_arr, urls)
+            idxc = np.minimum(idx, len(hot_arr) - 1)
+            mask = hot_arr[idxc] == urls
+            pid[mask] = (num_buckets
+                         + (idxc[mask] % m_tasks)).astype(np.int32)
     if hot_urls:
         mask = np.isin(urls, np.asarray(sorted(hot_urls), dtype=object))
         if mask.any():

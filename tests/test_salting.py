@@ -120,10 +120,12 @@ def test_detect_hot_urls(ray_session, skewed_webtext):
     assert mp.detect_hot_urls(path, threshold=hot_rows + 1) == set()
 
 
-def test_increment_on_salted_run_raises(ray_session, skewed_webtext,
-                                        tmp_path):
-    """Hot urls' state lives in merged partitions (pid >= P); increments
-    would silently re-fit them as unknown — must refuse loudly."""
+def test_legacy_salted_run_without_metadata_raises(ray_session,
+                                                   skewed_webtext,
+                                                   tmp_path):
+    """A salted run whose config predates hot-url persistence (merged
+    pids exist but no hot_urls recorded) must refuse increments loudly
+    instead of silently re-fitting hot urls as unknown."""
     from nrt_ray.pipelines import incremental as inc
     from nrt_ray.pipelines.continuous import ContinuousMonitor
 
@@ -133,10 +135,95 @@ def test_increment_on_salted_run_raises(ray_session, skewed_webtext,
                     monitor_start="2021-01-01",
                     monitor_params={"trend": False}, num_partitions=4,
                     salt_threshold=hot_rows // 2)
+    cfg = inc.read_run_config(out)
+    cfg.pop("hot_urls", None)
+    cfg.pop("num_merge_tasks", None)
+    inc.write_run_config(out, cfg)
     with pytest.raises(RuntimeError, match="salted"):
         inc.run_increment(out, mp.ingest_webtext(path))
     with pytest.raises(RuntimeError, match="salted"):
         ContinuousMonitor(out)
+
+
+def test_salted_increment_equals_salted_oneshot(ray_session,
+                                                skewed_webtext,
+                                                tmp_path):
+    """Increments on a salted run: the hot url's new rows route to its
+    committed merge partition and append to the checkpointed recursion —
+    base(early)+increment(late) must equal the salted one-shot over the
+    full input (same hot set on both plans)."""
+    from nrt_ray.pipelines import incremental as inc
+    from nrt_ray.pipelines.continuous import ContinuousMonitor
+
+    path, hot_rows = skewed_webtext
+    t = pq.read_table(path)
+    ts = t.column("warc_ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    cut = int(np.quantile(np.unique(ts), 0.7))
+    early = str(tmp_path / "early.parquet")
+    late = str(tmp_path / "late.parquet")
+    pq.write_table(t.filter(pa.array(ts <= cut)), early)
+    pq.write_table(t.filter(pa.array(ts > cut)), late)
+
+    hot = mp.detect_hot_urls(early, threshold=1000)
+    assert hot == {"https://hot.example.com/live"}
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=6,
+                  tiers=TIERS, hot_urls=hot)
+
+    mp.run_pipeline(path, str(tmp_path / "full"), **common)
+
+    for mode in ("discrete", "continuous"):
+        out = str(tmp_path / mode)
+        mp.run_pipeline(early, out, **common)
+        if mode == "discrete":
+            s = inc.run_increment(out, mp.ingest_webtext(late))
+            assert s["late_rows"] == 0 and s["input_rows"] > 0
+        else:
+            cm = ContinuousMonitor(out)
+            try:
+                s = cm.ingest(mp.ingest_webtext(late))
+                assert s["late_rows"] == 0 and s["input_rows"] > 0
+                cm.checkpoint()
+            finally:
+                cm.close()
+
+        sa = mp.read_output_table(str(tmp_path / "full"), "state")
+        sb = mp.read_output_table(out, "state")
+        oa = sa.take(pc.sort_indices(sa, sort_keys=[("url",
+                                                     "ascending")]))
+        ob = sb.take(pc.sort_indices(sb, sort_keys=[("url",
+                                                     "ascending")]))
+        assert oa.column("url").to_pylist() == \
+            ob.column("url").to_pylist(), mode
+        for col in ("status", "detection_date", "n"):
+            if col in oa.column_names:
+                assert oa.column(col).to_pylist() == \
+                    ob.column(col).to_pylist(), (mode, col)
+        np.testing.assert_allclose(
+            oa.column("process").to_numpy(zero_copy_only=False),
+            ob.column("process").to_numpy(zero_copy_only=False),
+            rtol=1e-9, atol=1e-12, equal_nan=True)
+
+        for name in ("rollup_1d", "rollup_1w"):
+            ta = _read_all(str(tmp_path / "full"), name)
+            tb = _read_all(out, name)
+            assert ta.num_rows == tb.num_rows, (mode, name)
+            for col in ("url", "bucket_ts", "count", "gapfilled"):
+                assert ta.column(col).to_pylist() == \
+                    tb.column(col).to_pylist(), (mode, name, col)
+            for col in ("min", "max", "last"):
+                np.testing.assert_array_equal(
+                    ta.column(col).to_numpy(zero_copy_only=False)
+                      .view(np.uint64),
+                    tb.column(col).to_numpy(zero_copy_only=False)
+                      .view(np.uint64), err_msg=f"{mode}.{name}.{col}")
+            for col in ("sum", "mean"):
+                np.testing.assert_allclose(
+                    ta.column(col).to_numpy(zero_copy_only=False),
+                    tb.column(col).to_numpy(zero_copy_only=False),
+                    rtol=1e-12, equal_nan=True,
+                    err_msg=f"{mode}.{name}.{col}")
 
 
 def test_auto_salting_default_path(ray_session, skewed_webtext, tmp_path):
