@@ -526,19 +526,30 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
     ``dead_letter`` audit table, if any, is NOT scrubbed (it is an
     append-only audit log outside the queryable outputs).
 
-    Not supported for runs with salted hot urls (merged partitions have
-    composite membership) — raises RuntimeError.
+    Salted runs: forgetting a HOT url rebuilds its merge partition
+    ``P + sorted_rank % M`` from SOURCE (filtered to that merge task's
+    remaining urls — increment-proof, unlike replaying the one-shot
+    ``hot_series`` intermediates); the persisted hot-url list stays
+    intact so increment routing for the other hot urls is unchanged.
     """
     from nrt_ray.pipelines import monitor_pipeline as mp
     from nrt_ray.stages.assemble import bucket_of
 
     config = read_run_config(out_dir)
     P = int(config["num_partitions"])
-    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
-        raise RuntimeError("run_forget does not support salted runs "
-                           "(merged hot partitions present)")
+    hot_sorted, m_tasks, _ = salted_layout(out_dir, config)
+    hot_rank = {u: i for i, u in enumerate(hot_sorted)}
     urls_arr = np.asarray(sorted(set(urls)), dtype=object)
-    pids = sorted(set(bucket_of(urls_arr, P).tolist()))
+    non_hot = np.asarray([u for u in urls_arr if u not in hot_rank],
+                         dtype=object)
+    hot_forgot = [u for u in urls_arr if u in hot_rank]
+    pids = sorted(set(bucket_of(non_hot, P).tolist())) \
+        if len(non_hot) else []
+    merge_pids = sorted({P + hot_rank[u] % m_tasks
+                         for u in hot_forgot}) if hot_forgot else []
+    # hash pids first; merge pids stay committed until after the
+    # run_pipeline rebuild so its resume-skip keeps the one-shot merge
+    # phase (which replays stale hot_series intermediates) disabled
     manifest.uncommit_partitions(out_dir, pids)
 
     def drop_urls(t: pa.Table) -> pa.Table:
@@ -549,23 +560,85 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
 
     flat = mp.ingest_webtext(input_path) \
         .map_batches(drop_urls, batch_format="pyarrow")
-    summary = mp.run_pipeline(
-        input_path, out_dir,
-        strategy=config["strategy"],
-        monitor_start=config["monitor_start"],
-        num_partitions=P,
-        tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
-        monitor_params=config.get("monitor_params"),
-        fit_params=config.get("fit_params"),
-        fit_method=config.get("fit_method"),
-        screen_outliers=config.get("screen_outliers", "default"),
-        high_water_us=int(config["high_water_us"]),
-        resume=True, run_id=run_id, flat_dataset=flat,
-        reduce_num_cpus=reduce_num_cpus)
+    summary = {"partitions_processed": 0}
+    if pids:
+        summary = mp.run_pipeline(
+            input_path, out_dir,
+            strategy=config["strategy"],
+            monitor_start=config["monitor_start"],
+            num_partitions=P,
+            tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+            monitor_params=config.get("monitor_params"),
+            fit_params=config.get("fit_params"),
+            fit_method=config.get("fit_method"),
+            screen_outliers=config.get("screen_outliers", "default"),
+            high_water_us=int(config["high_water_us"]),
+            resume=True, run_id=run_id, flat_dataset=flat,
+            # hash-partition rebuilds must keep deferring the (still
+            # live) hot urls to the merge phase, exactly as one-shot
+            hot_urls=set(hot_sorted) or None,
+            reduce_num_cpus=reduce_num_cpus)
+
+    if merge_pids:
+        # rebuild each affected merge partition from SOURCE: the flat
+        # stream filtered to that merge task's REMAINING urls (ranks —
+        # and therefore routing for the other hot urls — are preserved
+        # by keeping the persisted list intact)
+        import ray as _ray
+        from nrt_ray.stages.exchange import _iter_block_refs
+
+        manifest.uncommit_partitions(out_dir, merge_pids)
+
+        processor_kwargs = dict(
+            out_dir=out_dir, run_id=run_id, num_partitions=P,
+            strategy=config["strategy"],
+            monitor_start=config["monitor_start"],
+            tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+            high_water_us=int(config["high_water_us"]),
+            fit_method=config.get("fit_method"),
+            screen_outliers=config.get("screen_outliers", "default"),
+            monitor_params=config.get("monitor_params"),
+            fit_params=config.get("fit_params"))
+
+        def _merge_rebuild(pid, kwargs, want, *blocks):
+            parts = []
+            for b in blocks:
+                if b is None or not b.num_rows:
+                    continue
+                keep = pc.is_in(b.column("url"),
+                                value_set=pa.array(sorted(want),
+                                                   pa.string()))
+                sub = b.filter(keep)
+                if sub.num_rows:
+                    parts.append(sub)
+            if not parts:
+                return None
+            tbl = pa.concat_tables(parts, promote_options="default")
+            tbl = tbl.append_column(
+                "pid", pa.array(np.full(tbl.num_rows, pid, np.int32)))
+            return mp.PartitionProcessor(**kwargs)(tbl)
+
+        rebuild_remote = _ray.remote(_merge_rebuild)
+        forgot = set(hot_forgot)
+        n_rebuilt = 0
+        for mpid in merge_pids:
+            m = mpid - P
+            want = {u for i, u in enumerate(hot_sorted)
+                    if i % m_tasks == m and u not in forgot}
+            if not want:
+                continue        # fully forgotten: empty-commit below
+            blocks = list(_iter_block_refs(flat))
+            res = _ray.get(rebuild_remote.remote(
+                mpid, processor_kwargs, want, *blocks))
+            if res is not None:
+                n_rebuilt += 1
+        summary["partitions_processed"] = \
+            int(summary["partitions_processed"]) + n_rebuilt
 
     # a partition whose every url was forgotten gets no exchange rows →
     # its stale tables must be dropped and an empty commit recorded
-    still_open = set(pids) - manifest.committed_partitions(out_dir)
+    still_open = (set(pids) | set(merge_pids)) \
+        - manifest.committed_partitions(out_dir)
     for pid in sorted(still_open):
         for table in (["state", "alerts", "segments"]
                       + [f"rollup_{t['name']}" for t in config["tiers"]]):
@@ -583,7 +656,7 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
         "partitions_rebuilt": int(summary["partitions_processed"]),
         "partitions_emptied": len(still_open),
         "urls_forgotten": int(len(urls_arr)),
-        "affected_pids": pids,
+        "affected_pids": pids + merge_pids,
     }
 
 

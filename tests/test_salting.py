@@ -278,3 +278,73 @@ def test_auto_threshold_detection(ray_session, skewed_webtext):
         == {"https://hot.example.com/live"}
     base = os.path.join(os.path.dirname(path), "webtext.parquet")
     assert mp.detect_hot_urls(base, None, num_partitions=6) == set()
+
+
+def test_salted_forget_hot_and_cold(ray_session, skewed_webtext,
+                                    tmp_path):
+    """run_forget on a salted run: forgetting the hot url rebuilds its
+    merge partition from source; forgetting a normal url rebuilds its
+    hash partition with hot deferral intact — outputs equal a salted
+    run over the filtered input at the same high-water mark."""
+    from nrt_ray.pipelines import incremental as inc
+
+    path, hot_rows = skewed_webtext
+    t = pq.read_table(path)
+    urls = sorted(set(t.column("url").to_pylist()))
+    hot_url = "https://hot.example.com/live"
+    cold_url = next(u for u in urls if u != hot_url)
+    hot = {hot_url}
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=5,
+                  tiers=TIERS, hot_urls=hot)
+
+    out = str(tmp_path / "out")
+    mp.run_pipeline(path, out, **common)
+    hw = inc.read_run_config(out)["high_water_us"]
+
+    s = inc.run_forget(out, path, [hot_url, cold_url])
+    assert s["urls_forgotten"] == 2
+    P = common["num_partitions"]
+    assert any(p >= P for p in s["affected_pids"])   # merge pid touched
+    assert any(p < P for p in s["affected_pids"])    # hash pid touched
+
+    # reference: salted run over the filtered input, same hot set minus
+    # nothing (forgotten urls just absent from the stream)
+    keep = ~np.isin(np.asarray(t.column("url").to_pylist(),
+                               dtype=object),
+                    np.asarray([hot_url, cold_url], dtype=object))
+    fp = str(tmp_path / "filtered.parquet")
+    pq.write_table(t.filter(pa.array(keep, pa.bool_())), fp)
+    ref = str(tmp_path / "ref")
+    mp.run_pipeline(fp, ref, high_water_us=hw, **common)
+
+    for name in ("state", "alerts", "rollup_1d", "rollup_1w",
+                 "segments"):
+        a = _read_all(out, name)
+        b = _read_all(ref, name)
+        assert a.num_rows == b.num_rows, name
+        assert hot_url not in a.column("url").to_pylist()
+        state_like = name in ("state", "alerts")
+        for col in a.column_names:
+            ca, cb = a.column(col), b.column(col)
+            if pa.types.is_floating(ca.type):
+                va = ca.to_numpy(zero_copy_only=False)
+                vb = cb.to_numpy(zero_copy_only=False)
+                if state_like:
+                    np.testing.assert_allclose(va, vb, rtol=1e-9,
+                                               atol=1e-12,
+                                               equal_nan=True,
+                                               err_msg=f"{name}.{col}")
+                else:
+                    np.testing.assert_array_equal(
+                        va.view(np.uint64), vb.view(np.uint64),
+                        err_msg=f"{name}.{col}")
+            elif pa.types.is_list(ca.type) and state_like:
+                for x, y in zip(ca.to_pylist(), cb.to_pylist()):
+                    np.testing.assert_allclose(
+                        np.asarray(x, np.float64),
+                        np.asarray(y, np.float64), rtol=1e-9,
+                        atol=1e-12, equal_nan=True,
+                        err_msg=f"{name}.{col}")
+            else:
+                assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
