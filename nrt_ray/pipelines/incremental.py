@@ -505,6 +505,66 @@ def run_increment(out_dir: str, flat_dataset, run_id: str = "incr") -> dict:
     }
 
 
+def _merge_rebuild(pid, kwargs, want, *blocks):
+    """One merge partition rebuilt from flat source blocks: filter to
+    the merge task's urls, tag the pid, run the fused processor."""
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    parts = []
+    for b in blocks:
+        if b is None or not b.num_rows:
+            continue
+        keep = pc.is_in(b.column("url"),
+                        value_set=pa.array(sorted(want), pa.string()))
+        sub = b.filter(keep)
+        if sub.num_rows:
+            parts.append(sub)
+    if not parts:
+        return None
+    tbl = pa.concat_tables(parts, promote_options="default")
+    tbl = tbl.append_column(
+        "pid", pa.array(np.full(tbl.num_rows, pid, np.int32)))
+    return mp.PartitionProcessor(**kwargs)(tbl)
+
+
+def _rebuild_merge_partitions(out_dir: str, config: dict, hot_sorted,
+                              m_tasks: int, merge_pids, flat, run_id,
+                              exclude=frozenset()) -> int:
+    """Rebuild the given merge partitions from SOURCE (the ``flat``
+    stream), each filtered to its task's hot urls minus ``exclude``.
+    Shared by run_forget and run_backfill — increment-proof, unlike
+    replaying the one-shot hot_series intermediates.  Returns how many
+    partitions were rebuilt (fully-excluded tasks are skipped and left
+    for the caller's empty-commit cleanup)."""
+    import ray as _ray
+    from nrt_ray.stages.exchange import _iter_block_refs
+
+    P = int(config["num_partitions"])
+    processor_kwargs = dict(
+        out_dir=out_dir, run_id=run_id, num_partitions=P,
+        strategy=config["strategy"],
+        monitor_start=config["monitor_start"],
+        tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+        high_water_us=int(config["high_water_us"]),
+        fit_method=config.get("fit_method"),
+        screen_outliers=config.get("screen_outliers", "default"),
+        monitor_params=config.get("monitor_params"),
+        fit_params=config.get("fit_params"))
+    rebuild_remote = _ray.remote(_merge_rebuild)
+    n_rebuilt = 0
+    for mpid in sorted(merge_pids):
+        m = mpid - P
+        want = {u for i, u in enumerate(hot_sorted)
+                if i % m_tasks == m and u not in exclude}
+        if not want:
+            continue
+        blocks = list(_iter_block_refs(flat))
+        res = _ray.get(rebuild_remote.remote(
+            mpid, processor_kwargs, want, *blocks))
+        if res is not None:
+            n_rebuilt += 1
+    return n_rebuilt
+
+
 def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
                reduce_num_cpus: float = 1.0) -> dict:
     """Right-to-be-forgotten: remove ``urls`` from every output artifact
@@ -584,54 +644,10 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
         # stream filtered to that merge task's REMAINING urls (ranks —
         # and therefore routing for the other hot urls — are preserved
         # by keeping the persisted list intact)
-        import ray as _ray
-        from nrt_ray.stages.exchange import _iter_block_refs
-
         manifest.uncommit_partitions(out_dir, merge_pids)
-
-        processor_kwargs = dict(
-            out_dir=out_dir, run_id=run_id, num_partitions=P,
-            strategy=config["strategy"],
-            monitor_start=config["monitor_start"],
-            tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
-            high_water_us=int(config["high_water_us"]),
-            fit_method=config.get("fit_method"),
-            screen_outliers=config.get("screen_outliers", "default"),
-            monitor_params=config.get("monitor_params"),
-            fit_params=config.get("fit_params"))
-
-        def _merge_rebuild(pid, kwargs, want, *blocks):
-            parts = []
-            for b in blocks:
-                if b is None or not b.num_rows:
-                    continue
-                keep = pc.is_in(b.column("url"),
-                                value_set=pa.array(sorted(want),
-                                                   pa.string()))
-                sub = b.filter(keep)
-                if sub.num_rows:
-                    parts.append(sub)
-            if not parts:
-                return None
-            tbl = pa.concat_tables(parts, promote_options="default")
-            tbl = tbl.append_column(
-                "pid", pa.array(np.full(tbl.num_rows, pid, np.int32)))
-            return mp.PartitionProcessor(**kwargs)(tbl)
-
-        rebuild_remote = _ray.remote(_merge_rebuild)
-        forgot = set(hot_forgot)
-        n_rebuilt = 0
-        for mpid in merge_pids:
-            m = mpid - P
-            want = {u for i, u in enumerate(hot_sorted)
-                    if i % m_tasks == m and u not in forgot}
-            if not want:
-                continue        # fully forgotten: empty-commit below
-            blocks = list(_iter_block_refs(flat))
-            res = _ray.get(rebuild_remote.remote(
-                mpid, processor_kwargs, want, *blocks))
-            if res is not None:
-                n_rebuilt += 1
+        n_rebuilt = _rebuild_merge_partitions(
+            out_dir, config, hot_sorted, m_tasks, merge_pids, flat,
+            run_id, exclude=frozenset(hot_forgot))
         summary["partitions_processed"] = \
             int(summary["partitions_processed"]) + n_rebuilt
 
@@ -680,20 +696,20 @@ def run_backfill(out_dir: str, input_path, run_id: str = "backfill",
 
     On success the applied dead-letter files are moved to
     ``dead_letter_applied/{run_id}/`` (append-only audit, never
-    re-applied).  Refuses salted runs like the other partition-surgery
-    entry points.  Returns a summary dict.
+    re-applied).  Salted runs: a hot url's late rows map to its MERGE
+    partition, which rebuilds from source like ``run_forget``'s path.
+    Returns a summary dict.
     """
     import ray as _ray
     import ray.data as _rd
 
     from nrt_ray.pipelines import monitor_pipeline as mp
-    from nrt_ray.stages.assemble import bucket_of
+    from nrt_ray.stages.assemble import add_bucket_column, bucket_of
 
     config = read_run_config(out_dir)
     P = int(config["num_partitions"])
-    if any(pid >= P for pid in manifest.committed_partitions(out_dir)):
-        raise RuntimeError("run_backfill does not support salted runs "
-                           "(merged hot partitions present)")
+    hot_sorted, m_tasks, _ = salted_layout(out_dir, config)
+    mr = (hot_sorted, m_tasks) if m_tasks else None
     dl_dir = os.path.join(out_dir, "dead_letter")
     if not os.path.isdir(dl_dir) or not any(
             f.endswith(".parquet") for f in os.listdir(dl_dir)):
@@ -702,33 +718,48 @@ def run_backfill(out_dir: str, input_path, run_id: str = "backfill",
                 "high_water_us": int(config["high_water_us"])}
 
     # affected partitions, computed distributed: per-batch distinct pid
-    # partials — the driver sees at most P values, never the url set
+    # partials — the driver sees at most P+M values, never the url set
     dl = _rd.read_parquet(dl_dir)
     late_rows = dl.count()
 
     def pid_partial(t: pa.Table) -> pa.Table:
-        urls = np.asarray(t.column("url").to_pandas(), dtype=object)
-        pids = np.unique(bucket_of(urls, P)).astype(np.int64)
+        routed = add_bucket_column(t, P, merge_route=mr)
+        pids = np.unique(routed.column("pid")
+                         .to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
         return pa.table({"pid": pa.array(pids)})
 
-    pids = sorted(int(p) for p in
-                  dl.map_batches(pid_partial, batch_format="pyarrow")
-                  .unique("pid"))
+    all_pids = sorted(int(p) for p in
+                      dl.map_batches(pid_partial, batch_format="pyarrow")
+                      .unique("pid"))
+    pids = [p for p in all_pids if p < P]
+    merge_pids = [p for p in all_pids if p >= P]
     manifest.uncommit_partitions(out_dir, pids)
 
-    summary = mp.run_pipeline(
-        input_path, out_dir,
-        strategy=config["strategy"],
-        monitor_start=config["monitor_start"],
-        num_partitions=P,
-        tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
-        monitor_params=config.get("monitor_params"),
-        fit_params=config.get("fit_params"),
-        fit_method=config.get("fit_method"),
-        screen_outliers=config.get("screen_outliers", "default"),
-        high_water_us=int(config["high_water_us"]),
-        resume=True, run_id=run_id,
-        reduce_num_cpus=reduce_num_cpus)
+    summary = {"partitions_processed": 0}
+    if pids:
+        summary = mp.run_pipeline(
+            input_path, out_dir,
+            strategy=config["strategy"],
+            monitor_start=config["monitor_start"],
+            num_partitions=P,
+            tiers=[rollup.TierSpec(**t) for t in config["tiers"]],
+            monitor_params=config.get("monitor_params"),
+            fit_params=config.get("fit_params"),
+            fit_method=config.get("fit_method"),
+            screen_outliers=config.get("screen_outliers", "default"),
+            high_water_us=int(config["high_water_us"]),
+            resume=True, run_id=run_id,
+            reduce_num_cpus=reduce_num_cpus)
+
+    if merge_pids:
+        manifest.uncommit_partitions(out_dir, merge_pids)
+        flat = mp.ingest_webtext(input_path)
+        n_rebuilt = _rebuild_merge_partitions(
+            out_dir, config, hot_sorted, m_tasks, merge_pids, flat,
+            run_id)
+        summary["partitions_processed"] = \
+            int(summary["partitions_processed"]) + n_rebuilt
 
     # archive the applied dead-letter files (audit, never re-applied)
     applied = os.path.join(out_dir, "dead_letter_applied", run_id)
@@ -743,6 +774,6 @@ def run_backfill(out_dir: str, input_path, run_id: str = "backfill",
     return {
         "late_rows_applied": int(late_rows),
         "partitions_rebuilt": int(summary["partitions_processed"]),
-        "affected_pids": pids,
+        "affected_pids": pids + merge_pids,
         "high_water_us": int(config["high_water_us"]),
     }

@@ -518,6 +518,19 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
         high_water_us = int(pa.scalar(hw, pa.timestamp("us"))
                             .cast(pa.int64()).as_py())
 
+    if hot_urls is None and resume:
+        # an existing store pins its salting layout: reuse the persisted
+        # hot set (possibly empty) instead of re-detecting — re-salting
+        # mid-life would scatter a url's state across inconsistent pids
+        try:
+            from nrt_ray.pipelines.incremental import read_run_config
+            prev = read_run_config(out_dir)
+            if "hot_urls" in prev \
+                    and int(prev.get("num_partitions", -1)) \
+                    == num_partitions:
+                hot_urls = prev["hot_urls"]
+        except (OSError, ValueError, KeyError):
+            pass
     if hot_urls is None and salt_threshold:
         if salt_threshold == "auto":
             # default-on heuristic — only where counting is a cheap

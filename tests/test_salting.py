@@ -348,3 +348,76 @@ def test_salted_forget_hot_and_cold(ray_session, skewed_webtext,
                         err_msg=f"{name}.{col}")
             else:
                 assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
+
+
+def test_salted_backfill_hot_late_rows(ray_session, skewed_webtext,
+                                       tmp_path):
+    """Late rows of the HOT url dead-letter and then backfill into its
+    MERGE partition (rebuilt from source); the final store equals the
+    salted one-shot over the full input."""
+    from nrt_ray.pipelines import incremental as inc
+
+    path, hot_rows = skewed_webtext
+    t = pq.read_table(path)
+    ts = t.column("warc_ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+    hot_url = "https://hot.example.com/live"
+    uts = np.unique(ts)
+    cut = int(np.quantile(uts, 0.7))
+    window = int(np.quantile(uts, 0.5))
+    # hold back a mid-window slice of the HOT url's rows
+    held = (urls == hot_url) & (ts > window) & (ts <= cut)
+    early = t.filter(pa.array((ts <= cut) & ~held))
+    batch2 = t.filter(pa.array((ts > cut) | held))
+    n_held = int(held.sum())
+    assert n_held > 0
+    ep = str(tmp_path / "early.parquet")
+    bp = str(tmp_path / "batch2.parquet")
+    pq.write_table(early, ep)
+    pq.write_table(batch2, bp)
+
+    hot = {hot_url}
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=5,
+                  tiers=TIERS, hot_urls=hot)
+    out = str(tmp_path / "out")
+    mp.run_pipeline(ep, out, **common)
+    s_inc = inc.run_increment(out, mp.ingest_webtext(bp))
+    # held rows at or below the early run's high-water dead-letter;
+    # the few above it (the early max may sit below `cut` once the hot
+    # slice is held back) ingest as new — both paths must reconverge
+    n_late = s_inc["late_rows"]
+    assert 0 < n_late <= n_held
+
+    s_bf = inc.run_backfill(out, [ep, bp])
+    assert s_bf["late_rows_applied"] == n_late
+    P = common["num_partitions"]
+    assert any(p >= P for p in s_bf["affected_pids"])
+
+    ref = str(tmp_path / "ref")
+    mp.run_pipeline(path, ref, **common)
+    for name in ("state", "rollup_1d", "rollup_1w", "segments"):
+        a = _read_all(out, name)
+        b = _read_all(ref, name)
+        assert a.num_rows == b.num_rows, name
+        for col in ("url",):
+            assert a.column(col).to_pylist() == \
+                b.column(col).to_pylist(), name
+        for col in a.column_names:
+            ca, cb = a.column(col), b.column(col)
+            if pa.types.is_floating(ca.type):
+                va = ca.to_numpy(zero_copy_only=False)
+                vb = cb.to_numpy(zero_copy_only=False)
+                np.testing.assert_allclose(va, vb, rtol=1e-9,
+                                           atol=1e-12, equal_nan=True,
+                                           err_msg=f"{name}.{col}")
+            elif pa.types.is_list(ca.type):
+                for x, y in zip(ca.to_pylist(), cb.to_pylist()):
+                    np.testing.assert_allclose(
+                        np.asarray(x, np.float64),
+                        np.asarray(y, np.float64), rtol=1e-9,
+                        atol=1e-12, equal_nan=True,
+                        err_msg=f"{name}.{col}")
+            else:
+                assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
