@@ -178,6 +178,7 @@ def queries() -> dict:
         "dsir_importance_docs": dsr.dsir_importance_docs,
         "dsir_select_docs": dsr.dsir_select_docs,
         "dup_span_stats_docs": tx.dup_span_stats_docs,
+        "gopher_rules_docs": tx.gopher_rules_docs,
         "source_overlap_matrix": tx.source_overlap_matrix,
         "mix_sources_docs": tx.mix_sources_docs,
         "bpe_encode_stats_docs": bp.bpe_encode_stats_docs,
@@ -1705,6 +1706,8 @@ def oracle_sql() -> dict:
         "dsir_select_docs": dsr.dsir_select_sql(),
         # ExactSubstr-style per-doc duplicated-window fraction
         "dup_span_stats_docs": tx.dup_span_stats_sql(),
+        # Gopher document-quality rules, integer-exact thresholds
+        "gopher_rules_docs": tx.gopher_rules_sql(),
         # source overlap matrix: shingle source-bitmask histogram
         "source_overlap_matrix": sk.source_overlap_sql(),
         # weighted corpus blending: largest-remainder quotas + md5 rank

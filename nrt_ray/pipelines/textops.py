@@ -149,6 +149,117 @@ def quality_scores(sf_dir: str):
                                           batch_format="pyarrow")
 
 
+#: Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", §A1.1.1): word-count band, mean-word-length
+#: band, minimum fraction of words containing an alphabetic character,
+#: minimum number of required-stopword hits.  Thresholds are evaluated
+#: with INTEGER cross-multiplication (e.g. 5·n_alpha ≥ 4·n_words for
+#: the 0.8 fraction) so engine and SQL agree exactly — no float
+#: boundary can flip a rule.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_ALPHA_FRAC_NUM = 4          # alpha_words / words >= 4/5
+GOPHER_ALPHA_FRAC_DEN = 5
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher repetition-free quality rules, integer-exact."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_words = _count_re(text, r"\S+").astype(np.int64)
+    n_ws = _count_re(text, r"\s").astype(np.int64)
+    n_nonws = n_chars - n_ws
+    # one match per whitespace-run token containing a letter (\S can't
+    # cross whitespace, so matches never span tokens)
+    n_alpha = _count_re(text, r"\S*[A-Za-z]\S*").astype(np.int64)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+    hit = np.isin(flat, np.asarray(GOPHER_STOPWORDS, dtype=object))
+    n_stop = np.bincount(doc_idx[hit],
+                         minlength=batch.num_rows).astype(np.int64)
+    p_wc = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)).astype(np.int64)
+    p_wl = ((GOPHER_MIN_MEAN_WORD_LEN * n_words <= n_nonws)
+            & (n_nonws <= GOPHER_MAX_MEAN_WORD_LEN * n_words)
+            & (n_words > 0)).astype(np.int64)
+    p_al = (GOPHER_ALPHA_FRAC_DEN * n_alpha
+            >= GOPHER_ALPHA_FRAC_NUM * n_words).astype(np.int64)
+    p_st = (n_stop >= GOPHER_MIN_STOP_HITS).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "n_nonws_chars": pa.array(n_nonws),
+        "n_alpha_words": pa.array(n_alpha),
+        "n_stop_hits": pa.array(n_stop),
+        "pass_word_count": pa.array(p_wc),
+        "pass_word_len": pa.array(p_wl),
+        "pass_alpha": pa.array(p_al),
+        "pass_stop": pa.array(p_st),
+        "passes": pa.array(p_wc & p_wl & p_al & p_st),
+    })
+
+
+def gopher_rules_docs(sf_dir: str):
+    """Catalog entry: the Gopher document-quality rules, one row per
+    document with each rule's verdict and the overall pass flag.  A
+    stateless vectorized corpus pass (Arrow regex counts + one token
+    ``np.isin``); no shuffle, no driver state."""
+    return _read_docs(sf_dir).map_batches(gopher_rules_batch,
+                                          batch_format="pyarrow")
+
+
+def gopher_rules_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_words,
+           CAST(length(text)
+                - len(regexp_extract_all(text, '\s')) AS BIGINT)
+               AS n_nonws_chars,
+           CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                AS BIGINT) AS n_alpha_words,
+           CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    t -> t IN ({stop_list}))) AS BIGINT) AS n_stop_hits
+    FROM documents
+)
+SELECT doc_id, n_words, n_nonws_chars, n_alpha_words, n_stop_hits,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS} AS BIGINT)
+           AS pass_word_count,
+       CAST({GOPHER_MIN_MEAN_WORD_LEN} * n_words <= n_nonws_chars
+            AND n_nonws_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words
+            AND n_words > 0 AS BIGINT) AS pass_word_len,
+       CAST({GOPHER_ALPHA_FRAC_DEN} * n_alpha_words
+            >= {GOPHER_ALPHA_FRAC_NUM} * n_words AS BIGINT)
+           AS pass_alpha,
+       CAST(n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS BIGINT)
+           AS pass_stop,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND {GOPHER_MIN_MEAN_WORD_LEN} * n_words <= n_nonws_chars
+            AND n_nonws_chars <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words
+            AND n_words > 0
+            AND {GOPHER_ALPHA_FRAC_DEN} * n_alpha_words
+                >= {GOPHER_ALPHA_FRAC_NUM} * n_words
+            AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS BIGINT)
+           AS passes
+FROM base
+"""
+
+
 class LangId:
     """Stopword-hit language guesser: the language whose stopword set hits
     the most lowercase letter-run tokens wins; ties resolve in fixed

@@ -130,3 +130,41 @@ def test_dup_span_planted(ray_session, tmp_path):
     # empty docs duplicate each other
     assert out.loc[5, "n_dup_windows"] == 1
     assert out.loc[6, "dup_frac"] == 1.0
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    """Hand-computed Gopher rule verdicts: word-count band, integer
+    cross-multiplied mean-word-length and alpha-fraction thresholds,
+    stopword floor, and the boundary cases on each."""
+    from nrt_ray.pipelines.textops import gopher_rules_docs
+    good = ("the quick brown fox jumps over that lazy dog and runs "
+            * 5).strip()                       # 55 words, stopword-rich
+    rows = [
+        (1, good, "en"),                       # passes everything
+        (2, "the of and " * 3, "en"),          # 9 words < 50 -> wc fail
+        (3, " ".join(["a"] * 60), "en"),       # mean len 1 < 3 -> fail
+        (4, " ".join(["12345"] * 30 + ["the of"] * 12), "en"),
+        (5, "", "en"),                         # empty: everything fails
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = gopher_rules_docs(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "passes"] == 1
+    assert out.loc[1, "n_words"] == 55
+    assert out.loc[2, "pass_word_count"] == 0
+    assert out.loc[2, "pass_stop"] == 1
+    assert out.loc[3, "pass_word_len"] == 0    # 60 chars < 3*60
+    assert out.loc[3, "pass_word_count"] == 1
+    # doc4: 54 words (30 numeric + 24 from "the of"x12); alpha words =
+    # 24 -> 5*24 < 4*54 -> alpha fail; stopword hits ("the","of")x12=24
+    assert out.loc[4, "n_words"] == 54
+    assert out.loc[4, "n_alpha_words"] == 24
+    assert out.loc[4, "pass_alpha"] == 0
+    assert out.loc[4, "pass_stop"] == 1
+    assert out.loc[5, "n_words"] == 0
+    assert out.loc[5, "passes"] == 0
