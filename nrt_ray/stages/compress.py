@@ -3,20 +3,29 @@
 Closed rollup ranges are stored as binary segment blobs in Arrow ``binary``
 columns: timestamps with **delta-of-delta** coding, values with **XOR**
 coding (Facebook Gorilla, Pelkonen et al. 2015).  Unlike the classic
-per-point bit-stream, both codecs here work on fixed blocks of 128 points
-with a per-block bit-width header — the same information-theoretic idea
+per-point bit-stream, both codecs here work on fixed blocks of points
+(size recorded in each payload's header) with a per-block bit-width header — the same information-theoretic idea
 (delta-of-delta ≈ 0 for regular cadence; XOR of similar floats has long
 runs of leading/trailing zero bits) but encode AND decode are pure
 vectorized NumPy (bit matrices + ``packbits``), which is what makes the
 codec usable inside high-throughput ``map_batches`` stages.
 
-Format (little-endian):
-    dod segment:  u32 n | i64 first | i64 first_delta |
-                  blocks of ≤128 zigzag(dod) values:
+Format v2 ("dod+xor2", little-endian) — SELF-DESCRIBING block size:
+    dod segment:  u32 n | u16 block | i64 first | i64 first_delta |
+                  blocks of ≤block zigzag(dod) values:
                   u8 width | ceil(cnt·width/8) bytes
-    xor segment:  u32 n | u64 first |
-                  blocks of ≤128 xor values:
+    xor segment:  u32 n | u16 block | u64 first |
+                  blocks of ≤block xor values:
                   u8 shift | u8 width | ceil(cnt·width/8) bytes
+
+The ``block`` field in the header is what the decoder uses to chunk the
+stream, so payloads written with ANY block size decode correctly — the
+compile-time :data:`BLOCK` is only the encoder's default.  The previous
+"dod+xor" (v1) format had no block field (the decoder assumed the
+compile-time constant), which made a BLOCK change an on-disk format
+break; v1 payloads are therefore refused by ``decode_segments_table``
+and transparently re-encoded (not byte-reused) by the incremental path
+in :func:`segments_from_rollups`.
 
 Round-trip is exact (bit-for-bit) for any int64/float64 input including
 NaN payloads; exhaustively tested in tests/test_compress.py.
@@ -26,12 +35,17 @@ from __future__ import annotations
 
 import numpy as np
 
-#: values per fixed-width block.  1024 (vs the classic 128) trades a
-#: few % of compression (one wide outlier widens more neighbours) for
-#: ~8x fewer python-level pack calls — the encode cost was ~1/4 of the
-#: whole partition-processor task at 128 (profiled r4); decode reads
-#: the width bytes, so readers handle any block size transparently.
+#: default values per fixed-width block.  1024 (vs the classic 128)
+#: trades a few % of compression (one wide outlier widens more
+#: neighbours) for ~8x fewer python-level pack calls — the encode cost
+#: was ~1/4 of the whole partition-processor task at 128 (profiled r4).
+#: The chosen size is written into every payload header (u16), so
+#: decoders never depend on this constant.
 BLOCK = 1024
+
+#: codec tag written to the segment table.  "2" = the self-describing
+#: block-size header; bump again on any further layout change.
+CODEC = "dod+xor2"
 
 
 def _zigzag(x: np.ndarray) -> np.ndarray:
@@ -74,13 +88,17 @@ def _unpack(buf: memoryview, count: int, width: int) -> np.ndarray:
         axis=1, dtype=np.uint64)
 
 
-def encode_dod(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode an int64 array (e.g. epoch-µs timestamps)."""
+def encode_dod(ts: np.ndarray, block: int = BLOCK) -> bytes:
+    """Delta-of-delta encode an int64 array (e.g. epoch-µs timestamps).
+
+    ``block`` (1..65535) is written into the header; decoders read it
+    from the stream, so any value round-trips against the same decoder.
+    """
+    if not 1 <= block <= 0xFFFF:
+        raise ValueError(f"block must fit u16 and be >=1, got {block}")
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
-    head = np.empty(1, dtype=np.uint32)
-    head[0] = n
-    parts = [head.tobytes()]
+    parts = [n.to_bytes(4, "little") + block.to_bytes(2, "little")]
     if n == 0:
         return parts[0]
     parts.append(ts[:1].tobytes())
@@ -89,8 +107,8 @@ def encode_dod(ts: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     parts.append(deltas[:1].tobytes())
     dod = _zigzag(np.diff(deltas))  # n-2 values
-    for i in range(0, len(dod), BLOCK):
-        blk = dod[i:i + BLOCK]
+    for i in range(0, len(dod), block):
+        blk = dod[i:i + block]
         width = _bit_width(blk)
         parts.append(bytes([width]))
         parts.append(_pack(blk, width))
@@ -100,17 +118,21 @@ def encode_dod(ts: np.ndarray) -> bytes:
 def decode_dod(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    block = int(np.frombuffer(mv[4:6], dtype=np.uint16)[0])
+    if block == 0:
+        raise ValueError("corrupt or pre-v2 dod payload (block=0); "
+                         "v1 'dod+xor' payloads must be re-encoded")
     if n == 0:
         return np.array([], dtype=np.int64)
-    first = int(np.frombuffer(mv[4:12], dtype=np.int64)[0])
+    first = int(np.frombuffer(mv[6:14], dtype=np.int64)[0])
     if n == 1:
         return np.array([first], dtype=np.int64)
-    first_delta = int(np.frombuffer(mv[12:20], dtype=np.int64)[0])
-    pos = 20
+    first_delta = int(np.frombuffer(mv[14:22], dtype=np.int64)[0])
+    pos = 22
     out = np.empty(max(n - 2, 0), dtype=np.uint64)
     done = 0
     while done < n - 2:
-        cnt = min(BLOCK, n - 2 - done)
+        cnt = min(block, n - 2 - done)
         width = mv[pos]
         pos += 1
         out[done:done + cnt] = _unpack(mv[pos:], cnt, width)
@@ -123,19 +145,23 @@ def decode_dod(buf: bytes) -> np.ndarray:
                                    np.cumsum(deltas, dtype=np.int64)])
 
 
-def encode_xor(values: np.ndarray) -> bytes:
-    """XOR-encode a float64 array (Gorilla value stream, block-wise)."""
+def encode_xor(values: np.ndarray, block: int = BLOCK) -> bytes:
+    """XOR-encode a float64 array (Gorilla value stream, block-wise).
+
+    ``block`` (1..65535) is written into the header; decoders read it
+    from the stream, so any value round-trips against the same decoder.
+    """
+    if not 1 <= block <= 0xFFFF:
+        raise ValueError(f"block must fit u16 and be >=1, got {block}")
     v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
     n = len(v)
-    head = np.empty(1, dtype=np.uint32)
-    head[0] = n
-    parts = [head.tobytes()]
+    parts = [n.to_bytes(4, "little") + block.to_bytes(2, "little")]
     if n == 0:
         return parts[0]
     parts.append(v[:1].tobytes())
     xors = v[1:] ^ v[:-1]
-    for i in range(0, len(xors), BLOCK):
-        blk = xors[i:i + BLOCK]
+    for i in range(0, len(xors), block):
+        blk = xors[i:i + block]
         nz = blk[blk != 0]
         if len(nz) == 0:
             shift, width = 0, 0
@@ -153,14 +179,18 @@ def encode_xor(values: np.ndarray) -> bytes:
 def decode_xor(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     n = int(np.frombuffer(mv[:4], dtype=np.uint32)[0])
+    block = int(np.frombuffer(mv[4:6], dtype=np.uint16)[0])
+    if block == 0:
+        raise ValueError("corrupt or pre-v2 xor payload (block=0); "
+                         "v1 'dod+xor' payloads must be re-encoded")
     if n == 0:
         return np.array([], dtype=np.float64)
-    first = np.frombuffer(mv[4:12], dtype=np.uint64)[0]
-    pos = 12
+    first = np.frombuffer(mv[6:14], dtype=np.uint64)[0]
+    pos = 14
     xors = np.empty(n - 1, dtype=np.uint64)
     done = 0
     while done < n - 1:
-        cnt = min(BLOCK, n - 1 - done)
+        cnt = min(block, n - 1 - done)
         shift, width = mv[pos], mv[pos + 1]
         pos += 2
         xors[done:done + cnt] = _unpack(mv[pos:], cnt, width) \
@@ -195,6 +225,23 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
     if changed_urls is not None and old_segments is not None \
             and old_segments.num_rows:
         import pyarrow.compute as pc
+        # payloads from other codec versions (e.g. v1 "dod+xor", whose
+        # block size is not recorded in the stream) must NOT be carried
+        # over byte-identical: treat their urls as changed so they are
+        # re-encoded in the current format below.
+        legacy = old_segments.filter(pc.not_equal(
+            old_segments.column("codec"), CODEC))
+        if legacy.num_rows:
+            changed_urls = dict(changed_urls)
+            for tier_name in tier_tables:
+                lt = legacy.filter(pc.equal(legacy.column("tier"),
+                                            tier_name))
+                if lt.num_rows:
+                    changed_urls[tier_name] = sorted(
+                        set(map(str, changed_urls.get(tier_name, ())))
+                        | set(lt.column("url").to_pylist()))
+            old_segments = old_segments.filter(pc.equal(
+                old_segments.column("codec"), CODEC))
         keep_parts = []
         for tier_name in tier_tables:
             ch = np.asarray(changed_urls.get(tier_name, ()), dtype=object)
@@ -242,7 +289,7 @@ def segments_from_rollups(tier_tables: dict, max_points: int = 4096,
                 rows["seg_start"].append(int(ts[c]))
                 rows["seg_end"].append(int(ts[d - 1]))
                 rows["n_points"].append(d - c)
-                rows["codec"].append("dod+xor")
+                rows["codec"].append(CODEC)
                 rows["payload_ts"].append(encode_dod(ts[c:d]))
                 rows["payload_value"].append(encode_xor(mean[c:d]))
     out = pa.table({
@@ -290,6 +337,17 @@ def decode_segments_table(segments, tier: str | None = None,
     if tier is not None:
         segments = segments.filter(pc.equal(segments.column("tier"),
                                             tier))
+    if segments.num_rows:
+        nbad = segments.num_rows - pc.sum(pc.cast(pc.equal(
+            segments.column("codec"), CODEC), pa.int64())).as_py()
+        if nbad:
+            others = sorted(set(segments.column("codec").to_pylist())
+                            - {CODEC})
+            raise ValueError(
+                f"{nbad} segment(s) use codec(s) {others}; this reader "
+                f"only decodes {CODEC!r}.  v1 'dod+xor' payloads do not "
+                "record their block size — re-encode the store (any "
+                "increment re-encodes touched urls automatically).")
     if t0_us is not None:
         segments = segments.filter(pc.greater_equal(
             segments.column("seg_end").cast(pa.int64()), t0_us))

@@ -59,6 +59,61 @@ def test_xor_roundtrip_property(vals):
     np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
 
 
+@pytest.mark.parametrize("block", [1, 3, 7, 128, 1024, 65535])
+def test_block_size_self_describing(block):
+    """Payloads record their block size: a decoder compiled with ANY
+    default BLOCK reads payloads written at any other block size
+    (regression for the r4 BLOCK=128→1024 silent format break)."""
+    rng = np.random.default_rng(block)
+    ts = np.cumsum(rng.integers(1, 10**7, size=300)).astype(np.int64)
+    vals = rng.normal(size=300)
+    np.testing.assert_array_equal(
+        compress.decode_dod(compress.encode_dod(ts, block=block)), ts)
+    np.testing.assert_array_equal(
+        compress.decode_xor(compress.encode_xor(vals, block=block))
+        .view(np.uint64), vals.view(np.uint64))
+
+
+def test_block_size_header_only_difference():
+    """Same data at two block sizes decodes identically even though the
+    byte streams differ (block size is honored from the header, not the
+    compile-time constant)."""
+    ts = (np.arange(500) * 3600 * US).astype(np.int64)
+    e128 = compress.encode_dod(ts, block=128)
+    e1024 = compress.encode_dod(ts, block=1024)
+    assert e128 != e1024
+    np.testing.assert_array_equal(compress.decode_dod(e128),
+                                  compress.decode_dod(e1024))
+
+
+def test_legacy_codec_refused_and_migrated():
+    """v1 'dod+xor' rows: decode_segments_table refuses them loudly and
+    segments_from_rollups re-encodes (never byte-reuses) their urls."""
+    tier = pa.table({
+        "url": pa.array(["a"] * 4 + ["b"] * 4, pa.string()),
+        "bucket_ts": pa.array(list(range(0, 4 * US * 3600, US * 3600)) * 2,
+                              pa.int64()).cast(pa.timestamp("us")),
+        "mean": pa.array([1.0, 2.0, 3.0, 4.0] * 2, pa.float64()),
+    })
+    seg = compress.segments_from_rollups({"1h": tier})
+    assert set(seg.column("codec").to_pylist()) == {compress.CODEC}
+    # forge a v1 store: same rows, legacy codec tag + headerless payload
+    legacy = seg.set_column(
+        seg.column_names.index("codec"), "codec",
+        pa.array(["dod+xor"] * seg.num_rows, pa.string()))
+    with pytest.raises(ValueError, match="dod\\+xor"):
+        compress.decode_segments_table(legacy, tier="1h")
+    # incremental over the legacy store, nothing changed: both urls must
+    # be RE-ENCODED in v2 (byte-reuse of v1 payloads would decode wrong)
+    out = compress.segments_from_rollups(
+        {"1h": tier}, changed_urls={"1h": []}, old_segments=legacy)
+    assert set(out.column("codec").to_pylist()) == {compress.CODEC}
+    dec = compress.decode_segments_table(out, tier="1h")
+    assert dec.num_rows == 8
+    assert sorted(dec.column("mean").to_pylist()) == sorted(
+        [1.0, 2.0, 3.0, 4.0] * 2)
+
+
 def test_compression_ratio_regular_series():
     """Regular cadence + smooth values must compress well below raw size."""
     n = 4096
