@@ -122,13 +122,19 @@ class NbScorer:
         scores = np.tile(self.priorK, (len(texts), 1))
         if flat:
             fa = np.asarray(flat, dtype=object)
-            idx = np.searchsorted(self.vocab, fa)
-            idx_c = np.minimum(idx, len(self.vocab) - 1)
-            seen = (self.vocab[idx_c] == fa) if len(self.vocab) \
-                else np.zeros(len(fa), bool)
             doc_idx = np.repeat(np.arange(len(texts)), nper)
-            rows = np.where(seen[:, None], self.K[idx_c],
-                            self.unseenK[None, :])
+            if len(self.vocab):
+                idx = np.searchsorted(self.vocab, fa)
+                idx_c = np.minimum(idx, len(self.vocab) - 1)
+                seen = self.vocab[idx_c] == fa
+                rows = np.where(seen[:, None], self.K[idx_c],
+                                self.unseenK[None, :])
+            else:
+                # empty training vocabulary: every token is unseen; the
+                # np.where path would fancy-index the (0, L) K matrix
+                # with -1 (np.where evaluates both branches)
+                rows = np.broadcast_to(self.unseenK[None, :],
+                                       (len(fa), len(self.langs)))
             np.add.at(scores, doc_idx, rows)
         pred = np.argmax(scores, axis=1)     # first max = smallest lang
         plang = self.langs[pred]

@@ -550,19 +550,62 @@ def _rebuild_merge_partitions(out_dir: str, config: dict, hot_sorted,
         monitor_params=config.get("monitor_params"),
         fit_params=config.get("fit_params"))
     rebuild_remote = _ray.remote(_merge_rebuild)
-    n_rebuilt = 0
+    # materialize the source block refs ONCE (iterating inside the loop
+    # would re-execute the flat stream per merge partition) and launch
+    # every rebuild task concurrently, gathering once
+    blocks = None
+    futs = []
     for mpid in sorted(merge_pids):
         m = mpid - P
         want = {u for i, u in enumerate(hot_sorted)
                 if i % m_tasks == m and u not in exclude}
         if not want:
             continue
-        blocks = list(_iter_block_refs(flat))
-        res = _ray.get(rebuild_remote.remote(
+        if blocks is None:
+            blocks = list(_iter_block_refs(flat))
+        futs.append(rebuild_remote.remote(
             mpid, processor_kwargs, want, *blocks))
-        if res is not None:
-            n_rebuilt += 1
-    return n_rebuilt
+    return sum(1 for res in _ray.get(futs) if res is not None)
+
+
+def _scrub_hot_series(out_dir: str, urls) -> int:
+    """Remove ``urls`` from every one-shot ``hot_series`` intermediate.
+
+    A salted one-shot run writes each hot url's assembled sub-series
+    aside in nearly every hash partition (``hot_series/part=*``) for the
+    merge phase to replay.  Right-to-be-forgotten covers every output
+    artifact, intermediates included — rebuilding the merge partitions
+    alone would leave the forgotten url's complete raw series on disk.
+    Atomic rewrite per file (tmp + rename, the manifest discipline);
+    files left empty are deleted.  Returns how many files were touched.
+    """
+    import glob as _glob
+
+    import ray as _ray
+
+    files = sorted(_glob.glob(os.path.join(
+        out_dir, "hot_series", "part=*", "part.parquet")))
+    if not files:
+        return 0
+    urls_sorted = sorted(set(urls))
+
+    def scrub(path: str) -> int:
+        import pyarrow.parquet as _pq
+        t = _pq.read_table(path, use_threads=False)
+        drop = pc.is_in(t.column("url"),
+                        value_set=pa.array(urls_sorted, pa.string()))
+        if not (pc.sum(pc.cast(drop, pa.int64())).as_py() or 0):
+            return 0
+        kept = t.filter(pc.invert(drop))
+        if kept.num_rows:
+            tmp = path + f".tmp-{os.getpid()}"
+            _pq.write_table(kept, tmp)
+            os.replace(tmp, path)
+        else:
+            os.remove(path)
+        return 1
+    scrub_remote = _ray.remote(num_cpus=0.5)(scrub)
+    return int(sum(_ray.get([scrub_remote.remote(f) for f in files])))
 
 
 def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
@@ -591,6 +634,11 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
     remaining urls — increment-proof, unlike replaying the one-shot
     ``hot_series`` intermediates); the persisted hot-url list stays
     intact so increment routing for the other hot urls is unchanged.
+    The forgotten urls are additionally scrubbed from every
+    ``hot_series/part=*`` intermediate file — the one-shot run wrote
+    their full assembled sub-series aside in nearly every hash
+    partition, and "every output artifact" includes intermediates
+    (only the append-only ``dead_letter`` audit log is exempt).
     """
     from nrt_ray.pipelines import monitor_pipeline as mp
     from nrt_ray.stages.assemble import bucket_of
@@ -651,6 +699,12 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
         summary["partitions_processed"] = \
             int(summary["partitions_processed"]) + n_rebuilt
 
+    # scrub forgotten HOT urls out of the one-shot hot_series
+    # intermediates (after the rebuilds: the hash-pid rebuild rewrites
+    # its own pids' files from the already-filtered flat stream, so the
+    # scrub only has the untouched partitions left to clean)
+    scrubbed = _scrub_hot_series(out_dir, hot_forgot) if hot_forgot else 0
+
     # a partition whose every url was forgotten gets no exchange rows →
     # its stale tables must be dropped and an empty commit recorded
     still_open = (set(pids) | set(merge_pids)) \
@@ -673,6 +727,7 @@ def run_forget(out_dir: str, input_path, urls, run_id: str = "forget",
         "partitions_emptied": len(still_open),
         "urls_forgotten": int(len(urls_arr)),
         "affected_pids": pids + merge_pids,
+        "hot_series_files_scrubbed": int(scrubbed),
     }
 
 

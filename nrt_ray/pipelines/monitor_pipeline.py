@@ -19,12 +19,17 @@ Skew note: hash partitioning over *urls* spreads hot domains automatically
 (each url is its own key); per-url hot series (daily vs weekly crawls) only
 skew a partition by the ratio of cadences, which ``num_partitions ≈ 4 ×
 cores`` absorbs.  For a single url exceeding partition capacity the SURVEY
-§4 salting path IS wired: ``run_pipeline(salt_threshold=N)`` (or an
-explicit ``hot_urls`` set) time-slices the hot url's rows across
+§4 salting path is ON BY DEFAULT (``salt_threshold="auto"``): detection is
+one url-column pruned scan through a fold-side-filtered hash exchange
+(threshold = max(8× mean rows/url, half a mean partition share, 10k rows));
+detected (or explicitly passed) ``hot_urls`` are time-sliced across
 partitions and a tiny merge phase re-concatenates the assembled slices
-(see ``merge_hot_partitions``); disabled by default because detection
-costs one url-column scan and ordinary crawl cadences stay far below any
-sane threshold.
+(see ``merge_hot_partitions``).  Pass ``salt_threshold=None`` to disable,
+an int for a fixed threshold, or a precomputed ``hot_urls`` set to skip
+detection entirely (the bench does this to keep detection out of steady
+runs).  The hot-url list and merge-task count persist in the run config,
+so increments, continuous mode, forget, backfill and the point-read
+serving API all route hot urls to their committed merge partitions.
 """
 
 from __future__ import annotations
@@ -685,29 +690,40 @@ def read_output_table(out_dir: str, table: str):
     return pa.concat_tables(parts)
 
 
+def _serving_pid(out_dir: str, config: dict, url: str) -> int:
+    """Partition that OWNS ``url``'s committed outputs: its hash
+    partition — or, on a salted run, a HOT url's merge partition
+    ``P + sorted_rank % M`` from the persisted layout (the same routing
+    the increment / continuous / forget paths use)."""
+    from nrt_ray.pipelines.incremental import salted_layout
+    from nrt_ray.stages.assemble import bucket_of
+    P = int(config["num_partitions"])
+    hot_sorted, m_tasks, _ = salted_layout(out_dir, config)
+    if m_tasks and url in hot_sorted:
+        return P + hot_sorted.index(url) % m_tasks
+    return int(bucket_of(np.asarray([url], dtype=object), P)[0])
+
+
 def lookup_url(out_dir: str, url: str) -> dict:
-    """O(1)-partition point lookup: hash the url to its owning
+    """O(1)-partition point lookup: route the url to its owning
     partition, read ONLY that partition's state / alerts / segments
     files, and return the url's monitor state plus per-tier decoded
     point counts and the latest rollup point per tier.  The whole read
     touches ``|tables|`` files regardless of P or corpus size — the
     serving-path complement to the scan-shaped queries.
 
-    Salted runs are refused like the other partition-surgery paths
-    (a hot url's state lives in merged partitions)."""
+    Salted runs serve too: a hot url reads its merge partition (the
+    persisted ``P + sorted_rank % M`` routing), everything else its
+    hash partition."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from nrt_ray.pipelines.incremental import read_run_config
-    from nrt_ray.stages.assemble import bucket_of
     from nrt_ray.stages.compress import decode_segments_table
     from nrt_ray.state import manifest as mf
 
     config = read_run_config(out_dir)
-    P = int(config["num_partitions"])
-    if any(pid >= P for pid in mf.committed_partitions(out_dir)):
-        raise RuntimeError("lookup_url does not support salted runs")
-    pid = int(bucket_of(np.asarray([url], dtype=object), P)[0])
+    pid = _serving_pid(out_dir, config, url)
     out = {"url": url, "pid": pid, "state": None, "alerts": 0,
            "tiers": {}}
 
@@ -754,24 +770,21 @@ def read_url_range(out_dir: str, url: str, t0_us: int, t1_us: int,
     budget (:func:`nrt_ray.stages.rollup.choose_tier`), decode ONLY
     that url's segments overlapping the range (segment metadata prunes
     before any payload decodes), and return the (bucket_ts, mean)
-    series.  Still O(1) files read at any P or corpus size."""
+    series.  Still O(1) files read at any P or corpus size; on salted
+    runs a hot url reads its merge partition (persisted routing)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from nrt_ray.pipelines.incremental import read_run_config
-    from nrt_ray.stages.assemble import bucket_of
     from nrt_ray.stages.compress import decode_segments_table
     from nrt_ray.stages.rollup import TierSpec, choose_tier
     from nrt_ray.state import manifest as mf
 
     config = read_run_config(out_dir)
-    P = int(config["num_partitions"])
-    if any(pid >= P for pid in mf.committed_partitions(out_dir)):
-        raise RuntimeError("read_url_range does not support salted runs")
     tiers = [TierSpec(**t) for t in config["tiers"]]
     tier = choose_tier(tiers, t0_us, t1_us, max_points,
                        now_us=int(config["high_water_us"]))
-    pid = int(bucket_of(np.asarray([url], dtype=object), P)[0])
+    pid = _serving_pid(out_dir, config, url)
     f = os.path.join(mf.partition_dir(out_dir, "segments", pid),
                      "part.parquet")
     out = {"url": url, "pid": pid, "tier": tier.name, "points": 0,

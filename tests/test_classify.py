@@ -77,3 +77,21 @@ def test_unseen_token_scoring_is_defined(ray_session, tmp_path):
     best = min(sorted(exp), key=lambda l: (-exp[l], l))
     assert out.loc[0, "pred_lang"] == best
     assert int(out.loc[0, "score"]) == exp[best]
+
+
+def test_empty_vocab_scoring_is_defined():
+    """An empty training vocabulary with tokenful documents must score
+    every token through the unseen row (the np.where path fancy-indexed
+    the (0, L) K matrix with -1 and crashed)."""
+    from nrt_ray.pipelines.classify import NbScorer
+    scorer = NbScorer(["en", "fr"], [], np.zeros((0, 2), np.int64),
+                      [10, 20], [-5, -7])
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["aa bb cc"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    out = scorer(batch).to_pandas()
+    # en: 10 + 3*(-5) = -5; fr: 20 + 3*(-7) = -1 -> fr wins
+    assert out.loc[0, "pred_lang"] == "fr"
+    assert int(out.loc[0, "score"]) == -1

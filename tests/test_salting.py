@@ -308,6 +308,16 @@ def test_salted_forget_hot_and_cold(ray_session, skewed_webtext,
     assert any(p >= P for p in s["affected_pids"])   # merge pid touched
     assert any(p < P for p in s["affected_pids"])    # hash pid touched
 
+    # right-to-be-forgotten reaches the one-shot hot_series
+    # intermediates too: no surviving file may still hold the hot url
+    import glob
+    import os
+    assert s["hot_series_files_scrubbed"] >= 1
+    for f in glob.glob(os.path.join(out, "hot_series", "part=*",
+                                    "part.parquet")):
+        assert hot_url not in pq.read_table(
+            f, columns=["url"]).column("url").to_pylist(), f
+
     # reference: salted run over the filtered input, same hot set minus
     # nothing (forgotten urls just absent from the stream)
     keep = ~np.isin(np.asarray(t.column("url").to_pylist(),
@@ -421,3 +431,38 @@ def test_salted_backfill_hot_late_rows(ray_session, skewed_webtext,
                         err_msg=f"{name}.{col}")
             else:
                 assert ca.to_pylist() == cb.to_pylist(), f"{name}.{col}"
+
+
+def test_salted_serving_point_reads(ray_session, skewed_webtext,
+                                    tmp_path):
+    """lookup_url / read_url_range on a salted store: a hot url serves
+    from its merge partition, a cold url from its hash partition — both
+    agree with the full-table read path (no more refusal)."""
+    path, hot_rows = skewed_webtext
+    hot_url = "https://hot.example.com/live"
+    out = str(tmp_path / "out")
+    mp.run_pipeline(path, out, strategy="EWMA",
+                    monitor_params={"trend": False},
+                    monitor_start="2021-01-01", num_partitions=5,
+                    tiers=TIERS, hot_urls={hot_url})
+
+    t = pq.read_table(path, columns=["url"])
+    cold_url = next(u for u in sorted(set(t.column("url").to_pylist()))
+                    if u != hot_url)
+    full = mp.read_output_table(out, "rollup_1d")
+    for url in (hot_url, cold_url):
+        res = mp.lookup_url(out, url)
+        assert res["state"] is not None and res["state"]["url"] == url
+        mine = full.filter(np.asarray(
+            [u == url for u in full.column("url").to_pylist()]))
+        assert res["tiers"]["1d"]["points"] == mine.num_rows, url
+    # the hot url must have routed to a merge pid (>= P)
+    assert mp.lookup_url(out, hot_url)["pid"] >= 5
+    assert mp.lookup_url(out, cold_url)["pid"] < 5
+
+    ts_int = full.column("bucket_ts").cast("int64").to_pylist()
+    t0, t1 = min(ts_int), max(ts_int) + 1
+    rr = mp.read_url_range(out, hot_url, t0, t1, max_points=10**6)
+    keep = [(u == hot_url and t0 <= ts < t1) for u, ts in zip(
+        full.column("url").to_pylist(), ts_int)]
+    assert rr["points"] == int(np.sum(keep)) > 0
