@@ -140,6 +140,9 @@ def headline(num_cpus: int) -> dict:
             "pp_task_seconds": summary["pp_task_seconds"],
             "pp_max_seconds": summary["pp_max_seconds"],
             "busy_core_seconds": busy_cores,
+            # wall of the auto-salting detection TASK (runs concurrently
+            # with read/extract — overlapped, not serial, since r5)
+            "salt_detect_sec": summary.get("salt_detect_sec"),
             "retier_seconds": retier_dt,
             "retier_points": rt["rollup_points"]}
 
@@ -190,6 +193,10 @@ BENCH_QUERIES = (
     "multi_topk_cosine",
     "nb_classify_docs",
     "dsir_importance_docs",
+    "dsir_select_docs",
+    "gopher_rules_docs",
+    "gopher_filter_docs",
+    "dup_span_stats_docs",
     "funnel_conversion_events",
     "attribution_events",
 )
@@ -400,7 +407,7 @@ def main() -> None:
     # the shared host's delivered throughput swings ~2x minute to minute
     # (see BASELINE.md); report the best of N back-to-back runs as the
     # headline plus every raw wall time — identical work each run
-    n_head = int(os.environ.get("NRT_BENCH_HEADLINE_REPEAT", "2"))
+    n_head = int(os.environ.get("NRT_BENCH_HEADLINE_REPEAT", "3"))
     runs = [headline(NUM_CPUS) for _ in range(max(1, n_head))]
     head = min(runs, key=lambda r: r["seconds"])
     queries = {} if os.environ.get("NRT_BENCH_SKIP_QUERIES") \
@@ -420,6 +427,10 @@ def main() -> None:
         "rows_per_sec": round(head["input_rows"] / head["seconds"]),
         "pp_task_seconds": head["pp_task_seconds"],
         "pp_max_seconds": head["pp_max_seconds"],
+        # per-run wall of the hot-url detection task (overlapped with
+        # read/extract inside the pipeline — informational, not serial)
+        "salt_detect_sec": head.get("salt_detect_sec"),
+        "salt_detect_sec_runs": [r.get("salt_detect_sec") for r in runs],
         "retier_seconds": round(head["retier_seconds"], 3),
         "retier_points": head["retier_points"],
         # fraction of the ideal wall the wide stage achieved (reduce

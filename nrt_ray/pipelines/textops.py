@@ -1487,23 +1487,31 @@ def dup_span_stats_docs(sf_dir: str, k: int = _SHINGLE_K):
             .astype(np.int64)
         flat, counts = _token_hash_segments(batch["text"].to_pylist())
         grams = _ordered_shingles(flat, counts, k)
-        sh_out, id_out, n_out = [], [], []
-        for d, g in zip(ids, grams):
-            u, c = np.unique(g, return_counts=True)
-            sh_out.append(u.view(np.int64))
-            id_out.append(np.full(len(u), d, np.int64))
-            n_out.append(c.astype(np.int64))
-        sh = np.concatenate(sh_out) if sh_out else \
-            np.array([], np.int64)
+        # per-doc distinct shingles + multiplicities via ONE lexsort
+        # over packed (doc_idx, shingle) + run-length boundaries (the
+        # hll_fold pattern) — no per-document np.unique loop
+        glens = np.fromiter((len(g) for g in grams), np.int64,
+                            count=len(grams))
+        allg = np.concatenate(grams) if len(grams) else \
+            np.array([], np.uint64)
+        doc_idx = np.repeat(np.arange(len(glens)), glens)
+        order = np.lexsort((allg, doc_idx))
+        sd, sg = doc_idx[order], allg[order]
+        if len(sd):
+            starts = np.flatnonzero(np.r_[True, (sd[1:] != sd[:-1])
+                                          | (sg[1:] != sg[:-1])])
+            cnt = np.diff(np.r_[starts, len(sg)]).astype(np.int64)
+        else:
+            starts = np.array([], np.int64)
+            cnt = np.array([], np.int64)
+        sh = sg[starts].view(np.int64)
         with np.errstate(over="ignore"):
             pid = (sh.view(np.uint64) * _MIX_MULT
                    % np.uint64(nparts)).astype(np.int64)
         return pa.table({
             "shingle": pa.array(sh, pa.int64()),
-            "doc_id": pa.array(np.concatenate(id_out) if id_out
-                               else np.array([], np.int64)),
-            "n": pa.array(np.concatenate(n_out) if n_out
-                          else np.array([], np.int64)),
+            "doc_id": pa.array(ids[sd[starts]], pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
             "pid": pa.array(pid),
         })
 

@@ -55,9 +55,20 @@ import ray
 _HIERARCHICAL_MIN_P = int(os.environ.get("NRT_EXCHANGE_HIER_MIN_P", "128"))
 
 
-def _split_block(block: pa.Table, num_partitions: int, divisor: int = 1):
+def _split_block(block: pa.Table, num_partitions: int, divisor: int = 1,
+                 prep_fn=None, *prep_args):
     """Slice one block into per-``pid // divisor`` sub-tables (sort by
-    key + boundary slicing — zero-copy on the value buffers)."""
+    key + boundary slicing — zero-copy on the value buffers).
+
+    ``prep_fn(block, *prep_args) -> block`` runs first when given — the
+    hook that lets callers fold a routing/filter stage INTO the split
+    task (one less object-store hop than a separate ``map_batches``).
+    ``prep_args`` may contain ``ObjectRef``s: they arrive RESOLVED (Ray
+    resolves top-level task args), so a small broadcast side input
+    computed concurrently (e.g. the hot-url set) gates only the split
+    tasks, never the upstream read/extract stream."""
+    if prep_fn is not None:
+        block = prep_fn(block, *prep_args)
     if block.num_rows == 0 or "pid" not in block.column_names:
         # fully-filtered blocks surface with an empty schema
         return tuple(None for _ in range(num_partitions)) \
@@ -97,19 +108,27 @@ def _resplit(coarse: int, fanout: int, *tables):
 
 
 def _exchange_reduce_refs(ds, num_partitions: int, reduce_remote,
-                          hierarchical: bool | None = None) -> list:
+                          hierarchical: bool | None = None,
+                          prep_fn=None, prep_args=()) -> list:
     """Common plan of both exchange entry points: split ``ds``'s blocks
     by pid (flat or two-level) and submit one reduce task per partition;
-    returns the P output refs."""
+    returns the P output refs.  ``prep_fn``/``prep_args`` run inside
+    the (first) split hop — see :func:`_split_block`."""
     if num_partitions == 1:
-        block_refs = list(_iter_block_refs(ds))
+        if prep_fn is None:
+            block_refs = list(_iter_block_refs(ds))
+            return [reduce_remote.remote(0, *block_refs)]
+        prep_remote = ray.remote(_split_block)
+        block_refs = [prep_remote.remote(ref, 1, 1, prep_fn, *prep_args)
+                      for ref in _iter_block_refs(ds)]
         return [reduce_remote.remote(0, *block_refs)]
     if hierarchical is None:
         hierarchical = num_partitions >= _HIERARCHICAL_MIN_P
     if not hierarchical:
         split_remote = ray.remote(num_returns=num_partitions)(_split_block)
         # submit split tasks as upstream blocks stream in (pipelined)
-        split_refs = [split_remote.remote(ref, num_partitions)
+        split_refs = [split_remote.remote(ref, num_partitions, 1,
+                                          prep_fn, *prep_args)
                       for ref in _iter_block_refs(ds)]
         return [reduce_remote.remote(p,
                                      *[split_refs[b][p]
@@ -121,7 +140,8 @@ def _exchange_reduce_refs(ds, num_partitions: int, reduce_remote,
         if n_coarse > 1 else ray.remote(_split_block)
     resplit_remote = ray.remote(num_returns=fanout)(_resplit) \
         if fanout > 1 else ray.remote(_resplit)
-    coarse_refs = [coarse_remote.remote(ref, n_coarse, fanout)
+    coarse_refs = [coarse_remote.remote(ref, n_coarse, fanout,
+                                        prep_fn, *prep_args)
                    for ref in _iter_block_refs(ds)]
     out = []
     for c in range(n_coarse):
@@ -149,16 +169,22 @@ def _iter_block_refs(ds):
 
 def exchange_map_groups(ds, num_partitions: int, process_fn,
                         num_cpus_per_reduce: float = 1.0,
-                        hierarchical: bool | None = None) -> list:
+                        hierarchical: bool | None = None,
+                        prep_fn=None, prep_args=()) -> list:
     """Run ``process_fn`` once per pid partition of ``ds``.
 
     Args:
         ds: Dataset whose rows carry an int ``pid`` column in
-            ``[0, num_partitions)``.
+            ``[0, num_partitions)`` — or, when ``prep_fn`` is given, a
+            Dataset whose blocks ``prep_fn`` maps to pid-carrying tables
+            inside the split tasks themselves.
         process_fn: ``pa.Table -> pa.Table`` called with one partition's
             full table (rows in arbitrary order, like map_groups).
         hierarchical: force the two-level split path on (True) or off
             (False); None = auto (on at P ≥ _HIERARCHICAL_MIN_P).
+        prep_fn / prep_args: routing/filter fold for the split hop
+            (``prep_args`` ObjectRefs arrive resolved) — see
+            :func:`_split_block`.
 
     Returns:
         list of result tables (one per non-empty partition).
@@ -172,7 +198,7 @@ def exchange_map_groups(ds, num_partitions: int, process_fn,
 
     reduce_remote = ray.remote(num_cpus=num_cpus_per_reduce)(_reduce)
     out_refs = _exchange_reduce_refs(ds, num_partitions, reduce_remote,
-                                     hierarchical)
+                                     hierarchical, prep_fn, prep_args)
     results = []
     pending = list(out_refs)
     while pending:

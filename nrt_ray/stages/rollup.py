@@ -122,22 +122,35 @@ def gapfill_linear(rolled: dict, width_us: int, max_gap: int | None = None):
     fill_mean = (rolled["mean"][gap_src] * (1 - frac)
                  + rolled["mean"][gap_src + 1] * frac)
 
-    def cat(a, b):
-        return np.concatenate([a, b])
+    # scatter-merge instead of concat + lexsort: originals keep their
+    # relative order and each gap's fills land right after their left
+    # anchor, so the output is (series, bucket)-sorted BY CONSTRUCTION
+    # (identical to the former lexsort result — keys never collide)
+    orig_pos = np.arange(n)
+    orig_pos[1:] += np.cumsum(nmiss)
+    fill_pos = orig_pos[gap_src] + step
+    m = n + total
 
-    out = {
-        "series_idx": cat(sidx, sidx[gap_src]),
-        "bucket_ts": cat(bts, fill_ts),
-        "count": cat(rolled["count"], np.zeros(total, np.int32)),
-        "sum": cat(rolled["sum"], nrfull(total, np.nan)),
-        "mean": cat(rolled["mean"], fill_mean),
-        "min": cat(rolled["min"], nrfull(total, np.nan)),
-        "max": cat(rolled["max"], nrfull(total, np.nan)),
-        "last": cat(rolled["last"], nrfull(total, np.nan)),
-        "gapfilled": cat(np.zeros(n, bool), np.ones(total, bool)),
+    def merge(a, fill):
+        out = np.empty(m, a.dtype)
+        out[orig_pos] = a
+        out[fill_pos] = fill
+        return out
+
+    gapfilled = np.zeros(m, bool)
+    gapfilled[fill_pos] = True
+    nanfill = nrfull(total, np.nan)
+    return {
+        "series_idx": merge(sidx, sidx[gap_src]),
+        "bucket_ts": merge(bts, fill_ts),
+        "count": merge(rolled["count"], np.zeros(total, np.int32)),
+        "sum": merge(rolled["sum"], nanfill),
+        "mean": merge(rolled["mean"], fill_mean),
+        "min": merge(rolled["min"], nanfill),
+        "max": merge(rolled["max"], nanfill),
+        "last": merge(rolled["last"], nanfill),
+        "gapfilled": gapfilled,
     }
-    order = np.lexsort((out["bucket_ts"], out["series_idx"]))
-    return {k: v[order] for k, v in out.items()}
 
 
 def apply_retention(rolled: dict, width_us: int, retention_us: int | None,

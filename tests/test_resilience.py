@@ -96,3 +96,59 @@ def test_cogroup_survives_worker_death(ray_session, tmp_path):
     assert os.path.exists(marker)
     assert got["k"].tolist() == list(range(10))
     assert got["n"].tolist() == [10] * 10
+
+
+def test_flagship_pipeline_survives_mid_commit_death(ray_session,
+                                                     tmp_path):
+    """FLAGSHIP end-to-end: a reduce worker dies after writing its
+    partition's state table but before the manifest commit.  Ray's task
+    retry must rerun the partition, the atomic tmp+rename writes must
+    overwrite the partial output, and every artifact must equal the
+    uninterrupted run byte-for-bit (mirrors the reference's atomic-move
+    backup story, /root/reference/docs/deploy.rst:445-448)."""
+    import pyarrow.parquet as pq
+
+    from nrt_ray.pipelines import monitor_pipeline as mp
+    from nrt_ray.sources import synthetic
+    from nrt_ray.stages import rollup
+
+    d = str(tmp_path / "wt")
+    info = synthetic.generate_webtext(d, n_urls=16, seed=11)
+    tiers = (rollup.TierSpec("1d"), rollup.TierSpec("1w"))
+    common = dict(strategy="EWMA", monitor_params={"trend": False},
+                  monitor_start="2021-01-01", num_partitions=4,
+                  tiers=tiers)
+
+    ref = str(tmp_path / "ref")
+    mp.run_pipeline(info["webtext"], ref, **common)
+
+    marker = str(tmp_path / "died_once")
+
+    def die_once_mid_commit(pid: int) -> None:
+        # kill THIS worker process the first time any partition reaches
+        # the post-state-write / pre-commit window (partial uncommitted
+        # output on disk) — the hardest crash point for the manifest
+        # contract.  (A closure so cloudpickle ships it by value; the
+        # tests package is not importable from Ray workers.)
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write(str(pid))
+            os._exit(1)
+
+    out = str(tmp_path / "out")
+    s = mp.run_pipeline(info["webtext"], out,
+                        fault_hook=die_once_mid_commit, **common)
+    assert os.path.exists(marker), "fault was never injected"
+    assert s["partitions_processed"] == 4
+
+    for name in ("state", "alerts", "rollup_1d", "rollup_1w",
+                 "segments"):
+        a = mp.read_output_table(out, name)
+        b = mp.read_output_table(ref, name)
+        assert a.num_rows == b.num_rows, name
+        assert a.equals(b), f"{name} differs after mid-commit death"
+
+    # and the store still resumes as fully committed (no orphan work)
+    s2 = mp.run_pipeline(info["webtext"], out, **common)
+    assert s2["partitions_processed"] == 0
+    assert s2["partitions_skipped"] == 4
