@@ -232,6 +232,44 @@ def run_queries(sf_dir: str) -> dict:
 
 INCREMENT_CUT = os.environ.get("NRT_BENCH_INCREMENT_CUT", "2022-01-01")
 INCREMENT_BATCHES = int(os.environ.get("NRT_BENCH_INCREMENT_BATCHES", "6"))
+# --increment --late-frac F (or NRT_BENCH_LATE_FRAC): delay this
+# fraction of every micro-batch's EARLIEST rows into the next delivery,
+# so they arrive below the committed high-water mark and take the full
+# late-data path (dead-letter audit → run_backfill repair), measuring
+# the complete lifecycle cost rather than only clean steady-state applies
+LATE_FRAC = float(os.environ.get("NRT_BENCH_LATE_FRAC", "0"))
+
+
+def _late_batches(batch_paths: list, frac: float) -> list:
+    """Deterministic late-delivery remix of the micro-batch files: each
+    batch's earliest ``frac`` rows ship with the NEXT batch (the last
+    batch's holdback becomes an extra all-late delivery).  Cached."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = f"late{frac:g}"
+    out_paths = [p.replace(".parquet", f"_{tag}.parquet")
+                 for p in batch_paths]
+    extra = batch_paths[-1].replace(".parquet", f"_{tag}_tail.parquet")
+    out_paths.append(extra)
+    if all(os.path.exists(p) for p in out_paths):
+        return out_paths
+    held = None
+    for src, dst in zip(batch_paths, out_paths[:-1]):
+        t = pq.read_table(src)
+        ts = t.column("warc_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cut = np.quantile(ts, frac, method="lower")
+        m = ts <= cut
+        hold = t.filter(pa.array(m))
+        keep = t.filter(pa.array(~m))
+        delivered = pa.concat_tables([held, keep]) \
+            if held is not None else keep
+        pq.write_table(delivered, dst)
+        held = hold
+    pq.write_table(held, extra)
+    return out_paths
 
 
 def increment_bench(num_cpus: int) -> dict:
@@ -278,6 +316,9 @@ def increment_bench(num_cpus: int) -> dict:
             m = (ts > edges[i]) & (ts <= edges[i + 1])
             pq.write_table(t.filter(pa.array(m)), p)
 
+    late_mode = LATE_FRAC > 0
+    deliver_paths = _late_batches(batch_paths, LATE_FRAC) if late_mode \
+        else batch_paths
     out = {}
     for mode in ("discrete", "continuous"):
         base_out = tempfile.mkdtemp(prefix=f"nrt_incr_{mode}_")
@@ -286,31 +327,48 @@ def increment_bench(num_cpus: int) -> dict:
             monitor_start="2021-01-01", monitor_params={"trend": False},
             num_partitions=BENCH_PARTITIONS, resume=False,
             reduce_num_cpus=max(1.0, min(REDUCE_CPUS, num_cpus / 2)))
-        rows = points = 0
+        rows = points = late_seen = 0
         batch_secs = []
         t0 = time.perf_counter()
         if mode == "discrete":
-            for p in batch_paths:
+            for p in deliver_paths:
                 tb = time.perf_counter()
                 s = inc.run_increment(base_out, mp.ingest_webtext(p))
                 batch_secs.append(round(time.perf_counter() - tb, 3))
                 rows += s["input_rows"]
-                points = s["rollup_points"]
+                late_seen += int(s.get("late_rows", 0))
+                points = s["rollup_points"] or points
         else:
             cm = ContinuousMonitor(base_out)
             task_secs = []
             try:
-                for p in batch_paths:
+                for p in deliver_paths:
                     tb = time.perf_counter()
                     s = cm.ingest(mp.ingest_webtext(p))
                     batch_secs.append(round(time.perf_counter() - tb, 3))
                     task_secs.append(s.get("apply_task_seconds", 0.0))
                     rows += s["input_rows"]
-                    points = s["rollup_points"]
+                    late_seen += int(s.get("late_rows", 0))
+                    points = s["rollup_points"] or points
                 cm.checkpoint()
             finally:
                 cm.close()
         dt = time.perf_counter() - t0
+        extra = {}
+        if late_mode:
+            # the repair leg: fold the dead-lettered rows back in by
+            # partition rebuild — the FULL late-data lifecycle cost
+            tb = time.perf_counter()
+            bf = inc.run_backfill(base_out,
+                                  [base_path] + list(deliver_paths))
+            extra = {
+                "late_frac": LATE_FRAC,
+                "late_rows_dead_lettered": late_seen,
+                "backfill_seconds": round(time.perf_counter() - tb, 3),
+                "backfill_rows_applied": int(bf["late_rows_applied"]),
+                "backfill_partitions_rebuilt":
+                    int(bf["partitions_rebuilt"]),
+            }
         shutil.rmtree(base_out, ignore_errors=True)
         # batch 0 pays the one-time per-process warmup (checkpoint load
         # into actor caches, allocator growth under 32-way first-touch);
@@ -318,12 +376,13 @@ def increment_bench(num_cpus: int) -> dict:
         steady = batch_secs[1:] or batch_secs
         out[mode] = {
             "seconds": round(dt, 3),
-            "micro_batches": k,
+            "micro_batches": len(deliver_paths),
             "batch_seconds": batch_secs,
             "steady_sec_per_batch": round(sum(steady) / len(steady), 3),
             "increment_rows": rows,
             "rows_per_sec": round(rows / dt),
             "merged_rollup_points": points,
+            **extra,
         }
         if mode == "continuous":
             st = task_secs[1:] or task_secs
@@ -538,6 +597,8 @@ def increment_main() -> None:
 
 
 if __name__ == "__main__":
+    if "--late-frac" in sys.argv:
+        LATE_FRAC = float(sys.argv[sys.argv.index("--late-frac") + 1])
     if "--scaling-increment" in sys.argv:
         scaling_increment()
     elif "--scaling" in sys.argv:

@@ -67,7 +67,10 @@ def _split_block(block: pa.Table, num_partitions: int, divisor: int = 1,
     resolves top-level task args), so a small broadcast side input
     computed concurrently (e.g. the hot-url set) gates only the split
     tasks, never the upstream read/extract stream."""
-    if prep_fn is not None:
+    if prep_fn is not None and block.num_rows:
+        # (0-row blocks can surface with an EMPTY schema — e.g. a fully
+        # filtered upstream batch — which prep_fn's column access would
+        # KeyError on; they are partition-less either way)
         block = prep_fn(block, *prep_args)
     if block.num_rows == 0 or "pid" not in block.column_names:
         # fully-filtered blocks surface with an empty schema
