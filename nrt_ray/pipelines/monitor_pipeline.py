@@ -24,10 +24,13 @@ one url-column pruned scan through a fold-side-filtered hash exchange
 (threshold = max(8× mean rows/url, half a mean partition share, 10k rows));
 detected (or explicitly passed) ``hot_urls`` are time-sliced across
 partitions and a tiny merge phase re-concatenates the assembled slices
-(see ``merge_hot_partitions``).  Pass ``salt_threshold=None`` to disable,
-an int for a fixed threshold, or a precomputed ``hot_urls`` set to skip
-detection entirely (the bench does this to keep detection out of steady
-runs).  The hot-url list and merge-task count persist in the run config,
+(see ``merge_hot_partitions``).  On the exchange path the detection pass
+runs OVERLAPPED with read/extract (a zero-CPU ray task whose ObjectRef
+feeds the split-side prep), so it costs almost no wall.  Pass
+``salt_threshold=None`` to disable, an int for a fixed threshold, or a
+precomputed ``hot_urls`` set (e.g. from a prior run's config) to skip
+detection entirely.  The hot-url list and merge-task count persist in
+the run config,
 so increments, continuous mode, forget, backfill and the point-read
 serving API all route hot urls to their committed merge partitions.
 """
@@ -371,14 +374,84 @@ def detect_hot_urls(input_path, threshold: int | None,
             if r["url"] is not None and r["rows"] >= eff}
 
 
-def _detect_hot_urls_timed(input_path, threshold, num_partitions):
-    """Remote-task body for overlapped auto-detection: returns
-    ``(sorted hot urls, detection seconds)`` so the caller can report
-    the detection cost separately from the pipeline wall."""
-    t0 = time.perf_counter()
-    hot = detect_hot_urls(input_path, threshold,
-                          num_partitions=num_partitions)
-    return sorted(hot), round(time.perf_counter() - t0, 4)
+def _detect_count_file(path: str, nparts: int):
+    """Overlapped-detection map task: one input file's per-url row
+    counts, split into ``nparts`` url-hash buckets (num_returns)."""
+    import pyarrow.parquet as _pq
+
+    from nrt_ray.stages.hashagg import _pid_for_keys
+    t = _pq.read_table(path, columns=["url"])
+    g = t.group_by("url").aggregate([("url", "count")])
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    pid = _pid_for_keys(urls, nparts)
+    tbl = pa.table({"url": g.column("url"),
+                    "n": g.column("url_count").cast(pa.int64())})
+    order = np.argsort(pid, kind="stable")
+    s = tbl.take(pa.array(order))
+    sp = pid[order]
+    out = []
+    for p in range(nparts):
+        lo = np.searchsorted(sp, p, side="left")
+        hi = np.searchsorted(sp, p, side="right")
+        out.append(s.slice(lo, hi - lo))
+    return tuple(out) if nparts > 1 else out[0]
+
+
+def _detect_fold(floor: int, *tables):
+    """Overlapped-detection fold task: exact global counts for this url
+    bucket (buckets are key-disjoint across files), floor-filtered, plus
+    the bucket's distinct-url / total-row summary for the auto rule."""
+    parts = [t for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return [], 0, 0
+    tbl = pa.concat_tables(parts)
+    urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    uk, inv = np.unique(urls, return_inverse=True)
+    acc = np.zeros(len(uk), np.int64)
+    np.add.at(acc, inv, n)
+    keep = acc >= floor
+    return (list(zip(uk[keep].tolist(),
+                     acc[keep].astype(int).tolist())),
+            int(len(uk)), int(acc.sum()))
+
+
+def _detect_gather(t0: float, floor: int, total, *folds):
+    """Overlapped-detection reduce: apply the AUTO_SALT mean-skew term
+    over the already-tiny candidate set; returns (sorted hot urls,
+    elapsed seconds since driver submission)."""
+    import math
+    n_urls = sum(f[1] for f in folds) or 1
+    if total is None:                 # no parquet footers available
+        total = sum(f[2] for f in folds)
+    eff = max(floor, math.ceil(AUTO_SALT_FACTOR * total / n_urls))
+    hot = sorted(u for f in folds for u, c in f[0] if c >= eff)
+    return hot, round(time.time() - t0, 4)
+
+
+def _submit_detect_auto(input_path, num_partitions: int):
+    """Submit the auto hot-url detection as a PLAIN ray task graph
+    (per-file url-column count → key-disjoint hash folds → one gather)
+    and return the gather's ObjectRef immediately — no Ray Data job, no
+    driver blocking, ~0.5 s less fixed overhead than the nested-Dataset
+    variant.  Result and threshold semantics are identical to
+    ``detect_hot_urls(input_path, None, num_partitions=...)``."""
+    import math
+    files = input_files(input_path)
+    total = _input_total_rows(input_path)
+    floor = AUTO_SALT_MIN_ROWS if total is None else max(
+        AUTO_SALT_MIN_ROWS,
+        math.ceil(AUTO_SALT_PART_FRAC * total
+                  / max(num_partitions or 1, 1)))
+    K = max(2, min(16, len(files) * 2))
+    count_remote = ray.remote(num_returns=K)(_detect_count_file) \
+        if K > 1 else ray.remote(_detect_count_file)
+    fold_remote = ray.remote(_detect_fold)
+    gather_remote = ray.remote(num_cpus=0)(_detect_gather)
+    per_file = [count_remote.remote(f, K) for f in files]
+    folds = [fold_remote.remote(floor, *[pf[k] for pf in per_file])
+             for k in range(K)]
+    return gather_remote.remote(time.time(), floor, total, *folds)
 
 
 #: default salt slice: 8 epoch-aligned weeks — a multiple of every default
@@ -577,16 +650,15 @@ def run_pipeline(input_path, out_dir: str, *, strategy: str = "EWMA",
             # extraction pass just to count; opt in explicitly there)
             if flat_dataset is None and not is_warc_input(input_path):
                 if shuffle == "exchange":
-                    # OVERLAPPED detection: run the count pass inside a
-                    # zero-CPU ray task and hand its ObjectRef to the
-                    # exchange's split-side prep — the read/extract
-                    # stream executes concurrently with detection, and
-                    # only the split tasks (which need routing) wait on
-                    # the tiny hot set.  ~0.6–0.8 s of formerly serial
-                    # wall off the critical path (VERDICT r4 #1).
-                    detect_ref = ray.remote(num_cpus=0)(
-                        _detect_hot_urls_timed).remote(
-                            input_path, None, num_partitions)
+                    # OVERLAPPED detection: a plain ray task graph whose
+                    # final ObjectRef feeds the exchange's split-side
+                    # prep — the read/extract stream executes
+                    # concurrently with detection, and only the split
+                    # tasks (which need routing) wait on the tiny hot
+                    # set.  ~0.6–0.8 s of formerly serial wall off the
+                    # critical path (VERDICT r4 #1).
+                    detect_ref = _submit_detect_auto(input_path,
+                                                     num_partitions)
                 else:
                     hot_urls = detect_hot_urls(
                         input_path, None, num_partitions=num_partitions)
