@@ -209,6 +209,7 @@ def queries() -> dict:
         "sample_stratified_docs": tx.sample_stratified,
         "sample_weighted_docs": tx.sample_weighted_docs,
         "doc_tfidf_scores": tx.tfidf_scores,
+        "bm25_topk_docs": tx.bm25_topk_docs,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -1525,6 +1526,82 @@ def oracle_sql() -> dict:
                    round(coalesce(max(w.w), 0), 6) AS tfidf_max
             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
             GROUP BY d.doc_id
+        """,
+        # BM25: idf/avgdl constants and the per-term contribution chain
+        # are written as the SAME float64 expressions, in the SAME
+        # left-associated order, as the engine (k1/b appear as literals
+        # 1.2 / 0.75, (k1+1) as (1.2 + 1.0) — never pre-folded, so both
+        # sides round identically)
+        "bm25_topk_docs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS t
+                FROM documents
+            ),
+            tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+            consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM tok2)
+                           / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            dl AS (
+                SELECT d.doc_id, CAST(count(t.t) AS DOUBLE) AS dl
+                FROM documents d LEFT JOIN tok2 t USING (doc_id)
+                GROUP BY d.doc_id
+            ),
+            tf AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (t = 'spark') AS DOUBLE)
+                           AS tf1,
+                       CAST(count(*) FILTER (t = 'join') AS DOUBLE)
+                           AS tf2,
+                       CAST(count(*) FILTER (t = 'merge') AS DOUBLE)
+                           AS tf3,
+                       count(*) FILTER (t IN ('spark', 'join', 'merge'))
+                           AS hits
+                FROM tok2 GROUP BY doc_id
+            ),
+            df AS (
+                SELECT count(DISTINCT CASE WHEN t = 'spark'
+                                      THEN doc_id END) AS df1,
+                       count(DISTINCT CASE WHEN t = 'join'
+                                      THEN doc_id END) AS df2,
+                       count(DISTINCT CASE WHEN t = 'merge'
+                                      THEN doc_id END) AS df3
+                FROM tok2
+            ),
+            idf AS (
+                SELECT ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) AS idf1,
+                       ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) AS idf2,
+                       ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) AS idf3
+                FROM df, consts
+            ),
+            sc AS (
+                SELECT dl.doc_id,
+                       ((CASE WHEN tf1 > 0 THEN idf1 * (tf1 * (1.2 + 1.0))
+                              / (tf1 + 1.2 * (1 - 0.75
+                                              + 0.75 * dl / avgdl))
+                         ELSE 0 END
+                         + CASE WHEN tf2 > 0
+                                THEN idf2 * (tf2 * (1.2 + 1.0))
+                                / (tf2 + 1.2 * (1 - 0.75
+                                                + 0.75 * dl / avgdl))
+                           ELSE 0 END)
+                        + CASE WHEN tf3 > 0
+                               THEN idf3 * (tf3 * (1.2 + 1.0))
+                               / (tf3 + 1.2 * (1 - 0.75
+                                               + 0.75 * dl / avgdl))
+                          ELSE 0 END) AS score,
+                       tf.hits AS hits
+                FROM dl JOIN tf USING (doc_id), idf, consts
+                WHERE tf.hits > 0
+            )
+            SELECT doc_id, round(score, 6) AS score,
+                   CAST(hits AS BIGINT) AS n_query_hits
+            FROM sc
+            ORDER BY round(score, 6) DESC, doc_id
+            LIMIT 20
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,

@@ -449,6 +449,87 @@ def tfidf_scores(sf_dir: str):
         batch_format="pyarrow", concurrency=pool_size())
 
 
+#: fixed BM25 demo query — terms chosen from the synthetic corpus's
+#: core vocabulary so every scale factor matches docs
+BM25_QUERY = ("spark", "join", "merge")
+
+
+def bm25_topk_docs(sf_dir: str, terms=BM25_QUERY, k1: float = 1.2,
+                   b: float = 0.75, k: int = 20):
+    """BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene
+    ``ln(1 + (N - df + .5)/(df + .5))`` idf form) for a fixed query.
+
+    Scale shape: pass 1 is a combiner-only corpus stats pass — each
+    batch emits ONE row (per-term containing-doc counts, token total,
+    doc total), so the driver reduces |batches| rows to Q+2 numbers; no
+    shuffle.  Pass 2 scores per batch against the broadcast (idf,
+    avgdl) closure, keeps only docs matching ≥1 term, and a global
+    sort + limit over that (query-selective) subset returns the top k.
+    Score additions run in query-term order (left-associated) and the
+    oracle pivots the same explicit ``(c1 + c2) + c3`` chain, so the
+    float result is reproduced exactly.
+    """
+    terms = tuple(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        keep = flat != ""
+        flat = flat[keep]
+        doc_idx = np.repeat(np.arange(len(lens)), lens)[keep]
+        cols = {"n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(len(flat))], pa.int64())}
+        for i, t in enumerate(terms):
+            m = flat == t
+            cols[f"df{i}"] = pa.array(
+                [int(len(np.unique(doc_idx[m])))], pa.int64())
+        return pa.table(cols)
+
+    st = _read_docs(sf_dir, columns=("text",)) \
+        .map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    avgdl = float(st["n_tokens"].sum()) / n_docs
+    dfs = [int(st[f"df{i}"].sum()) for i in range(len(terms))]
+    idfs = [float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            for df in dfs]
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(toks.flatten().to_pandas(), dtype=object)
+        keep = flat != ""
+        flat = flat[keep]
+        doc_idx = np.repeat(np.arange(len(lens)), lens)[keep]
+        dl = np.bincount(doc_idx, minlength=len(lens)).astype(np.float64)
+        sc = np.zeros(len(lens), np.float64)
+        any_tf = np.zeros(len(lens), np.int64)
+        for t, idf in zip(terms, idfs):
+            m = flat == t
+            tf = np.bincount(doc_idx[m],
+                             minlength=len(lens)).astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+            with np.errstate(invalid="ignore"):
+                contrib = np.where(tf > 0,
+                                   idf * (tf * (k1 + 1.0)) / denom, 0.0)
+            sc = sc + contrib            # left-assoc, query-term order
+            any_tf += tf.astype(np.int64)
+        hit = any_tf > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(round_away(sc[hit], 6)),
+            "n_query_hits": pa.array(any_tf[hit], pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
 def _partial_vocab(batch: pa.Table) -> pa.Table:
     """Per-batch token frequency (the COMBINER half of the aggregation):
     one np.unique over the batch's flattened whitespace tokens, so the
