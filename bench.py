@@ -192,6 +192,7 @@ BENCH_QUERIES = (
     "pq_topk_adc",
     "multi_topk_cosine",
     "nb_classify_docs",
+    "bm25_topk_docs",
     "dsir_importance_docs",
     "dsir_select_docs",
     "gopher_rules_docs",
