@@ -267,6 +267,7 @@ def queries() -> dict:
         "embedding_topk_dot": sim.topk_dot,
         "embedding_topk_l2": sim.topk_l2,
         "embedding_ivf_topk_cosine": sim.ivf_topk_cosine,
+        "ann_recall_eval": sim.ann_recall_eval,
         # threshold 0.4 for the driver check: the synthetic embeddings
         # are near-orthogonal (max pairwise cosine ~0.5), so the 0.98
         # production default would make the check vacuously empty
@@ -2451,6 +2452,31 @@ def oracle_sql() -> dict:
         # IVF: spherical-k-means iterations unrolled relationally over
         # exploded (vec_id, dim, value) rows — see sketch_oracles
         "embedding_ivf_topk_cosine": sk.ivf_topk_sql(),
+        # recall@k of the IVF index vs brute-force ground truth: both
+        # sides are the catalog queries above, re-used verbatim as
+        # nested-CTE subqueries; the join counts the overlap
+        "ann_recall_eval": (
+            "WITH brute AS (\n"
+            """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings
+                ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(embedding, x -> x::DOUBLE),
+                       list_transform((SELECT qe FROM q),
+                                      x -> x::DOUBLE)), 5) AS cosine_sim
+            FROM embeddings
+            ORDER BY cosine_sim DESC, vec_id DESC LIMIT 10
+            """
+            "\n), ivf AS (\n" + sk.ivf_topk_sql() + "\n)\n"
+            "SELECT CAST(10 AS BIGINT) AS k,\n"
+            "       (SELECT count(*) FROM brute JOIN ivf USING (vec_id))"
+            " AS n_overlap,\n"
+            "       round((SELECT CAST(count(*) AS DOUBLE)\n"
+            "              FROM brute JOIN ivf USING (vec_id)) / 10, 6)"
+            " AS recall"),
         "embedding_near_dup_pairs": sk.embedding_near_dup_sql(
             threshold=0.4),
         "embedding_dup_clusters": f"""

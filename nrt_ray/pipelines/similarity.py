@@ -385,6 +385,26 @@ def ivf_topk_cosine(sf_dir: str, k: int = 10, n_centroids: int = 16,
         .map_batches(_round_sims, batch_format="pyarrow")
 
 
+def ann_recall_eval(sf_dir: str, k: int = 10):
+    """Recall@k of the IVF index against the brute-force ground truth —
+    the standard ANN quality gate a curation pipeline runs before
+    trusting an approximate index at scale.  Both sides are the
+    existing catalog pipelines (deterministic quantizer seed, shared
+    tie-break: cosine desc, vec_id desc); only their two k-row results
+    reach the driver, so the eval costs two scans and O(k) memory at
+    any corpus size."""
+    brute = {r["vec_id"]
+             for r in topk_cosine(sf_dir, k).take_all()}
+    approx = {r["vec_id"]
+              for r in ivf_topk_cosine(sf_dir, k).take_all()}
+    n = len(brute & approx)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_overlap": pa.array([n], pa.int64()),
+        "recall": pa.array(round_away(np.array([n / k]), 6)),
+    })
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroid (the class-prototype aggregate a
     curation pipeline clusters against): per-batch partial (label, dim,
