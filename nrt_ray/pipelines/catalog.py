@@ -210,6 +210,7 @@ def queries() -> dict:
         "sample_weighted_docs": tx.sample_weighted_docs,
         "doc_tfidf_scores": tx.tfidf_scores,
         "bm25_topk_docs": tx.bm25_topk_docs,
+        "cross_source_dup_prefixes": tx.cross_source_dup_prefixes,
         "dedup_exact_docs": tx.dedup_exact,
         "doc_quality_scores": tx.quality_scores,
         "doc_lang_id": tx.lang_id,
@@ -1603,6 +1604,22 @@ def oracle_sql() -> dict:
             FROM sc
             ORDER BY round(score, 6) DESC, doc_id
             LIMIT 20
+        """,
+        "cross_source_dup_prefixes": r"""
+            WITH fp AS (
+                SELECT DISTINCT
+                    md5(array_to_string(
+                        regexp_split_to_array(trim(text),
+                                              '\s+')[1:5], ' ')) AS fp,
+                    source
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_prefixes
+            FROM fp a JOIN fp b
+                 ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
+            ORDER BY source_a, source_b
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint,

@@ -449,6 +449,75 @@ def tfidf_scores(sf_dir: str):
         batch_format="pyarrow", concurrency=pool_size())
 
 
+def cross_source_dup_prefixes(sf_dir: str, n_tokens: int = 5):
+    """Cross-source duplication diagnostic: for every pair of corpus
+    sources, how many distinct leading-``n_tokens`` fingerprints they
+    share (shared document openings across crawl sources — boilerplate
+    / contamination overlap a blending pipeline checks before mixing).
+
+    Scale shape: per-batch DISTINCT (fingerprint, source) rows → one
+    fingerprint-keyed hash exchange (each fingerprint lands in exactly
+    ONE partition, so per-partition pair counts are additive); the fold
+    builds an (n_fingerprints × n_sources) boolean incidence matrix and
+    gets ALL pair counts from a single ``Bᵀ @ B`` matmul — no per-
+    fingerprint Python loop.  Only |sources|² count rows per partition
+    reach the driver.  Assumes source cardinality is registry-small
+    (10²-10³), like a label set — the corpus itself streams."""
+    import hashlib as _hl
+
+    from nrt_ray.stages.exchange import exchange_dataset
+    from nrt_ray.stages.hashagg import _pid_for_keys
+
+    nparts = max(2, pool_size())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        fps = [_hl.md5(" ".join(t.split()[:n_tokens]).encode())
+               .hexdigest() for t in texts]
+        seen = sorted(set(zip(fps, srcs)))
+        fp = np.asarray([a for a, _ in seen], dtype=object)
+        return pa.table({
+            "fp": pa.array(fp, pa.string()),
+            "source": pa.array([b for _, b in seen], pa.string()),
+            "pid": pa.array(_pid_for_keys(fp, nparts)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        fp = np.asarray(tbl["fp"].to_pylist(), dtype=object)
+        src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+        uf, fi = np.unique(fp, return_inverse=True)
+        us, si = np.unique(src, return_inverse=True)
+        B = np.zeros((len(uf), len(us)), np.int64)
+        B[fi, si] = 1                       # dedups (fp, source) rows
+        co = B.T @ B                        # pair counts, one matmul
+        ii, jj = np.triu_indices(len(us), k=1)
+        n = co[ii, jj]
+        keep = n > 0
+        return pa.table({
+            "source_a": pa.array(us[ii[keep]], pa.string()),
+            "source_b": pa.array(us[jj[keep]], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    parts = _read_docs(sf_dir, columns=("text", "source")) \
+        .map_batches(partial, batch_format="pyarrow")
+    pairs = exchange_dataset(parts, nparts, fold, empty).to_pandas()
+    agg = pairs.groupby(["source_a", "source_b"], as_index=False)["n"] \
+        .sum().sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "source_a": pa.array(agg["source_a"], pa.string()),
+        "source_b": pa.array(agg["source_b"], pa.string()),
+        "n_shared_prefixes": pa.array(agg["n"].to_numpy(np.int64)),
+    })
+
+
 #: fixed BM25 demo query — terms chosen from the synthetic corpus's
 #: core vocabulary so every scale factor matches docs
 BM25_QUERY = ("spark", "join", "merge")
