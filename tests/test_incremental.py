@@ -208,3 +208,61 @@ def test_sparse_increment_reuses_segments(ray_session, tmp_path):
         sb.column("payload_ts").to_pylist()
     assert sa.column("payload_value").to_pylist() == \
         sb.column("payload_value").to_pylist()
+
+
+def test_legacy_codec_store_migrates_on_increment(ray_session,
+                                                  split_webtext,
+                                                  tmp_path):
+    """END-TO-END v1→v2 codec migration: a store whose segment files
+    carry legacy 'dod+xor' payloads (no block-size header) is upgraded
+    by a normal run_increment — touched AND untouched urls of every
+    affected partition re-encode to v2 (byte-reuse of ambiguous v1
+    payloads would decode silently wrong), and the decoded store equals
+    an end-to-end fresh run."""
+    from nrt_ray.stages import compress as cz
+
+    d, info = split_webtext
+    out = str(tmp_path / "out")
+    mp.run_pipeline(str(d / "early.parquet"), out, strategy="EWMA",
+                    monitor_params={"trend": False},
+                    monitor_start="2021-01-01", num_partitions=4,
+                    tiers=TIERS)
+
+    # forge v1: strip the u16 block field from every payload header and
+    # retag the codec column (bytes become exactly the r3/r4 layout)
+    import glob
+    for f in glob.glob(os.path.join(out, "segments", "part=*",
+                                    "part.parquet")):
+        t = pq.read_table(f)
+        pts = [b[:4] + b[6:] for b in
+               t.column("payload_ts").to_pylist()]
+        pvs = [b[:4] + b[6:] for b in
+               t.column("payload_value").to_pylist()]
+        t = t.set_column(t.column_names.index("codec"), "codec",
+                         pa.array(["dod+xor"] * t.num_rows, pa.string()))
+        t = t.set_column(t.column_names.index("payload_ts"),
+                         "payload_ts", pa.array(pts, pa.binary()))
+        t = t.set_column(t.column_names.index("payload_value"),
+                         "payload_value", pa.array(pvs, pa.binary()))
+        pq.write_table(t, f)
+    legacy = mp.read_output_table(out, "segments")
+    with pytest.raises(ValueError, match="dod\\+xor"):
+        cz.decode_segments_table(legacy, tier="1d")
+
+    s = inc.run_increment(out, mp.ingest_webtext(str(d / "late.parquet")))
+    assert s["input_rows"] > 0
+
+    segs = mp.read_output_table(out, "segments")
+    assert set(segs.column("codec").to_pylist()) == {cz.CODEC}
+    got = cz.decode_segments_table(segs, tier="1d")
+
+    ref = str(tmp_path / "ref")
+    mp.run_pipeline(info["webtext"], ref, strategy="EWMA",
+                    monitor_params={"trend": False},
+                    monitor_start="2021-01-01", num_partitions=4,
+                    tiers=TIERS)
+    exp = cz.decode_segments_table(
+        mp.read_output_table(ref, "segments"), tier="1d")
+    got = _by_url(got, extra=("bucket_ts",))
+    exp = _by_url(exp, extra=("bucket_ts",))
+    assert got.equals(exp)
